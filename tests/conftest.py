@@ -1,0 +1,55 @@
+"""Test harness configuration.
+
+Tests always run on CPU with 8 virtual devices so the multi-chip sharding
+paths can be exercised without TPU hardware (the driver separately
+dry-run-compiles the multi-chip path; see ``__graft_entry__.py``).
+
+NOTE: this environment registers an ``axon`` TPU PJRT plugin from
+``sitecustomize`` at interpreter start; we must both point JAX_PLATFORMS at
+cpu *and* update the already-imported jax config, since sitecustomize may
+have imported jax before pytest loads this file.
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=8 " + os.environ.get("XLA_FLAGS", "")
+    )
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)  # fp64 paths; code is dtype-explicit
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(params=["xla", "pallas"])
+def implementation(request):
+    """Run engine-parametrised tests against both lattice engines.
+
+    The Pallas kernel runs in interpreter mode on CPU (slow but exact), so
+    it is skipped for large problem sizes via the ``pallas_slow`` marker.
+    """
+    return request.param
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "pallas_slow: skip under the pallas interpreter on CPU"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if "pallas_slow" not in item.keywords:
+            continue
+        callspec = getattr(item, "callspec", None)
+        if callspec is not None and callspec.params.get("implementation") == "pallas":
+            item.add_marker(pytest.mark.skip(reason="pallas interpreter too slow on CPU"))

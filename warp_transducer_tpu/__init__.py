@@ -1,0 +1,23 @@
+"""warp_transducer_tpu — TPU-native RNN-Transducer loss library.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+HawkAaron/warp-transducer: the RNN-T negative log-likelihood and its
+analytic gradient over the (B, T, U, V) joint lattice, with fused
+log-softmax, per-utterance lengths, configurable blank, none|sum|mean
+reductions, a loss-only scoring path, and first-class data-parallel
+sharding over TPU meshes.
+"""
+
+from .ops.rnnt import RNNTLoss, rnnt_loss, rnnt_loss_and_grad, rnnt_score
+from .utils.options import RNNTOptions
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "RNNTLoss",
+    "rnnt_loss",
+    "rnnt_loss_and_grad",
+    "rnnt_score",
+    "RNNTOptions",
+    "__version__",
+]

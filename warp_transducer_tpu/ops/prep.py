@@ -1,0 +1,85 @@
+"""Input preparation: fused log-softmax denominator and blank/label caches.
+
+The reference GPU backend never materialises the log-softmaxed joint tensor;
+it computes a per-cell denominator ``denom[b,t,u] = -max - log sum exp`` with
+a two-pass CTA reduction (``/root/reference/include/detail/reduce.h``) and
+re-adds it wherever a log-prob is read.  The reference CPU backend instead
+caches only the blank and label log-probs per cell
+(``log_probs2``, /root/reference/include/detail/cpu_rnnt.h:117-128) so the
+O(T·U) recursion never touches the alphabet axis.
+
+We combine both ideas: one XLA pass over the (B, T, U, V) activations
+produces the (B, T, U) denominator plus the two (B, T, U) caches, shrinking
+the recursion's working set from T·U·V to T·U·2 — XLA fuses the reduction
+and gathers into a single read of the activations.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -jnp.inf
+
+
+class PreparedInputs(NamedTuple):
+    lpb: jax.Array  # (B, T, U) blank log-probs
+    lpe: jax.Array  # (B, T, U) label log-probs (column U-1 is -inf)
+    denom: Optional[jax.Array]  # (B, T, U) -logsumexp(acts) or None
+
+
+def _pad_labels(labels: jax.Array, U: int) -> jax.Array:
+    """Pad/truncate (B, L) labels to exactly (B, U-1)."""
+    B, L = labels.shape
+    if L == U - 1:
+        return labels
+    if L > U - 1:
+        return labels[:, : U - 1]
+    return jnp.pad(labels, ((0, 0), (0, U - 1 - L)))
+
+
+def prepare(
+    acts: jax.Array,
+    labels: jax.Array,
+    blank: int,
+    log_probs_input: bool,
+    compute_dtype=jnp.float32,
+) -> PreparedInputs:
+    """Build blank/emit log-prob caches from the joint activations.
+
+    Args:
+      acts: (B, T, U, V) raw activations, or already log-softmaxed when
+        ``log_probs_input`` (the reference CPU convention,
+        /root/reference/pytorch_binding/warprnnt_pytorch/__init__.py:95-98).
+      labels: (B, L) int32 target labels, zero padded, L >= max(label_lengths).
+      blank: blank symbol index.
+    """
+    B, T, U, V = acts.shape
+    x = acts.astype(compute_dtype)
+
+    if log_probs_input:
+        denom = None
+        lp = x
+    else:
+        # denom = -logsumexp over the alphabet; log p(v) = acts[v] + denom.
+        m = jnp.max(x, axis=-1, keepdims=True)
+        denom = -(m[..., 0] + jnp.log(jnp.sum(jnp.exp(x - m), axis=-1)))
+        lp = x  # log-prob of v is lp[..., v] + denom
+
+    lpb = lp[..., blank]
+
+    labels_u = _pad_labels(labels.astype(jnp.int32), U)  # (B, U-1)
+    if U > 1:
+        gathered = jnp.take_along_axis(
+            lp[:, :, : U - 1, :], labels_u[:, None, :, None], axis=3
+        )[..., 0]  # (B, T, U-1)
+        lpe = jnp.pad(gathered, ((0, 0), (0, 0), (0, 1)), constant_values=NEG_INF)
+    else:
+        lpe = jnp.full((B, T, U), NEG_INF, dtype=compute_dtype)
+
+    if denom is not None:
+        # -inf + finite denom stays -inf, so the plain adds are safe.
+        lpb = lpb + denom
+        lpe = lpe + denom
+    return PreparedInputs(lpb=lpb, lpe=lpe, denom=denom)

@@ -1,0 +1,239 @@
+"""Public RNN-Transducer loss op for JAX on TPU.
+
+Drop-in equivalent of the reference's framework APIs
+(``/root/reference/pytorch_binding/warprnnt_pytorch/__init__.py:53-100`` and
+``tensorflow_binding/warprnnt_tensorflow/__init__.py:9-48``) re-designed for
+XLA: one ``jax.custom_vjp`` op whose forward pass computes both the
+per-utterance costs and the analytic gradient (the reference's proven trick —
+backward launches nothing and only rescales the cached gradient,
+``__init__.py:43-50``).
+
+Conventions:
+* default (``log_probs_input=False``): raw activations in, log-softmax fused
+  into the loss, dense gradient w.r.t. activations — the reference GPU path.
+* ``log_probs_input=True``: caller provides log-probs, sparse gradient — the
+  reference CPU path, kept for bit-parity testing against
+  ``tests/test_cpu.cpp``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import gradients as _gradients
+from . import lattice as _lattice
+from . import prep as _prep
+
+_IMPLEMENTATIONS = ("auto", "xla", "pallas")
+
+
+def _pick_implementation(implementation: str) -> str:
+    if implementation not in _IMPLEMENTATIONS:
+        raise ValueError(
+            f"implementation must be one of {_IMPLEMENTATIONS}, got {implementation!r}"
+        )
+    if implementation == "auto":
+        try:
+            platform = jax.default_backend()
+        except RuntimeError:  # pragma: no cover
+            platform = "cpu"
+        return "pallas" if platform == "tpu" else "xla"
+    return implementation
+
+
+def _certify_inputs(acts, labels, input_lengths, label_lengths):
+    """Static shape/dtype validation mirroring ``certify_inputs``
+    (/root/reference/pytorch_binding/warprnnt_pytorch/__init__.py:115-140).
+
+    Data-dependent checks (T == max(input_lengths)) cannot run under jit and
+    are intentionally omitted; padding beyond the lengths is simply masked.
+    """
+    if acts.ndim != 4:
+        raise ValueError(f"acts must be 4-D (B, T, U, V); got shape {acts.shape}")
+    if labels.ndim != 2:
+        raise ValueError(f"labels must be 2-D (B, L); got shape {labels.shape}")
+    if input_lengths.ndim != 1 or label_lengths.ndim != 1:
+        raise ValueError("input_lengths and label_lengths must be 1-D")
+    B = acts.shape[0]
+    for name, arr in (
+        ("labels", labels),
+        ("input_lengths", input_lengths),
+        ("label_lengths", label_lengths),
+    ):
+        if arr.shape[0] != B:
+            raise ValueError(f"{name} batch dim {arr.shape[0]} != acts batch dim {B}")
+        if not jnp.issubdtype(arr.dtype, jnp.integer):
+            raise TypeError(f"{name} must be an integer array; got {arr.dtype}")
+    if labels.shape[1] < acts.shape[2] - 1:
+        raise ValueError(
+            f"labels length {labels.shape[1]} is smaller than U-1={acts.shape[2]-1}"
+        )
+
+
+def _compute_dtype(acts_dtype):
+    if acts_dtype == jnp.float64:
+        return jnp.float64
+    return jnp.float32  # bf16/f16 inputs are promoted for the recursion
+
+
+def _run_lattice(implementation, prepped, input_lengths, label_lengths, compute_betas=True):
+    if implementation == "pallas":
+        from .pallas import wavefront as _wavefront
+
+        return _wavefront.forward_backward(
+            prepped.lpb, prepped.lpe, input_lengths, label_lengths,
+            compute_betas=compute_betas,
+        )
+    return _lattice.forward_backward(
+        prepped.lpb, prepped.lpe, input_lengths, label_lengths,
+        compute_betas=compute_betas,
+    )
+
+
+def _forward(acts, labels, input_lengths, label_lengths, blank, log_probs_input, implementation):
+    """Compute (costs, grads). The heart of the library."""
+    B, T, U, V = acts.shape
+    cdtype = _compute_dtype(acts.dtype)
+    prepped = _prep.prepare(acts, labels, blank, log_probs_input, compute_dtype=cdtype)
+    res = _run_lattice(implementation, prepped, input_lengths, label_lengths)
+
+    labels_u = _prep._pad_labels(labels.astype(jnp.int32), U)  # (B, U-1)
+    labels_u = jnp.pad(labels_u, ((0, 0), (0, 1)), constant_values=0)  # (B, U)
+
+    if log_probs_input:
+        grads = _gradients.grad_wrt_log_probs(
+            prepped.lpb, prepped.lpe, res.alphas, res.betas, res.ll_forward,
+            labels_u, input_lengths, label_lengths, blank, V, acts.dtype,
+        )
+    else:
+        grads = _gradients.grad_wrt_acts(
+            acts, prepped.denom, prepped.lpb, prepped.lpe, res.alphas, res.betas,
+            res.ll_forward, labels_u, input_lengths, label_lengths, blank,
+            out_dtype=acts.dtype,
+        )
+    costs = (-res.ll_forward).astype(acts.dtype)
+    return costs, grads
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _rnnt_costs(acts, labels, input_lengths, label_lengths, blank, log_probs_input, implementation):
+    costs, _ = _forward(
+        acts, labels, input_lengths, label_lengths, blank, log_probs_input, implementation
+    )
+    return costs
+
+
+def _rnnt_costs_fwd(acts, labels, input_lengths, label_lengths, blank, log_probs_input, implementation):
+    costs, grads = _forward(
+        acts, labels, input_lengths, label_lengths, blank, log_probs_input, implementation
+    )
+    return costs, (grads, labels, input_lengths, label_lengths)
+
+
+def _rnnt_costs_bwd(blank, log_probs_input, implementation, residuals, g):
+    grads, labels, input_lengths, label_lengths = residuals
+    d_acts = grads * g[:, None, None, None].astype(grads.dtype)
+
+    def int_zero(x):
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+    return (d_acts, int_zero(labels), int_zero(input_lengths), int_zero(label_lengths))
+
+
+_rnnt_costs.defvjp(_rnnt_costs_fwd, _rnnt_costs_bwd)
+
+
+def rnnt_loss(
+    acts: jax.Array,
+    labels: jax.Array,
+    input_lengths: jax.Array,
+    label_lengths: jax.Array,
+    blank: int = 0,
+    reduction: str = "mean",
+    log_probs_input: bool = False,
+    implementation: str = "auto",
+) -> jax.Array:
+    """RNN-Transducer loss.
+
+    Args:
+      acts: (B, T, U, V) joint-network outputs — raw activations by default
+        (log-softmax is fused into the loss), or log-probs when
+        ``log_probs_input``.
+      labels: (B, L) int32 zero-padded targets, L >= U-1.
+      input_lengths: (B,) int32 valid encoder lengths.
+      label_lengths: (B,) int32 label counts (U_b = label_lengths + 1).
+      blank: blank symbol index (default 0).
+      reduction: 'none' | 'sum' | 'mean' (mean divides by batch size, matching
+        /root/reference/pytorch_binding/warprnnt_pytorch/__init__.py:36-41).
+      log_probs_input: use the reference-CPU convention (inputs already
+        log-softmaxed; sparse gradient).
+      implementation: 'auto' | 'xla' | 'pallas'.
+
+    Returns:
+      (B,) costs for reduction='none', scalar otherwise. Differentiable
+      w.r.t. ``acts``.
+    """
+    _certify_inputs(acts, labels, input_lengths, label_lengths)
+    if reduction not in ("none", "sum", "mean"):
+        raise ValueError(f"reduction must be none|sum|mean, got {reduction!r}")
+    impl = _pick_implementation(implementation)
+    costs = _rnnt_costs(
+        acts, labels, input_lengths, label_lengths, int(blank), bool(log_probs_input), impl
+    )
+    if reduction == "sum":
+        return jnp.sum(costs)
+    if reduction == "mean":
+        return jnp.mean(costs)
+    return costs
+
+
+def rnnt_loss_and_grad(
+    acts, labels, input_lengths, label_lengths, blank=0,
+    log_probs_input=False, implementation="auto",
+):
+    """Return (costs[B], grads[B,T,U,V]) in one call — the ``cost_and_grad``
+    entry point of the C API (/root/reference/include/rnnt.h:104-113)."""
+    _certify_inputs(acts, labels, input_lengths, label_lengths)
+    impl = _pick_implementation(implementation)
+    return _forward(
+        acts, labels, input_lengths, label_lengths, int(blank), bool(log_probs_input), impl
+    )
+
+
+def rnnt_score(
+    acts, labels, input_lengths, label_lengths, blank=0,
+    log_probs_input=False, implementation="auto",
+):
+    """Loss-only scoring path: alphas only, no betas/gradient — the
+    ``score_forward`` fast path (/root/reference/src/rnnt_entrypoint.cpp:70-72).
+    Not differentiable; wrap ``rnnt_loss`` for gradients."""
+    _certify_inputs(acts, labels, input_lengths, label_lengths)
+    impl = _pick_implementation(implementation)
+    cdtype = _compute_dtype(acts.dtype)
+    prepped = _prep.prepare(acts, labels, int(blank), bool(log_probs_input), compute_dtype=cdtype)
+    res = _run_lattice(impl, prepped, input_lengths, label_lengths, compute_betas=False)
+    return (-res.ll_forward).astype(acts.dtype)
+
+
+class RNNTLoss:
+    """Module-style wrapper mirroring ``RNNTLoss``
+    (/root/reference/pytorch_binding/warprnnt_pytorch/__init__.py:73-100)."""
+
+    def __init__(self, blank: int = 0, reduction: str = "mean",
+                 log_probs_input: bool = False, implementation: str = "auto"):
+        self.blank = blank
+        self.reduction = reduction
+        self.log_probs_input = log_probs_input
+        self.implementation = implementation
+
+    def __call__(self, acts, labels, input_lengths, label_lengths):
+        return rnnt_loss(
+            acts, labels, input_lengths, label_lengths,
+            blank=self.blank, reduction=self.reduction,
+            log_probs_input=self.log_probs_input,
+            implementation=self.implementation,
+        )

@@ -1,0 +1,151 @@
+"""Plain-NumPy RNN-Transducer loss oracle.
+
+This is the test-only correctness oracle for the TPU-native engines: a
+maximally simple, loop-based implementation of the RNN-T forward-backward
+recursion (Graves 2012, arXiv:1211.3711) and both gradient conventions that
+the reference library exposes:
+
+* gradient w.r.t. *log-probabilities* — the reference CPU backend convention
+  (``/root/reference/include/detail/cpu_rnnt.h:216-270``): non-zero only at
+  the blank column and the per-row label column.
+* gradient w.r.t. *raw activations* with the log-softmax fused into the loss
+  — the reference GPU backend convention
+  (``/root/reference/include/detail/gpu_rnnt_kernel.h:143-179``): dense over
+  the alphabet.
+
+It mirrors the *math* of the reference's own NumPy oracle
+(``/root/reference/pytorch_binding/test/transducer_np.py``) but is written
+independently (float64 accumulation, explicit conventions, length handling in
+one place).  Used only by tests; never on the hot path.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+NEG_INF = -np.inf
+
+
+def log_softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    x = np.asarray(x, dtype=np.float64)
+    m = np.max(x, axis=axis, keepdims=True)
+    s = x - m
+    return s - np.log(np.sum(np.exp(s), axis=axis, keepdims=True))
+
+
+def _alphas(lpb: np.ndarray, lpe: np.ndarray) -> tuple[np.ndarray, float]:
+    """Forward lattice. lpb/lpe are (T, U) blank/emit log-prob caches."""
+    T, U = lpb.shape
+    a = np.full((T, U), NEG_INF, dtype=np.float64)
+    a[0, 0] = 0.0
+    for t in range(T):
+        for u in range(U):
+            if t == 0 and u == 0:
+                continue
+            no_emit = a[t - 1, u] + lpb[t - 1, u] if t > 0 else NEG_INF
+            emit = a[t, u - 1] + lpe[t, u - 1] if u > 0 else NEG_INF
+            a[t, u] = np.logaddexp(no_emit, emit)
+    return a, a[T - 1, U - 1] + lpb[T - 1, U - 1]
+
+
+def _betas(lpb: np.ndarray, lpe: np.ndarray) -> tuple[np.ndarray, float]:
+    """Backward lattice."""
+    T, U = lpb.shape
+    b = np.full((T, U), NEG_INF, dtype=np.float64)
+    b[T - 1, U - 1] = lpb[T - 1, U - 1]
+    for t in range(T - 1, -1, -1):
+        for u in range(U - 1, -1, -1):
+            if t == T - 1 and u == U - 1:
+                continue
+            no_emit = b[t + 1, u] + lpb[t, u] if t < T - 1 else NEG_INF
+            emit = b[t, u + 1] + lpe[t, u] if u < U - 1 else NEG_INF
+            b[t, u] = np.logaddexp(no_emit, emit)
+    return b, b[0, 0]
+
+
+def rnnt_single(log_probs: np.ndarray, labels: np.ndarray, blank: int = 0):
+    """Loss internals for one utterance.
+
+    Args:
+      log_probs: (T, U, V) already log-softmaxed joint outputs.
+      labels: (U-1,) int label sequence.
+
+    Returns:
+      dict with alphas, betas, ll_fwd, ll_bwd, lpb, lpe.
+    """
+    T, U, V = log_probs.shape
+    lpb = log_probs[:, :, blank].astype(np.float64)
+    lpe = np.full((T, U), NEG_INF, dtype=np.float64)
+    if U > 1:
+        lpe[:, : U - 1] = np.take_along_axis(
+            log_probs[:, : U - 1, :], np.asarray(labels)[None, :, None], axis=2
+        )[:, :, 0]
+    alphas, ll_fwd = _alphas(lpb, lpe)
+    betas, ll_bwd = _betas(lpb, lpe)
+    return dict(alphas=alphas, betas=betas, ll_fwd=ll_fwd, ll_bwd=ll_bwd, lpb=lpb, lpe=lpe)
+
+
+def grad_wrt_log_probs(log_probs, labels, blank=0):
+    """Sparse gradient of cost = -ll w.r.t. the log-prob inputs.
+
+    Matches the reference CPU convention (cpu_rnnt.h:253-267): only the blank
+    column and label entries receive gradient.
+    """
+    T, U, V = log_probs.shape
+    st = rnnt_single(log_probs, labels, blank)
+    a, b, ll = st["alphas"], st["betas"], st["ll_fwd"]
+    lpb, lpe = st["lpb"], st["lpe"]
+    g = np.zeros((T, U, V), dtype=np.float64)
+    for t in range(T):
+        for u in range(U):
+            if t < T - 1:
+                g[t, u, blank] = -np.exp(lpb[t, u] + a[t, u] + b[t + 1, u] - ll)
+            if u < U - 1:
+                g[t, u, labels[u]] = -np.exp(lpe[t, u] + a[t, u] + b[t, u + 1] - ll)
+    g[T - 1, U - 1, blank] = -np.exp(lpb[T - 1, U - 1] + a[T - 1, U - 1] - ll)
+    return -st["ll_fwd"], g
+
+
+def grad_wrt_acts(acts, labels, blank=0):
+    """Dense gradient of cost = -ll w.r.t. raw activations (fused log-softmax).
+
+    Matches the reference GPU convention (gpu_rnnt_kernel.h:143-179).
+    """
+    T, U, V = acts.shape
+    lp = log_softmax(acts)
+    st = rnnt_single(lp, labels, blank)
+    a, b, ll = st["alphas"], st["betas"], st["ll_fwd"]
+    probs = np.exp(lp)
+    g = np.exp(a[:, :, None] + b[:, :, None] - ll) * probs
+    for t in range(T):
+        for u in range(U):
+            if t < T - 1:
+                g[t, u, blank] -= np.exp(a[t, u] + lp[t, u, blank] + b[t + 1, u] - ll)
+            if u < U - 1:
+                g[t, u, labels[u]] -= np.exp(a[t, u] + lp[t, u, labels[u]] + b[t, u + 1] - ll)
+    g[T - 1, U - 1, blank] -= np.exp(a[T - 1, U - 1] + lp[T - 1, U - 1, blank] - ll)
+    return -st["ll_fwd"], g
+
+
+def rnnt_batch(acts, labels, input_lengths, label_lengths, blank=0, from_log_probs=False):
+    """Batched oracle over padded (B, T, U, V) inputs.
+
+    Returns (costs[B], grads[B,T,U,V]) with grads following the convention
+    implied by ``from_log_probs`` (sparse log-prob grads when True, dense raw
+    activation grads when False).
+    """
+    acts = np.asarray(acts, dtype=np.float64)
+    B, T, U, V = acts.shape
+    costs = np.zeros((B,), dtype=np.float64)
+    grads = np.zeros_like(acts)
+    for i in range(B):
+        t = int(input_lengths[i])
+        u = int(label_lengths[i]) + 1
+        sub = acts[i, :t, :u, :]
+        lab = np.asarray(labels[i][: u - 1], dtype=np.int64)
+        if from_log_probs:
+            c, g = grad_wrt_log_probs(sub, lab, blank)
+        else:
+            c, g = grad_wrt_acts(sub, lab, blank)
+        costs[i] = c
+        grads[i, :t, :u, :] = g
+    return costs, grads

@@ -1,0 +1,22 @@
+"""Runtime options, the idiomatic-JAX mirror of ``rnntOptions``
+(/root/reference/include/rnnt.h:43-64).
+
+The reference's struct carries loc/num_threads/stream/maxT/maxU/batch_first —
+all artifacts of the C ABI that XLA owns here (no caller workspace, no
+streams, one canonical (B, T, U, V) layout).  What survives is the semantic
+configuration: blank index, gradient convention, reduction, implementation.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RNNTOptions:
+    blank: int = 0
+    reduction: str = "mean"  # none | sum | mean
+    log_probs_input: bool = False  # reference-CPU convention when True
+    implementation: str = "auto"  # auto | xla | pallas
+    # Optional numerical self-check: warn when |ll_fwd - ll_bwd| exceeds this
+    # (mirrors the CPU backend's mismatch warning, cpu_rnnt.h:167-169).
+    fwd_bwd_check_tol: float | None = None
