@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Benchmark harness: loss+grad latency, mirroring the reference's
+``test_time`` CLI (/root/reference/tests/test_time.cu:89-128 — 10-iteration
+mean of ``compute_rnnt_loss`` with gradients).
+
+Usage:
+    python bench.py [B] [T] [L] [V] [--impl pallas|xla] [--all]
+
+Default shape is the headline baseline config N=128, T=150, L=40, A=28
+(19.48 ms on the reference's GTX 1080 Ti, BASELINE.md). Prints ONE JSON
+line: {"metric": ..., "value": ms, "unit": "ms", "vs_baseline": speedup}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINES_MS = {
+    # (B, T, L, V) -> reference ms on GTX 1080 Ti (BASELINE.md)
+    (1, 150, 40, 28): 8.51,
+    (16, 150, 40, 28): 11.43,
+    (32, 150, 40, 28): 12.65,
+    (64, 150, 40, 28): 14.75,
+    (128, 150, 40, 28): 19.48,
+    (1, 150, 20, 5000): 4.79,
+    (16, 150, 20, 5000): 24.44,
+    (32, 150, 20, 5000): 41.38,
+    (64, 150, 20, 5000): 80.44,
+    (128, 150, 20, 5000): 51.46,
+    (1, 1500, 300, 50): 570.33,
+    (16, 1500, 300, 50): 768.57,
+    (32, 1500, 300, 50): 955.05,
+    (64, 1500, 300, 50): 569.34,
+}
+
+
+def bench_config(B, T, L, V, impl, iters=10, warmup=3, seed=0):
+    """Measure per-call device time for loss+grad.
+
+    Remote-tunnel environments (axon) add a large fixed per-dispatch RPC
+    overhead (~30 ms) that has nothing to do with device time, so we time
+    ``n`` chained iterations inside a single jit and take the slope between
+    two repetition counts: per_iter = (t(n2) - t(n1)) / (n2 - n1).  The
+    chained carry both defeats CSE and serialises iterations.
+    """
+    import jax
+    import jax.numpy as jnp
+    from warp_transducer_tpu import rnnt_loss
+
+    U = L + 1
+    rng = np.random.RandomState(seed)
+    acts = jnp.asarray(rng.uniform(0, 1, size=(B, T, U, V)), jnp.float32)
+    labels = jnp.asarray(rng.randint(1, V, size=(B, L)), jnp.int32)
+    il = jnp.full((B,), T, jnp.int32)
+    ll = jnp.full((B,), L, jnp.int32)
+
+    loss_grad = jax.value_and_grad(
+        lambda a: rnnt_loss(a, labels, il, ll, reduction="sum", implementation=impl)
+    )
+
+    def chained(n):
+        @jax.jit
+        def run(a):
+            def body(i, carry):
+                loss, g = loss_grad(a + carry * 1e-12)
+                return loss * 1e-12 + jnp.float32(0.0) * g[0, 0, 0, 0]
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return run
+
+    n1, n2 = max(2, iters // 3), iters
+    f1, f2 = chained(n1), chained(n2)
+    jax.block_until_ready(f1(acts))
+    jax.block_until_ready(f2(acts))
+
+    def best_of(f, k=3):
+        ts = []
+        for _ in range(k):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(acts))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1, t2 = best_of(f1), best_of(f2)
+    per_iter_ms = (t2 - t1) / (n2 - n1) * 1e3
+    loss = float(jax.jit(lambda a: loss_grad(a)[0])(acts))
+    return dict(
+        mean_ms=float(per_iter_ms),
+        std_ms=0.0,
+        min_ms=float(per_iter_ms),
+        loss=loss,
+    )
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("B", nargs="?", type=int, default=128)
+    p.add_argument("T", nargs="?", type=int, default=150)
+    p.add_argument("L", nargs="?", type=int, default=40)
+    p.add_argument("V", nargs="?", type=int, default=28)
+    p.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--all", action="store_true", help="run every baseline config")
+    args = p.parse_args()
+
+    configs = sorted(BASELINES_MS) if args.all else [(args.B, args.T, args.L, args.V)]
+    result_line = None
+    for (B, T, L, V) in configs:
+        r = bench_config(B, T, L, V, args.impl, iters=args.iters)
+        base = BASELINES_MS.get((B, T, L, V))
+        speedup = round(base / r["mean_ms"], 3) if base else None
+        line = {
+            "metric": f"rnnt_loss+grad ms, B={B},T={T},L={L},V={V}",
+            "value": round(r["mean_ms"], 3),
+            "unit": "ms",
+            "vs_baseline": speedup,
+        }
+        print(json.dumps(line), flush=True)
+        if (B, T, L, V) == (128, 150, 40, 28):
+            result_line = line
+        sys.stderr.write(
+            f"# {B=} {T=} {L=} {V=} mean={r['mean_ms']:.3f}ms std={r['std_ms']:.3f} "
+            f"min={r['min_ms']:.3f} loss={r['loss']:.1f} ref={base}ms\n"
+        )
+    # ensure the headline metric is the LAST JSON line when running --all
+    if args.all and result_line is not None:
+        print(json.dumps(result_line), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+/* C ABI for the warp_transducer_tpu native CPU backend.
+ *
+ * Capability parity with the reference public C API
+ * (/root/reference/include/rnnt.h) re-designed without its C-era baggage:
+ * no caller-managed workspace (the library allocates internally; a sizing
+ * query is still provided for embedders that want to pre-allocate), no
+ * batch_first flag (one canonical (B, T, U, V) row-major layout), and both
+ * gradient conventions in one entry point (the reference splits them across
+ * its CPU/GPU backends).
+ */
+#ifndef WTT_RNNT_TPU_H
+#define WTT_RNNT_TPU_H
+
+#include <stddef.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+typedef enum {
+  WTT_STATUS_SUCCESS = 0,
+  WTT_STATUS_BAD_ARGUMENT = 1,
+  WTT_STATUS_ALLOC_FAILED = 2,
+  WTT_STATUS_EXECUTION_FAILED = 3
+} wttStatus_t;
+
+/* Semantic options only (cf. rnntOptions, rnnt.h:43-64). */
+typedef struct {
+  int blank_label;     /* index of the blank symbol                */
+  int num_threads;     /* OpenMP threads; 0 = library default      */
+  int from_log_probs;  /* 1: inputs are log-softmaxed, sparse grads
+                          (reference CPU convention); 0: raw acts,
+                          fused log-softmax, dense grads (reference
+                          GPU convention)                          */
+} wttOptions;
+
+int wtt_get_version(void);
+const char* wtt_get_status_string(wttStatus_t status);
+
+/* Bytes of scratch the library will allocate internally per call.   */
+wttStatus_t wtt_get_workspace_size(int maxT, int maxU, int minibatch,
+                                   int fp64, size_t* size_bytes);
+
+/* Loss (+ gradient when grads != NULL; score-only otherwise).
+ * acts:   (B, maxT, maxU, V) row-major
+ * labels: (B, maxU-1) zero padded
+ * costs:  (B,) output
+ * grads:  (B, maxT, maxU, V) output or NULL                          */
+wttStatus_t wtt_rnnt_loss(const float* acts, float* grads,
+                          const int* labels, const int* label_lengths,
+                          const int* input_lengths,
+                          int alphabet_size, int minibatch,
+                          int maxT, int maxU,
+                          float* costs, wttOptions options);
+
+wttStatus_t wtt_rnnt_loss_fp64(const double* acts, double* grads,
+                               const int* labels, const int* label_lengths,
+                               const int* input_lengths,
+                               int alphabet_size, int minibatch,
+                               int maxT, int maxU,
+                               double* costs, wttOptions options);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* WTT_RNNT_TPU_H */

@@ -1,0 +1,220 @@
+// Native CPU backend: OpenMP-parallel RNN-T loss and gradient.
+//
+// Fresh implementation of the forward-backward math (Graves 2012,
+// arXiv:1211.3711; derivation in the reference's docs/rnnt_notes.tex).
+// Structure differs from the reference CPU engine deliberately:
+//   * row-major t-sweeps (not diagonal) — cache-friendly on CPU;
+//   * both gradient conventions in one engine (sparse w.r.t. log-probs and
+//     dense w.r.t. raw activations with fused log-softmax);
+//   * internal allocation via std::vector (no caller workspace protocol).
+#include "rnnt_tpu.h"
+
+#include <algorithm>
+#include <cmath>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+namespace {
+
+template <typename T>
+constexpr T kNegInf = -std::numeric_limits<T>::infinity();
+
+template <typename T>
+inline T logaddexp(T a, T b) {
+  if (a == kNegInf<T>) return b;
+  if (b == kNegInf<T>) return a;
+  const T hi = std::max(a, b);
+  return hi + std::log1p(std::exp(-std::fabs(a - b)));
+}
+
+// Per-utterance engine. All lattice scratch is (T x U) for this utterance's
+// true lengths; `stride_u = maxU` indexes into the padded activation block.
+template <typename Real>
+class Lattice {
+ public:
+  Lattice(int T_, int U_, int V_, int maxU, int blank, bool from_log_probs)
+      : T(T_), U(U_), V(V_), maxU_(maxU), blank_(blank),
+        from_log_probs_(from_log_probs),
+        lpb_(static_cast<size_t>(T_) * U_),
+        lpe_(static_cast<size_t>(T_) * U_, kNegInf<Real>),
+        denom_(from_log_probs ? 0 : static_cast<size_t>(T_) * U_),
+        alpha_(static_cast<size_t>(T_) * U_),
+        beta_(static_cast<size_t>(T_) * U_) {}
+
+  // Build the blank/label caches (and softmax denominators when fusing).
+  void setup(const Real* acts, const int* labels) {
+    for (int t = 0; t < T; ++t) {
+      for (int u = 0; u < U; ++u) {
+        const Real* row = acts + (static_cast<size_t>(t) * maxU_ + u) * V;
+        Real d = 0;
+        if (!from_log_probs_) {
+          Real hi = row[0];
+          for (int v = 1; v < V; ++v) hi = std::max(hi, row[v]);
+          Real s = 0;
+          for (int v = 0; v < V; ++v) s += std::exp(row[v] - hi);
+          d = -hi - std::log(s);
+          denom_[idx(t, u)] = d;
+        }
+        lpb_[idx(t, u)] = row[blank_] + d;
+        if (u < U - 1) lpe_[idx(t, u)] = row[labels[u]] + d;
+      }
+    }
+  }
+
+  Real forward() {
+    alpha_[0] = 0;
+    for (int t = 1; t < T; ++t)
+      alpha_[idx(t, 0)] = alpha_[idx(t - 1, 0)] + lpb_[idx(t - 1, 0)];
+    for (int u = 1; u < U; ++u)
+      alpha_[idx(0, u)] = alpha_[idx(0, u - 1)] + lpe_[idx(0, u - 1)];
+    for (int t = 1; t < T; ++t)
+      for (int u = 1; u < U; ++u)
+        alpha_[idx(t, u)] =
+            logaddexp(alpha_[idx(t - 1, u)] + lpb_[idx(t - 1, u)],
+                      alpha_[idx(t, u - 1)] + lpe_[idx(t, u - 1)]);
+    return alpha_[idx(T - 1, U - 1)] + lpb_[idx(T - 1, U - 1)];
+  }
+
+  Real backward() {
+    beta_[idx(T - 1, U - 1)] = lpb_[idx(T - 1, U - 1)];
+    for (int t = T - 2; t >= 0; --t)
+      beta_[idx(t, U - 1)] = beta_[idx(t + 1, U - 1)] + lpb_[idx(t, U - 1)];
+    for (int u = U - 2; u >= 0; --u)
+      beta_[idx(T - 1, u)] = beta_[idx(T - 1, u + 1)] + lpe_[idx(T - 1, u)];
+    for (int t = T - 2; t >= 0; --t)
+      for (int u = U - 2; u >= 0; --u)
+        beta_[idx(t, u)] = logaddexp(beta_[idx(t + 1, u)] + lpb_[idx(t, u)],
+                                     beta_[idx(t, u + 1)] + lpe_[idx(t, u)]);
+    return beta_[0];
+  }
+
+  // Gradient of cost = -ll. `grads` points at this utterance's padded block.
+  void gradient(Real* grads, const Real* acts, const int* labels, Real ll) {
+    for (int t = 0; t < T; ++t) {
+      for (int u = 0; u < U; ++u) {
+        const size_t cell = idx(t, u);
+        Real* grow = grads + (static_cast<size_t>(t) * maxU_ + u) * V;
+        const Real a = alpha_[cell];
+        // beta continuation terms for the blank / emit transitions
+        const Real bt = (t < T - 1) ? beta_[idx(t + 1, u)]
+                                 : ((u == U - 1) ? Real(0) : kNegInf<Real>);
+        const Real bu = (u < U - 1) ? beta_[idx(t, u + 1)] : kNegInf<Real>;
+        const Real gb = std::exp(a + lpb_[cell] + bt - ll);
+        const Real ge = (u < U - 1) ? std::exp(a + lpe_[cell] + bu - ll) : Real(0);
+        if (from_log_probs_) {
+          grow[blank_] = -gb;
+          if (u < U - 1) grow[labels[u]] = -ge;  // may overwrite blank
+        } else {
+          const Real* row = acts + (static_cast<size_t>(t) * maxU_ + u) * V;
+          const Real coef = std::exp(a + beta_[cell] - ll);
+          const Real d = denom_[cell];
+          for (int v = 0; v < V; ++v)
+            grow[v] = coef * std::exp(row[v] + d);
+          grow[blank_] -= gb;
+          if (u < U - 1) grow[labels[u]] -= ge;
+        }
+      }
+    }
+  }
+
+ private:
+  size_t idx(int t, int u) const { return static_cast<size_t>(t) * U + u; }
+  int T, U, V, maxU_, blank_;
+  bool from_log_probs_;
+  std::vector<Real> lpb_, lpe_, denom_, alpha_, beta_;
+};
+
+template <typename T>
+wttStatus_t run(const T* acts, T* grads, const int* labels,
+                const int* label_lengths, const int* input_lengths,
+                int V, int B, int maxT, int maxU, T* costs,
+                wttOptions options) {
+  if (!acts || !labels || !label_lengths || !input_lengths || !costs)
+    return WTT_STATUS_BAD_ARGUMENT;
+  if (V <= 0 || B <= 0 || maxT <= 0 || maxU <= 0 ||
+      options.blank_label < 0 || options.blank_label >= V)
+    return WTT_STATUS_BAD_ARGUMENT;
+  for (int b = 0; b < B; ++b) {
+    if (input_lengths[b] < 1 || input_lengths[b] > maxT) return WTT_STATUS_BAD_ARGUMENT;
+    if (label_lengths[b] < 0 || label_lengths[b] + 1 > maxU) return WTT_STATUS_BAD_ARGUMENT;
+  }
+
+#if defined(_OPENMP)
+  if (options.num_threads > 0) omp_set_num_threads(options.num_threads);
+#endif
+
+  const size_t block = static_cast<size_t>(maxT) * maxU * V;
+  if (grads) std::memset(grads, 0, sizeof(T) * block * B);
+
+  bool ok = true;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int b = 0; b < B; ++b) {
+    const int Tb = input_lengths[b];
+    const int Ub = label_lengths[b] + 1;
+    const T* a_b = acts + b * block;
+    const int* lab_b = labels + static_cast<size_t>(b) * (maxU - 1);
+    Lattice<T> lat(Tb, Ub, V, maxU, options.blank_label,
+                   options.from_log_probs != 0);
+    lat.setup(a_b, lab_b);
+    const T ll = lat.forward();
+    if (!std::isfinite(ll)) ok = false;
+    costs[b] = -ll;
+    if (grads) {
+      lat.backward();
+      lat.gradient(grads + b * block, a_b, lab_b, ll);
+    }
+  }
+  return ok ? WTT_STATUS_SUCCESS : WTT_STATUS_EXECUTION_FAILED;
+}
+
+}  // namespace
+
+extern "C" {
+
+int wtt_get_version(void) { return 1; }
+
+const char* wtt_get_status_string(wttStatus_t status) {
+  switch (status) {
+    case WTT_STATUS_SUCCESS: return "no error";
+    case WTT_STATUS_BAD_ARGUMENT: return "bad argument";
+    case WTT_STATUS_ALLOC_FAILED: return "allocation failed";
+    case WTT_STATUS_EXECUTION_FAILED: return "execution failed";
+  }
+  return "unknown error";
+}
+
+wttStatus_t wtt_get_workspace_size(int maxT, int maxU, int minibatch,
+                                   int fp64, size_t* size_bytes) {
+  if (maxT <= 0 || maxU <= 0 || minibatch <= 0 || !size_bytes)
+    return WTT_STATUS_BAD_ARGUMENT;
+  // alpha, beta, lpb, lpe, denom per utterance (allocated internally).
+  const size_t elems = 5u * static_cast<size_t>(maxT) * maxU;
+  *size_bytes = elems * (fp64 ? sizeof(double) : sizeof(float)) * minibatch;
+  return WTT_STATUS_SUCCESS;
+}
+
+wttStatus_t wtt_rnnt_loss(const float* acts, float* grads, const int* labels,
+                          const int* label_lengths, const int* input_lengths,
+                          int alphabet_size, int minibatch, int maxT, int maxU,
+                          float* costs, wttOptions options) {
+  return run<float>(acts, grads, labels, label_lengths, input_lengths,
+                    alphabet_size, minibatch, maxT, maxU, costs, options);
+}
+
+wttStatus_t wtt_rnnt_loss_fp64(const double* acts, double* grads,
+                               const int* labels, const int* label_lengths,
+                               const int* input_lengths, int alphabet_size,
+                               int minibatch, int maxT, int maxU,
+                               double* costs, wttOptions options) {
+  return run<double>(acts, grads, labels, label_lengths, input_lengths,
+                     alphabet_size, minibatch, maxT, maxU, costs, options);
+}
+
+}  // extern "C"

@@ -1,0 +1,88 @@
+"""Distributed layer tests on an 8-virtual-device CPU mesh.
+
+The reference has no distributed surface (SURVEY.md §5.8); these tests cover
+the new first-class data-parallel layer: sharded loss == single-device loss,
+gradients stay correct under shard_map, GSPMD auto-sharding agrees.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from warp_transducer_tpu import rnnt_loss
+from warp_transducer_tpu.parallel.sharding import (
+    auto_sharded_rnnt_loss,
+    data_parallel_rnnt_loss,
+    make_mesh,
+)
+
+
+def _problem(B=8, T=10, U=5, V=6, seed=0):
+    rng = np.random.RandomState(seed)
+    acts = jnp.asarray(rng.randn(B, T, U, V), jnp.float32)
+    labels = jnp.asarray(rng.randint(1, V, size=(B, U - 1)), jnp.int32)
+    il = jnp.asarray(rng.randint(2, T + 1, size=(B,)), jnp.int32)
+    ll = jnp.asarray(rng.randint(0, U, size=(B,)), jnp.int32)
+    return acts, labels, il, ll
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest should provide 8 virtual devices"
+    return make_mesh(jax.devices()[:8])
+
+
+class TestDataParallel:
+    def test_costs_match_single_device(self, mesh):
+        acts, labels, il, ll = _problem()
+        ref = rnnt_loss(acts, labels, il, ll, reduction="none", implementation="xla")
+        out = data_parallel_rnnt_loss(
+            acts, labels, il, ll, mesh, reduction="none", implementation="xla"
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+    @pytest.mark.parametrize("reduction", ["sum", "mean"])
+    def test_reduced_losses_match(self, mesh, reduction):
+        acts, labels, il, ll = _problem(seed=1)
+        ref = rnnt_loss(acts, labels, il, ll, reduction=reduction, implementation="xla")
+        out = data_parallel_rnnt_loss(
+            acts, labels, il, ll, mesh, reduction=reduction, implementation="xla"
+        )
+        np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+
+    def test_gradients_match_single_device(self, mesh):
+        acts, labels, il, ll = _problem(seed=2)
+        g_ref = jax.grad(
+            lambda a: rnnt_loss(a, labels, il, ll, reduction="mean", implementation="xla")
+        )(acts)
+        g_dp = jax.grad(
+            lambda a: data_parallel_rnnt_loss(
+                a, labels, il, ll, mesh, reduction="mean", implementation="xla"
+            )
+        )(acts)
+        np.testing.assert_allclose(np.asarray(g_dp), np.asarray(g_ref), atol=1e-6)
+
+    def test_under_jit(self, mesh):
+        acts, labels, il, ll = _problem(seed=3)
+        f = jax.jit(
+            lambda a: data_parallel_rnnt_loss(
+                a, labels, il, ll, mesh, reduction="sum", implementation="xla"
+            )
+        )
+        ref = rnnt_loss(acts, labels, il, ll, reduction="sum", implementation="xla")
+        np.testing.assert_allclose(float(f(acts)), float(ref), rtol=1e-5)
+
+    def test_indivisible_batch_rejected(self, mesh):
+        acts, labels, il, ll = _problem(B=6)
+        with pytest.raises(ValueError, match="divisible"):
+            data_parallel_rnnt_loss(acts, labels, il, ll, mesh)
+
+
+class TestAutoSharded:
+    def test_gspmd_agrees(self, mesh):
+        acts, labels, il, ll = _problem(seed=4)
+        ref = rnnt_loss(acts, labels, il, ll, reduction="none", implementation="xla")
+        out = auto_sharded_rnnt_loss(
+            acts, labels, il, ll, mesh, reduction="none", implementation="xla"
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)

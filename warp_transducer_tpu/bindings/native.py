@@ -1,0 +1,133 @@
+"""ctypes binding to the native CPU backend (``native/``).
+
+The TPU-era replacement for the reference's pybind11 glue
+(/root/reference/pytorch_binding/src/binding.cpp): no compiled Python
+extension, just the stable C ABI of ``libwarp_rnnt_tpu.so`` loaded with
+ctypes.  Used as a fast CPU fallback and as an independent oracle in tests.
+
+Build the library first:  ``make -C native``  (or cmake; see native/).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_ENV = "WARP_RNNT_TPU_LIB"
+_SEARCH_PATHS = (
+    os.path.join(os.path.dirname(__file__), "..", "..", "native", "build"),
+    os.path.join(os.path.dirname(__file__), "..", "..", "native", "build", "lib"),
+)
+
+_STATUS_STRINGS = {
+    0: "no error",
+    1: "bad argument",
+    2: "allocation failed",
+    3: "execution failed",
+}
+
+
+class _Options(ctypes.Structure):
+    _fields_ = [
+        ("blank_label", ctypes.c_int),
+        ("num_threads", ctypes.c_int),
+        ("from_log_probs", ctypes.c_int),
+    ]
+
+
+_lib = None
+
+
+def _find_library() -> Optional[str]:
+    cand = os.environ.get(_LIB_ENV)
+    if cand and os.path.exists(cand):
+        return cand
+    for d in _SEARCH_PATHS:
+        p = os.path.abspath(os.path.join(d, "libwarp_rnnt_tpu.so"))
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def available() -> bool:
+    return _find_library() is not None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = _find_library()
+    if path is None:
+        raise RuntimeError(
+            "native backend not built; run `make -C native` or set "
+            f"${_LIB_ENV} to the libwarp_rnnt_tpu.so path"
+        )
+    lib = ctypes.CDLL(path)
+    lib.wtt_get_version.restype = ctypes.c_int
+    F, D, I = ctypes.c_float, ctypes.c_double, ctypes.c_int
+    fp = np.ctypeslib.ndpointer
+    lib.wtt_rnnt_loss.restype = ctypes.c_int
+    lib.wtt_rnnt_loss.argtypes = [
+        fp(np.float32, flags="C_CONTIGUOUS"), ctypes.c_void_p,
+        fp(np.int32, flags="C_CONTIGUOUS"), fp(np.int32, flags="C_CONTIGUOUS"),
+        fp(np.int32, flags="C_CONTIGUOUS"), I, I, I, I,
+        fp(np.float32, flags="C_CONTIGUOUS"), _Options,
+    ]
+    lib.wtt_rnnt_loss_fp64.restype = ctypes.c_int
+    lib.wtt_rnnt_loss_fp64.argtypes = [
+        fp(np.float64, flags="C_CONTIGUOUS"), ctypes.c_void_p,
+        fp(np.int32, flags="C_CONTIGUOUS"), fp(np.int32, flags="C_CONTIGUOUS"),
+        fp(np.int32, flags="C_CONTIGUOUS"), I, I, I, I,
+        fp(np.float64, flags="C_CONTIGUOUS"), _Options,
+    ]
+    _lib = lib
+    return lib
+
+
+def rnnt_loss_native(
+    acts: np.ndarray,
+    labels: np.ndarray,
+    input_lengths: np.ndarray,
+    label_lengths: np.ndarray,
+    blank: int = 0,
+    from_log_probs: bool = False,
+    num_threads: int = 0,
+    compute_grads: bool = True,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Compute (costs, grads) with the native CPU engine.
+
+    ``acts`` must be float32 or float64, shape (B, T, U, V); ``labels``
+    (B, U-1) int32.  Returns grads=None when ``compute_grads`` is False.
+    """
+    lib = _load()
+    acts = np.ascontiguousarray(acts)
+    if acts.dtype not in (np.float32, np.float64):
+        raise TypeError(f"acts must be float32/float64, got {acts.dtype}")
+    if acts.ndim != 4:
+        raise ValueError(f"acts must be (B, T, U, V), got {acts.shape}")
+    B, T, U, V = acts.shape
+    labels = np.ascontiguousarray(labels, dtype=np.int32)
+    if labels.shape != (B, U - 1):
+        # pad/truncate to the (B, U-1) the C ABI expects
+        fixed = np.zeros((B, U - 1), np.int32)
+        L = min(labels.shape[1], U - 1)
+        fixed[:, :L] = labels[:, :L]
+        labels = fixed
+    il = np.ascontiguousarray(input_lengths, dtype=np.int32)
+    ll = np.ascontiguousarray(label_lengths, dtype=np.int32)
+
+    costs = np.zeros((B,), acts.dtype)
+    grads = np.zeros_like(acts) if compute_grads else None
+    gptr = grads.ctypes.data_as(ctypes.c_void_p) if compute_grads else None
+    opts = _Options(blank, num_threads, int(from_log_probs))
+
+    fn = lib.wtt_rnnt_loss if acts.dtype == np.float32 else lib.wtt_rnnt_loss_fp64
+    status = fn(acts, gptr, labels, ll, il, V, B, T, U, costs, opts)
+    if status != 0:
+        raise RuntimeError(
+            f"native rnnt loss failed: {_STATUS_STRINGS.get(status, status)}"
+        )
+    return costs, grads

@@ -81,8 +81,13 @@ def _compute_dtype(acts_dtype):
 
 
 def _run_lattice(implementation, prepped, input_lengths, label_lengths, compute_betas=True):
+    if prepped.lpb.dtype == jnp.float64:
+        # The Pallas kernel is fp32 (TPU has no native f64 VPU path); fp64
+        # requests take the XLA engine, mirroring the reference keeping its
+        # fp64 entry point CPU-only (rnnt_entrypoint.cpp:130-185).
+        implementation = "xla"
     if implementation == "pallas":
-        from .pallas import wavefront as _wavefront
+        from . import pallas as _wavefront
 
         return _wavefront.forward_backward(
             prepped.lpb, prepped.lpe, input_lengths, label_lengths,
