@@ -216,12 +216,12 @@ def _wavefront_stream(lpb, lpe, input_lengths, label_lengths, compute_betas, int
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # tb
             pl.BlockSpec(memory_space=pltpu.VMEM),  # ub
-            pl.BlockSpec(memory_space=pltpu.ANY),  # lpb panels (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # lpe panels (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # lpb panels (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # lpe panels (HBM)
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),

@@ -224,6 +224,41 @@ def rnnt_score(
     return (-res.ll_forward).astype(acts.dtype)
 
 
+def rnnt_forward_backward(
+    acts, labels, input_lengths, label_lengths, blank=0,
+    log_probs_input=False, implementation="auto",
+):
+    """Debug introspection: return the full lattice state.
+
+    The TPU analog of the reference's ``DEBUG_KERNEL`` alpha/beta dumps
+    (/root/reference/include/detail/cpu_rnnt.h:197-207, gpu_rnnt.h:136-156):
+    returns a ``LatticeResult`` with (B, T, U) alphas/betas and per-utterance
+    forward/backward log-likelihoods. Invalid cells hold a large negative
+    sentinel (or -inf in the XLA engine).
+    """
+    _certify_inputs(acts, labels, input_lengths, label_lengths)
+    impl = _pick_implementation(implementation)
+    cdtype = _compute_dtype(acts.dtype)
+    prepped = _prep.prepare(acts, labels, int(blank), bool(log_probs_input), compute_dtype=cdtype)
+    return _run_lattice(impl, prepped, input_lengths, label_lengths)
+
+
+def forward_backward_mismatch(
+    acts, labels, input_lengths, label_lengths, blank=0,
+    log_probs_input=False, implementation="auto",
+):
+    """Numerical self-check: per-utterance |ll_forward - ll_backward|.
+
+    The reference warns when this exceeds 0.1 (cpu_rnnt.h:167-169); here the
+    caller gets the actual residual to assert on or log.
+    """
+    res = rnnt_forward_backward(
+        acts, labels, input_lengths, label_lengths, blank=blank,
+        log_probs_input=log_probs_input, implementation=implementation,
+    )
+    return jnp.abs(res.ll_forward - res.ll_backward)
+
+
 class RNNTLoss:
     """Module-style wrapper mirroring ``RNNTLoss``
     (/root/reference/pytorch_binding/warprnnt_pytorch/__init__.py:73-100)."""
