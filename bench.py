@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import subprocess
 import sys
 import time
 
@@ -63,11 +64,15 @@ def bench_config(B, T, L, V, impl, iters=10, warmup=3, seed=0):
     )
 
     def chained(n):
+        # Every output feeds the carry with a NONZERO coefficient: a 0.0
+        # multiplier would let XLA dead-code-eliminate the entire backward
+        # pass (and a hoistable loop-invariant body would let LICM lift the
+        # loss out of the loop — the carry-perturbed input prevents that).
         @jax.jit
         def run(a):
             def body(i, carry):
-                loss, g = loss_grad(a + carry * 1e-12)
-                return loss * 1e-12 + jnp.float32(0.0) * g[0, 0, 0, 0]
+                loss, g = loss_grad(a * (1.0 + carry * 1e-30))
+                return loss * 1e-12 + g[0, 0, 0, 0] * 1e-12
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
         return run
 
@@ -106,28 +111,53 @@ def main():
     p.add_argument("--all", action="store_true", help="run every baseline config")
     args = p.parse_args()
 
-    configs = sorted(BASELINES_MS) if args.all else [(args.B, args.T, args.L, args.V)]
-    result_line = None
-    for (B, T, L, V) in configs:
-        r = bench_config(B, T, L, V, args.impl, iters=args.iters)
-        base = BASELINES_MS.get((B, T, L, V))
-        speedup = round(base / r["mean_ms"], 3) if base else None
-        line = {
-            "metric": f"rnnt_loss+grad ms, B={B},T={T},L={L},V={V}",
-            "value": round(r["mean_ms"], 3),
-            "unit": "ms",
-            "vs_baseline": speedup,
-        }
-        print(json.dumps(line), flush=True)
-        if (B, T, L, V) == (128, 150, 40, 28):
-            result_line = line
-        sys.stderr.write(
-            f"# {B=} {T=} {L=} {V=} mean={r['mean_ms']:.3f}ms std={r['std_ms']:.3f} "
-            f"min={r['min_ms']:.3f} loss={r['loss']:.1f} ref={base}ms\n"
-        )
-    # ensure the headline metric is the LAST JSON line when running --all
-    if args.all and result_line is not None:
-        print(json.dumps(result_line), flush=True)
+    if args.all:
+        # Each config runs in its own subprocess so one failure (e.g. an OOM
+        # on a shape whose acts+grads exceed HBM) cannot take down the sweep.
+        result_line = None
+        for (B, T, L, V) in sorted(BASELINES_MS):
+            cmd = [
+                sys.executable, __file__, str(B), str(T), str(L), str(V),
+                "--impl", args.impl, "--iters", str(args.iters),
+            ]
+            proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+            sys.stderr.write(proc.stderr)
+            line = None
+            for out in proc.stdout.splitlines():
+                try:
+                    line = json.loads(out)
+                except json.JSONDecodeError:
+                    continue
+            if line is None:
+                err = "OOM" if "RESOURCE_EXHAUSTED" in proc.stderr else f"exit {proc.returncode}"
+                line = {
+                    "metric": f"rnnt_loss+grad ms, B={B},T={T},L={L},V={V}",
+                    "value": None,
+                    "unit": "ms",
+                    "vs_baseline": None,
+                    "error": err,
+                }
+            print(json.dumps(line), flush=True)
+            if (B, T, L, V) == (128, 150, 40, 28):
+                result_line = line
+        # the headline metric must be the LAST JSON line
+        if result_line is not None:
+            print(json.dumps(result_line), flush=True)
+        return
+
+    B, T, L, V = args.B, args.T, args.L, args.V
+    r = bench_config(B, T, L, V, args.impl, iters=args.iters)
+    base = BASELINES_MS.get((B, T, L, V))
+    line = {
+        "metric": f"rnnt_loss+grad ms, B={B},T={T},L={L},V={V}",
+        "value": round(r["mean_ms"], 3),
+        "unit": "ms",
+        "vs_baseline": round(base / r["mean_ms"], 3) if base else None,
+    }
+    print(json.dumps(line), flush=True)
+    sys.stderr.write(
+        f"# {B=} {T=} {L=} {V=} mean={r['mean_ms']:.3f}ms loss={r['loss']:.1f} ref={base}ms\n"
+    )
 
 
 if __name__ == "__main__":
