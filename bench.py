@@ -39,15 +39,37 @@ BASELINES_MS = {
 }
 
 
-def bench_config(B, T, L, V, impl, iters=10, warmup=3, seed=0):
-    """Measure per-call device time for loss+grad.
+def slope_time_ms(run, target_s=0.3, n_cap=4096, reps=5):
+    """Per-iteration time of ``run(n)`` (a jitted fn executing n chained
+    iterations) via the slope between two repetition counts.
 
-    Remote-tunnel environments (axon) add a large fixed per-dispatch RPC
-    overhead (~30 ms) that has nothing to do with device time, so we time
-    ``n`` chained iterations inside a single jit and take the slope between
-    two repetition counts: per_iter = (t(n2) - t(n1)) / (n2 - n1).  The
-    chained carry both defeats CSE and serialises iterations.
+    Remote-tunnel environments (axon) add a large, jittery per-dispatch RPC
+    overhead (tens of ms) that has nothing to do with device time; chaining
+    iterations inside one jit and differencing two counts cancels it. The
+    counts are auto-calibrated so the *difference* covers >= ``target_s`` of
+    device work, keeping RPC jitter in the noise.
     """
+    import jax
+
+    def best_of(n):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(n))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    jax.block_until_ready(run(4))  # compile (n is a traced operand: one compile)
+    t16 = best_of(16)
+    per_est = max(t16 / 16, 1e-6)
+    n2 = int(min(max(32, target_s / per_est), n_cap))
+    n1 = max(4, n2 // 4)
+    t1, t2 = best_of(n1), best_of(n2)
+    return (t2 - t1) / (n2 - n1) * 1e3
+
+
+def bench_config(B, T, L, V, impl, iters=10, warmup=3, seed=0):
+    """Measure per-call device time for loss+grad (forward + gradient)."""
     import jax
     import jax.numpy as jnp
     from warp_transducer_tpu import rnnt_loss
@@ -63,34 +85,19 @@ def bench_config(B, T, L, V, impl, iters=10, warmup=3, seed=0):
         lambda a: rnnt_loss(a, labels, il, ll, reduction="sum", implementation=impl)
     )
 
-    def chained(n):
-        # Every output feeds the carry with a NONZERO coefficient: a 0.0
-        # multiplier would let XLA dead-code-eliminate the entire backward
-        # pass (and a hoistable loop-invariant body would let LICM lift the
-        # loss out of the loop — the carry-perturbed input prevents that).
-        @jax.jit
-        def run(a):
-            def body(i, carry):
-                loss, g = loss_grad(a * (1.0 + carry * 1e-30))
-                return loss * 1e-12 + g[0, 0, 0, 0] * 1e-12
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-        return run
+    # Every output feeds the carry with a NONZERO coefficient: a 0.0
+    # multiplier would let XLA dead-code-eliminate the entire backward pass
+    # (and a hoistable loop-invariant body would let LICM lift the loss out
+    # of the loop — the carry-perturbed input prevents that).
+    @jax.jit
+    def run(n):
+        def body(i, carry):
+            loss, g = loss_grad(acts * (1.0 + carry * 1e-30))
+            return loss * 1e-12 + g[0, 0, 0, 0] * 1e-12
 
-    n1, n2 = max(2, iters // 3), iters
-    f1, f2 = chained(n1), chained(n2)
-    jax.block_until_ready(f1(acts))
-    jax.block_until_ready(f2(acts))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    def best_of(f, k=3):
-        ts = []
-        for _ in range(k):
-            t0 = time.perf_counter()
-            jax.block_until_ready(f(acts))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    t1, t2 = best_of(f1), best_of(f2)
-    per_iter_ms = (t2 - t1) / (n2 - n1) * 1e3
+    per_iter_ms = slope_time_ms(run)
     loss = float(jax.jit(lambda a: loss_grad(a)[0])(acts))
     return dict(
         mean_ms=float(per_iter_ms),

@@ -15,6 +15,7 @@ Usage: python scripts/profile_stages.py [B] [T] [L] [V] [--impl pallas|xla]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -23,22 +24,8 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def slope_time(make_chained, n1=3, n2=10, reps=3):
-    import jax
-
-    f1, f2 = make_chained(n1), make_chained(n2)
-    jax.block_until_ready(f1())
-    jax.block_until_ready(f2())
-
-    def best(f):
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(f())
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    return (best(f2) - best(f1)) / (n2 - n1) * 1e3
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import slope_time_ms  # noqa: E402
 
 
 def main():
@@ -72,33 +59,30 @@ def main():
     labels_u = jnp.pad(P._pad_labels(labels, U), ((0, 0), (0, 1)))
 
     def chain(fn, x0):
-        """Build n-times-chained jit of fn: carry a scalar perturbation.
+        """n-times-chained jitted runner: carry a scalar perturbation.
 
         EVERY output leaf feeds the carry with a nonzero coefficient so XLA
         cannot DCE any part of fn; the input perturbation defeats LICM.
         """
 
-        def make(n):
-            @jax.jit
-            def run():
-                def body(i, c):
-                    out = fn(x0 * (1.0 + c * 1e-30))
-                    acc = c
-                    for leaf in jax.tree.leaves(out):
-                        acc = acc + leaf.ravel()[0].astype(jnp.float32) * 1e-12
-                    return acc
+        @jax.jit
+        def run(n):
+            def body(i, c):
+                out = fn(x0 * (1.0 + c * 1e-30))
+                acc = c
+                for leaf in jax.tree.leaves(out):
+                    acc = acc + leaf.ravel()[0].astype(jnp.float32) * 1e-12
+                return acc
 
-                return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-            return run
+        return run
 
-        return make
-
-    t_prep = slope_time(chain(lambda a: P.prepare(a, labels, 0, False), acts))
-    t_lat = slope_time(
+    t_prep = slope_time_ms(chain(lambda a: P.prepare(a, labels, 0, False), acts))
+    t_lat = slope_time_ms(
         chain(lambda lpb: R._run_lattice(impl, P.PreparedInputs(lpb, prepped.lpe, prepped.denom), il, ll), prepped.lpb)
     )
-    t_lat_fwd = slope_time(
+    t_lat_fwd = slope_time_ms(
         chain(
             lambda lpb: R._run_lattice(
                 impl, P.PreparedInputs(lpb, prepped.lpe, prepped.denom), il, ll, compute_betas=False
@@ -106,7 +90,7 @@ def main():
             prepped.lpb,
         )
     )
-    t_grad = slope_time(
+    t_grad = slope_time_ms(
         chain(
             lambda a: G.grad_wrt_acts(
                 a, prepped.denom, prepped.lpb, prepped.lpe, res.alphas, res.betas,
@@ -115,13 +99,13 @@ def main():
             acts,
         )
     )
-    t_fwd_all = slope_time(
+    t_fwd_all = slope_time_ms(
         chain(lambda a: R._forward(a, labels, il, ll, 0, False, impl), acts)
     )
     lg = jax.value_and_grad(
         lambda a: R.rnnt_loss(a, labels, il, ll, reduction="sum", implementation=impl)
     )
-    t_full = slope_time(chain(lambda a: lg(a), acts))
+    t_full = slope_time_ms(chain(lambda a: lg(a), acts))
 
     gb = B * T * U * V * 4 / 1e9
     print(f"# shape B={B} T={T} U={U} V={V}  acts={gb*1000:.1f} MB  impl={impl}")

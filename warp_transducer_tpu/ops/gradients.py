@@ -59,13 +59,17 @@ def _valid_cells(shape, input_lengths, label_lengths):
 
 def grad_wrt_acts(
     acts, denom, lpb, lpe, alphas, betas, ll, labels_u,
-    input_lengths, label_lengths, blank, out_dtype=None,
+    input_lengths, label_lengths, blank, out_dtype=None, scale=None,
 ):
     """Dense d(cost)/d(acts), cost = -ll, log-softmax fused.
 
     grad[b,t,u,v] = exp(a+b-ll) * p(v)
                   - [v == blank]  * exp(a + lpb - ll + bshift_t)
                   - [v == y_u]    * exp(a + lpe - ll + bshift_u)
+
+    ``scale`` ((B,) or None) folds an upstream cotangent into the small
+    (B, T, U) coefficients so the big (B, T, U, V) pass needs no extra
+    multiply — this is how the lazy backward rescales at zero cost.
     """
     B, T, U, V = acts.shape
     dtype = alphas.dtype
@@ -77,6 +81,9 @@ def grad_wrt_acts(
     coef = jnp.where(valid, jnp.exp(a_ll + betas), 0.0).astype(dtype)
     cb = jnp.where(valid, jnp.exp(a_ll + lpb + bshift_t), 0.0)
     ce = jnp.where(valid, jnp.exp(a_ll + lpe + bshift_u), 0.0)
+    if scale is not None:
+        s = scale.astype(dtype)[:, None, None]
+        coef, cb, ce = coef * s, cb * s, ce * s
 
     # One fused element-wise pass over (B, T, U, V).
     logp = acts.astype(dtype) + denom[..., None]
@@ -94,12 +101,13 @@ def grad_wrt_acts(
 
 def grad_wrt_log_probs(
     lpb, lpe, alphas, betas, ll, labels_u,
-    input_lengths, label_lengths, blank, shape_v, out_dtype,
+    input_lengths, label_lengths, blank, shape_v, out_dtype, scale=None,
 ):
     """Sparse d(cost)/d(log_probs): non-zero at blank and label entries only.
 
     Mirrors cpu_rnnt.h:253-267 including its write order: the label entry is
     written after the blank entry, so a label equal to ``blank`` overwrites.
+    ``scale`` folds an upstream cotangent in, as in ``grad_wrt_acts``.
     """
     B, T, U = lpb.shape
     V = shape_v
@@ -109,6 +117,9 @@ def grad_wrt_log_probs(
     a_ll = alphas - ll[:, None, None]
     gb = jnp.where(valid, -jnp.exp(a_ll + lpb + bshift_t), 0.0)
     ge = jnp.where(valid, -jnp.exp(a_ll + lpe + bshift_u), 0.0)
+    if scale is not None:
+        s = scale.astype(gb.dtype)[:, None, None]
+        gb, ge = gb * s, ge * s
     has_label = valid & (
         jnp.arange(U, dtype=jnp.int32)[None, None, :]
         < (label_lengths.astype(jnp.int32)[:, None, None])

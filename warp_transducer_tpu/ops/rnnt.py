@@ -3,10 +3,13 @@
 Drop-in equivalent of the reference's framework APIs
 (``/root/reference/pytorch_binding/warprnnt_pytorch/__init__.py:53-100`` and
 ``tensorflow_binding/warprnnt_tensorflow/__init__.py:9-48``) re-designed for
-XLA: one ``jax.custom_vjp`` op whose forward pass computes both the
-per-utterance costs and the analytic gradient (the reference's proven trick —
-backward launches nothing and only rescales the cached gradient,
-``__init__.py:43-50``).
+XLA: one ``jax.custom_vjp`` op. The forward pass runs prep + the wavefront
+lattice and keeps only the small (B, T, U) arrays as residuals; the dense
+O(B·T·U·V) analytic gradient runs in the backward with the upstream
+cotangent folded into its coefficients. (The reference instead computes the
+gradient during forward and rescales it in backward, ``__init__.py:43-50`` —
+on TPU that costs an extra full read+write of the big tensor, so we invert
+the split while keeping the same closed-form math.)
 
 Conventions:
 * default (``log_probs_input=False``): raw activations in, log-softmax fused
@@ -126,22 +129,54 @@ def _forward(acts, labels, input_lengths, label_lengths, blank, log_probs_input,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _rnnt_costs(acts, labels, input_lengths, label_lengths, blank, log_probs_input, implementation):
-    costs, _ = _forward(
-        acts, labels, input_lengths, label_lengths, blank, log_probs_input, implementation
-    )
-    return costs
+    # Primal-only path: no gradient work at all (scoring under plain jit).
+    B, T, U, V = acts.shape
+    cdtype = _compute_dtype(acts.dtype)
+    prepped = _prep.prepare(acts, labels, blank, log_probs_input, compute_dtype=cdtype)
+    res = _run_lattice(implementation, prepped, input_lengths, label_lengths,
+                       compute_betas=False)
+    return (-res.ll_forward).astype(acts.dtype)
 
 
 def _rnnt_costs_fwd(acts, labels, input_lengths, label_lengths, blank, log_probs_input, implementation):
-    costs, grads = _forward(
-        acts, labels, input_lengths, label_lengths, blank, log_probs_input, implementation
+    """Forward: lattice only. The dense O(B·T·U·V) gradient pass runs in the
+    BACKWARD, with the upstream cotangent folded into its small (B, T, U)
+    coefficients — unlike the reference (which computes the gradient during
+    forward and has backward rescale it, costing an extra full read+write of
+    the big tensor, pytorch __init__.py:43-50), the big tensor is touched
+    exactly twice per training step: one read at prep, one read+write at the
+    fused gradient pass. Residuals are the (B, T, U) lattice arrays.
+    """
+    cdtype = _compute_dtype(acts.dtype)
+    prepped = _prep.prepare(acts, labels, blank, log_probs_input, compute_dtype=cdtype)
+    res = _run_lattice(implementation, prepped, input_lengths, label_lengths)
+    costs = (-res.ll_forward).astype(acts.dtype)
+    residuals = (
+        acts, prepped.lpb, prepped.lpe, prepped.denom,
+        res.alphas, res.betas, res.ll_forward,
+        labels, input_lengths, label_lengths,
     )
-    return costs, (grads, labels, input_lengths, label_lengths)
+    return costs, residuals
 
 
 def _rnnt_costs_bwd(blank, log_probs_input, implementation, residuals, g):
-    grads, labels, input_lengths, label_lengths = residuals
-    d_acts = grads * g[:, None, None, None].astype(grads.dtype)
+    (acts, lpb, lpe, denom, alphas, betas, ll,
+     labels, input_lengths, label_lengths) = residuals
+    B, T, U, V = acts.shape
+    labels_u = _prep._pad_labels(labels.astype(jnp.int32), U)
+    labels_u = jnp.pad(labels_u, ((0, 0), (0, 1)), constant_values=0)
+    scale = g.astype(alphas.dtype)
+
+    if log_probs_input:
+        d_acts = _gradients.grad_wrt_log_probs(
+            lpb, lpe, alphas, betas, ll, labels_u,
+            input_lengths, label_lengths, blank, V, acts.dtype, scale=scale,
+        )
+    else:
+        d_acts = _gradients.grad_wrt_acts(
+            acts, denom, lpb, lpe, alphas, betas, ll, labels_u,
+            input_lengths, label_lengths, blank, out_dtype=acts.dtype, scale=scale,
+        )
 
     def int_zero(x):
         return np.zeros(x.shape, dtype=jax.dtypes.float0)
