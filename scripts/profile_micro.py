@@ -74,6 +74,27 @@ def main():
     def lpe_matmul(a):
         return jnp.einsum("btuv,buv->btu", a, onehot)
 
+    def lpe_maskmax(a):
+        v_iota = jnp.arange(V, dtype=jnp.int32)
+        mask = v_iota[None, None, :] == labels_u[:, None, :]  # (B, U, V)
+        return jnp.max(jnp.where(mask[:, None, :, :], a, NEG), axis=-1)
+
+    def prep2pass(a):
+        # denom-max and label-select-max share one read; sumexp is pass 2.
+        v_iota = jnp.arange(V, dtype=jnp.int32)
+        mask = v_iota[None, None, :] == labels_u[:, None, :]
+        m = jnp.max(a, axis=-1)
+        e = jnp.max(jnp.where(mask[:, None, :, :], a, NEG), axis=-1)
+        denom_ = -(m + jnp.log(jnp.sum(jnp.exp(a - m[..., None]), axis=-1)))
+        return a[..., 0] + denom_, e + denom_, denom_
+
+    def prep_matmul(a):
+        m = jnp.max(a, axis=-1)
+        denom_ = -(m + jnp.log(jnp.sum(jnp.exp(a - m[..., None]), axis=-1)))
+        e = jnp.einsum("btuv,buv->btu", jnp.maximum(a, NEG), onehot,
+                       precision=jax.lax.Precision.HIGHEST)
+        return a[..., 0] + denom_, e + denom_, denom_
+
     def skew_gather(lpb):
         return Lat.skew(lpb, fill=NEG), Lat.skew(lpe0, fill=NEG)
 
@@ -97,6 +118,9 @@ def main():
         ("lpb", lpb_fn, acts),
         ("lpe_gather", lpe_gather, acts),
         ("lpe_matmul", lpe_matmul, acts),
+        ("lpe_maskmax", lpe_maskmax, acts),
+        ("prep2pass", prep2pass, acts),
+        ("prep_matmul", prep_matmul, acts),
         ("skew_gather", skew_gather, lpb0),
         ("skew_reshape", skew_reshape, lpb0),
     ]

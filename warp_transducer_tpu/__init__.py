@@ -8,6 +8,7 @@ reductions, a loss-only scoring path, and first-class data-parallel
 sharding over TPU meshes.
 """
 
+from .ops.alignment import ViterbiAlignment, rnnt_viterbi_align
 from .ops.rnnt import RNNTLoss, rnnt_loss, rnnt_loss_and_grad, rnnt_score
 from .utils.options import RNNTOptions
 
@@ -18,6 +19,8 @@ __all__ = [
     "rnnt_loss",
     "rnnt_loss_and_grad",
     "rnnt_score",
+    "rnnt_viterbi_align",
+    "ViterbiAlignment",
     "RNNTOptions",
     "__version__",
 ]

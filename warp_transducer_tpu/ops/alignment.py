@@ -1,0 +1,140 @@
+"""Viterbi forced alignment over the RNN-T lattice.
+
+A capability the reference never had: the most-likely monotonic alignment
+between an utterance and its transcript — the max-plus (tropical) analog of
+the forward recursion the loss uses (same wavefront structure as
+``ops/lattice.py``, ``logaddexp`` replaced by ``maximum``), followed by a
+backtrace over the (T, U) decision lattice.
+
+At each lattice cell the path either consumes a frame (blank, t+1) or emits
+the next label (u+1); the returned alignment is, per utterance, the label
+index emitted at each frame boundary — encoded as ``emit_at[t] = number of
+labels emitted while at frame t`` is ragged, so instead we return the
+standard dense form: for each of the N = T+U-1 path steps, whether it was
+an emit (1) or a frame advance (0), plus the frame index at which each
+label was emitted.
+
+All shapes are static; runs under jit on TPU/CPU.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import prep as _prep
+from .lattice import skew
+
+
+class ViterbiAlignment(NamedTuple):
+    score: jax.Array        # (B,) log-prob of the best path
+    emit_frames: jax.Array  # (B, U-1) int32: frame index where label u was
+                            # emitted (padded with -1 beyond label_lengths)
+    path: jax.Array         # (B, N) int32: 1 = emit, 0 = frame advance,
+                            # -1 = beyond the utterance's path length
+
+
+def _viterbi_alphas(lpb, lpe, input_lengths, label_lengths):
+    """Max-plus forward pass in diagonal layout. Returns (B, N, U) alphas."""
+    B, T, U = lpb.shape
+    N = T + U - 1
+    dtype = lpb.dtype
+    neg = jnp.asarray(-jnp.inf, dtype)
+
+    Tb = input_lengths.astype(jnp.int32)
+    Ub = label_lengths.astype(jnp.int32) + 1
+    u_iota = jnp.arange(U, dtype=jnp.int32)[None, :]
+
+    lpb_d = skew(lpb)
+    lpe_d = skew(lpe)
+
+    def valid_mask(n):
+        t = n - u_iota
+        return (t >= 0) & (t < Tb[:, None]) & (u_iota < Ub[:, None])
+
+    a0 = jnp.full((B, U), neg).at[:, 0].set(jnp.zeros((), dtype))
+
+    def step(a_prev, xs):
+        n, lpb_prev, lpe_prev = xs
+        no_emit = a_prev + lpb_prev
+        emit = jnp.concatenate(
+            [jnp.full((B, 1), neg), (a_prev + lpe_prev)[:, :-1]], axis=1
+        )
+        a_n = jnp.where(valid_mask(n), jnp.maximum(no_emit, emit), neg)
+        return a_n, a_n
+
+    ns = jnp.arange(1, N, dtype=jnp.int32)
+    _, a_rest = lax.scan(step, a0, (ns, lpb_d[: N - 1], lpe_d[: N - 1]))
+    return jnp.concatenate([a0[None], a_rest], axis=0).transpose(1, 0, 2)  # (B, N, U)
+
+
+def rnnt_viterbi_align(
+    acts, labels, input_lengths, label_lengths, blank=0, log_probs_input=False,
+) -> ViterbiAlignment:
+    """Best monotonic alignment of each utterance to its transcript.
+
+    Args mirror ``rnnt_loss``. Returns a ``ViterbiAlignment``; ``score`` is
+    the log-probability of the single best path (≤ the total log-likelihood
+    the loss integrates over all paths).
+    """
+    B, T, U, V = acts.shape
+    cdtype = jnp.float64 if acts.dtype == jnp.float64 else jnp.float32
+    prepped = _prep.prepare(acts, labels, int(blank), bool(log_probs_input),
+                            compute_dtype=cdtype)
+    lpb, lpe = prepped.lpb, prepped.lpe
+    N = T + U - 1
+
+    alphas_d = _viterbi_alphas(lpb, lpe, input_lengths, label_lengths)  # (B, N, U)
+
+    Tb = input_lengths.astype(jnp.int32)
+    Ub = label_lengths.astype(jnp.int32) + 1
+    batch = jnp.arange(B)
+    final_lpb = lpb[batch, Tb - 1, Ub - 1]
+    score = alphas_d[batch, Tb + Ub - 2, Ub - 1] + final_lpb
+
+    # Backtrace from (T_b-1, U_b-1) down to (0, 0): at cell (t, u) on
+    # diagonal n the predecessor was either (t-1, u) [frame advance] or
+    # (t, u-1) [emit]. N-1 static steps; finished utterances idle on u=0.
+    def back_step(carry, k):
+        u, t = carry  # (B,) current cell, walking n = t+u downward
+        n = t + u
+        active = n > 0
+        # predecessor scores (−inf when out of range)
+        a_no_emit = jnp.where(
+            t - 1 >= 0,
+            alphas_d[batch, jnp.maximum(n - 1, 0), u]
+            + lpb[batch, jnp.maximum(t - 1, 0), u],
+            -jnp.inf,
+        )
+        a_emit = jnp.where(
+            u - 1 >= 0,
+            alphas_d[batch, jnp.maximum(n - 1, 0), jnp.maximum(u - 1, 0)]
+            + lpe[batch, t, jnp.maximum(u - 1, 0)],
+            -jnp.inf,
+        )
+        took_emit = active & (a_emit >= a_no_emit)
+        u_next = jnp.where(took_emit, u - 1, u)
+        t_next = jnp.where(active & ~took_emit, t - 1, t)
+        # record: step n-1 of the path (0-indexed from the start)
+        rec = jnp.where(active, took_emit.astype(jnp.int32), -1)
+        return (u_next, t_next), (rec, n - 1, jnp.where(took_emit, u - 1, -1), t)
+
+    (u_end, t_end), (recs, ns, emitted_u, frames) = lax.scan(
+        back_step, (Ub - 1, Tb - 1), jnp.arange(N - 1)
+    )
+    # recs[k] is the decision taken entering step ns[k]; scatter into (B, N).
+    # Inactive steps (ns < 0) are routed to index N, which mode="drop"
+    # discards — they must not clobber legitimate writes at index 0.
+    path = jnp.full((B, N), -1, jnp.int32)
+    idx = jnp.where(ns >= 0, ns, N)  # (N-1, B)
+    path = path.at[batch[None, :], idx].set(recs, mode="drop")
+    # frame at which each label u was emitted
+    emit_frames = jnp.full((B, U - 1), -1, jnp.int32) if U > 1 else jnp.zeros((B, 0), jnp.int32)
+    if U > 1:
+        uu = jnp.where(emitted_u >= 0, emitted_u, U - 1)  # (N-1, B)
+        emit_frames = emit_frames.at[batch[None, :], uu].set(
+            jnp.where(emitted_u >= 0, frames, -1), mode="drop"
+        )
+    return ViterbiAlignment(score=score.astype(acts.dtype), emit_frames=emit_frames, path=path)
