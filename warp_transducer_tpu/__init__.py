@@ -10,6 +10,7 @@ sharding over TPU meshes.
 
 from .ops.alignment import ViterbiAlignment, rnnt_viterbi_align
 from .ops.rnnt import RNNTLoss, rnnt_loss, rnnt_loss_and_grad, rnnt_score
+from .ops.simple import rnnt_loss_simple
 from .utils.options import RNNTOptions
 
 __version__ = "0.1.0"
@@ -18,6 +19,7 @@ __all__ = [
     "RNNTLoss",
     "rnnt_loss",
     "rnnt_loss_and_grad",
+    "rnnt_loss_simple",
     "rnnt_score",
     "rnnt_viterbi_align",
     "ViterbiAlignment",
