@@ -51,7 +51,11 @@ def _kernel(acts_ref, labels_ref, lpb_ref, lpe_ref, denom_ref, *, blank, U):
 @functools.partial(jax.jit, static_argnames=("blank", "interpret"))
 def _fused_prep(acts, labels_u, blank, interpret):
     B, T, U, V = acts.shape
-    Tt = max(1, min(T, int(2 * 1024 * 1024 // (U * V * 4)) or 1))
+    # Output blocks are (1, Tt, U): mosaic requires the last two block dims
+    # to be (8, 128)-divisible OR equal to the array dims, so Tt must be a
+    # multiple of 8 unless it covers all of T.
+    budget_rows = max(1, int(2 * 1024 * 1024) // (U * V * 4))
+    Tt = T if budget_rows >= T else max(8, budget_rows // 8 * 8)
     grid = (B, pl.cdiv(T, Tt))
     kernel = functools.partial(_kernel, blank=blank, U=U)
     lpb, lpe, denom = pl.pallas_call(
@@ -89,10 +93,11 @@ def fused_prep(acts, labels_u, blank, interpret=None):
     return _fused_prep(acts.astype(jnp.float32), labels_u, int(blank), interpret)
 
 
-def use_fused_prep(V: int, dtype, log_probs_input: bool) -> bool:
+def use_fused_prep(V: int, dtype, log_probs_input: bool, U: int = 1) -> bool:
     return (
         not log_probs_input
         and V >= MIN_FUSED_V
         and dtype != jnp.float64
+        and 8 * U * V * 4 <= 16 * 1024 * 1024  # min block fits VMEM comfortably
         and jax.default_backend() == "tpu"
     )

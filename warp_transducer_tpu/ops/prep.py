@@ -60,7 +60,7 @@ def prepare(
 
     from .pallas import prep_fused as _pf
 
-    if _pf.use_fused_prep(V, compute_dtype, log_probs_input):
+    if _pf.use_fused_prep(V, compute_dtype, log_probs_input, U):
         # Large-V fast path: one read of the activations produces all three
         # caches (vs three XLA passes). See pallas/prep_fused.py.
         labels_u = _pad_labels(labels.astype(jnp.int32), U)
