@@ -88,16 +88,18 @@ def bench_config(B, T, L, V, impl, iters=10, warmup=3, seed=0):
     # Every output feeds the carry with a NONZERO coefficient: a 0.0
     # multiplier would let XLA dead-code-eliminate the entire backward pass
     # (and a hoistable loop-invariant body would let LICM lift the loss out
-    # of the loop — the carry-perturbed input prevents that).
+    # of the loop — the carry-perturbed input prevents that). ``acts`` MUST
+    # be a jit argument, not a closure: closed-over arrays are captured as
+    # HLO constants, and GB-scale constants blow up remote compiles.
     @jax.jit
-    def run(n):
+    def run_with_acts(a, n):
         def body(i, carry):
-            loss, g = loss_grad(acts * (1.0 + carry * 1e-30))
+            loss, g = loss_grad(a * (1.0 + carry * 1e-30))
             return loss * 1e-12 + g[0, 0, 0, 0] * 1e-12
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    per_iter_ms = slope_time_ms(run)
+    per_iter_ms = slope_time_ms(lambda n: run_with_acts(acts, n))
     loss = float(jax.jit(lambda a: loss_grad(a)[0])(acts))
     return dict(
         mean_ms=float(per_iter_ms),

@@ -9,6 +9,7 @@ sharding over TPU meshes.
 """
 
 from .ops.alignment import ViterbiAlignment, rnnt_viterbi_align
+from .ops.pruned import gather_banded, rnnt_loss_pruned, rnnt_prune_ranges
 from .ops.rnnt import RNNTLoss, rnnt_loss, rnnt_loss_and_grad, rnnt_score
 from .ops.simple import rnnt_loss_simple
 from .utils.options import RNNTOptions
@@ -20,6 +21,9 @@ __all__ = [
     "rnnt_loss",
     "rnnt_loss_and_grad",
     "rnnt_loss_simple",
+    "rnnt_loss_pruned",
+    "rnnt_prune_ranges",
+    "gather_banded",
     "rnnt_score",
     "rnnt_viterbi_align",
     "ViterbiAlignment",

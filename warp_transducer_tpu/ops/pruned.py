@@ -1,0 +1,390 @@
+"""Pruned RNN-T loss: the dense loss evaluated on a (B, T, S, V) band.
+
+Stage 2 of pruned-transducer training (Kuang et al., arXiv 2206.13236):
+stage 1 (``rnnt_loss_simple``) trains an additive joiner and exposes the
+lattice posteriors; ``rnnt_prune_ranges`` turns those posteriors into a
+per-frame band start ``ranges[b, t]`` of width ``s_range``; the real joint
+network is evaluated ONLY on the banded cells and ``rnnt_loss_pruned``
+computes the transducer loss restricted to paths inside the band.
+
+Memory: O(B·T·S·V) instead of O(B·T·U·V) — with S=4..16 this is a
+U/S-fold cut of the joint tensor and its gradient (e.g. U=301, S=16 →
+19x), the lever that makes long-utterance large-vocab training fit.
+
+Band recursion (t-major, not anti-diagonal): band cell (t, s) is lattice
+cell u = ranges[t] + s. The no-emit predecessor lives at band index
+s + δ(t) of row t-1 (δ(t) = ranges[t] - ranges[t-1] ∈ [0, S)); the emit
+predecessor is (t, s-1) — a chain WITHIN the row, solved in log₂S
+vector steps with the prefix trick
+
+    α(t, s) = c(s) + LSE_{j ≤ s} ( ne(j) - c(j) ),   c(s) = Σ_{k<s} lpe(t, k)
+
+(cumulative logsumexp via ``lax.associative_scan``). lpe sentinels are
+clamped to a moderate negative so the prefix sums cannot cancel
+catastrophically; cells outside the valid lattice are re-masked each step.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import prep as _prep
+from .rnnt import _pick_implementation, _run_lattice
+from .simple import _factorised_lattice_inputs
+
+NEG = -1e30
+_CLAMP = -1e4  # row-chain sentinel: kills paths (e^-1e4 = 0) without
+               # destroying f32 precision in the prefix sums
+
+
+class BandLattice(NamedTuple):
+    alphas: jax.Array  # (B, T, S)
+    betas: jax.Array   # (B, T, S)
+    ll_forward: jax.Array   # (B,)
+    ll_backward: jax.Array  # (B,)
+
+
+# --------------------------------------------------------------------------
+# Range construction
+# --------------------------------------------------------------------------
+
+def rnnt_prune_ranges(am, lm, labels, input_lengths, label_lengths,
+                      s_range: int, blank: int = 0,
+                      implementation: str = "auto"):
+    """Band starts (B, T) from the simple-joiner lattice posteriors.
+
+    Guarantees: ranges[:, 0] == 0; non-decreasing; steps < s_range;
+    ranges[b, t] <= max(0, U_b - s_range); the terminal cell
+    (T_b-1, U_b-1) is inside the band.
+    """
+    B, T, V = am.shape
+    U = lm.shape[1]
+    S = int(s_range)
+    if S < 2:
+        raise ValueError(f"s_range must be >= 2, got {S}")
+    impl = _pick_implementation(implementation)
+
+    labels_u = _prep._pad_labels(labels.astype(jnp.int32), U)
+    labels_u = jnp.pad(labels_u, ((0, 0), (0, 1)), constant_values=0)
+    lpb, lpe, _, _, _, _ = _factorised_lattice_inputs(
+        am, lm, labels_u, int(blank), jax.lax.Precision.DEFAULT
+    )
+    res = _run_lattice(impl, _prep.PreparedInputs(lpb, lpe, None),
+                       input_lengths, label_lengths)
+    # posterior mass through each cell
+    gamma = res.alphas + res.betas - res.ll_forward[:, None, None]  # (B,T,U)
+
+    Ub = label_lengths.astype(jnp.int32) + 1  # (B,)
+    hi = jnp.maximum(Ub - S, 0)[:, None]  # max start (B,1)
+    best_u = jnp.argmax(gamma, axis=2).astype(jnp.int32)  # (B, T)
+    raw = jnp.clip(best_u - (S - 1) // 2, 0, hi)
+
+    # forward: monotone, jump-limited, start at 0
+    def fwd(r_prev, x):
+        r = jnp.clip(x, r_prev, r_prev + (S - 1))
+        r = jnp.minimum(r, hi[:, 0])
+        return r, r
+
+    r0 = jnp.zeros((B,), jnp.int32)
+    _, r_fwd = lax.scan(fwd, r0, jnp.moveaxis(raw, 1, 0))
+    r_fwd = jnp.moveaxis(r_fwd, 0, 1).at[:, 0].set(0)  # (B, T)
+
+    # force the band to reach the terminal at each utterance's last frame,
+    # then sweep backwards so the raise never exceeds the jump limit
+    Tb = input_lengths.astype(jnp.int32)
+    t_iota = jnp.arange(T, dtype=jnp.int32)[None, :]
+    at_end = t_iota == (Tb - 1)[:, None]
+    r_fwd = jnp.where(at_end, hi, r_fwd)
+
+    def bwd(r_next, x):
+        r = jnp.maximum(x, r_next - (S - 1))
+        return r, r
+
+    r_last = r_fwd[:, -1]
+    _, r_bwd = lax.scan(bwd, r_last, jnp.moveaxis(r_fwd[:, :-1], 1, 0),
+                        reverse=True)
+    ranges = jnp.concatenate([jnp.moveaxis(r_bwd, 0, 1), r_last[:, None]], axis=1)
+    ranges = ranges.at[:, 0].set(0)
+    # beyond T_b the values are irrelevant; clamp into bounds for safety
+    return jnp.clip(ranges, 0, jnp.maximum(Ub - 1, 0)[:, None])
+
+
+def gather_banded(x_u: jax.Array, ranges: jax.Array, s_range: int) -> jax.Array:
+    """Gather per-frame bands from a U-indexed array.
+
+    x_u: (B, U, ...) (e.g. prediction-network outputs), ranges: (B, T).
+    Returns (B, T, S, ...): out[b, t, s] = x_u[b, ranges[b, t] + s]
+    (clipped at U-1; out-of-range cells are masked inside the loss).
+    """
+    B, U = x_u.shape[0], x_u.shape[1]
+    S = int(s_range)
+    idx = jnp.clip(ranges[:, :, None] + jnp.arange(S, dtype=ranges.dtype), 0, U - 1)
+    return jax.vmap(lambda xu, ix: xu[ix])(x_u, idx)
+
+
+# --------------------------------------------------------------------------
+# Band lattice recursion
+# --------------------------------------------------------------------------
+
+def _cum_lse(x, axis):
+    return lax.associative_scan(jnp.logaddexp, x, axis=axis)
+
+
+def _band_alphas(lpb, lpe, ranges, Tb, Ub):
+    """t-major α over the band. lpb/lpe (B, T, S); returns (alphas, ll)."""
+    B, T, S = lpb.shape
+    s_iota = jnp.arange(S, dtype=jnp.int32)[None, :]  # (1, S)
+    delta = jnp.diff(ranges, axis=1, prepend=ranges[:, :1])  # (B, T), δ(0)=0
+
+    def valid(t, r_t):
+        u = r_t[:, None] + s_iota
+        return (t < Tb[:, None]) & (u < Ub[:, None])
+
+    def shift_left_by(x, d):
+        """x (B, S) -> y[:, s] = x[:, s + d] (NEG beyond). d (B,) >= 0."""
+        idx = s_iota + d[:, None]
+        ok = idx < S
+        g = jnp.take_along_axis(x, jnp.minimum(idx, S - 1), axis=1)
+        return jnp.where(ok, g, NEG)
+
+    def step(carry, xs):
+        a_prev, lpb_prev = carry
+        t, lpb_t, lpe_t, d_t, r_t = xs
+        ne = shift_left_by(a_prev + lpb_prev, d_t)  # (B, S)
+        # first row: α(0, 0) = 0 seeds the chain instead of a predecessor
+        ne = jnp.where((t == 0) & (s_iota == 0), 0.0, ne)
+        # exclusive prefix of row emits — built by shifting, NOT by
+        # cumsum(x) - x, which cancels catastrophically at the clamped
+        # sentinel column
+        lpe_c = jnp.maximum(lpe_t, _CLAMP)
+        c = jnp.pad(jnp.cumsum(lpe_c, axis=1)[:, :-1], ((0, 0), (1, 0)))
+        a_t = c + _cum_lse(ne - c, axis=1)
+        a_t = jnp.where(valid(t, r_t), a_t, NEG)
+        return (a_t, lpb_t), a_t
+
+    ts = jnp.arange(T, dtype=jnp.int32)
+    init = (jnp.full((B, S), NEG), jnp.full((B, S), NEG))
+    xs = (ts, jnp.moveaxis(lpb, 1, 0), jnp.moveaxis(lpe, 1, 0),
+          jnp.moveaxis(delta, 1, 0), jnp.moveaxis(ranges, 1, 0))
+    _, a_rows = lax.scan(step, init, xs)
+    alphas = jnp.moveaxis(a_rows, 0, 1)  # (B, T, S)
+
+    batch = jnp.arange(B)
+    t_last = Tb - 1
+    s_star = Ub - 1 - ranges[batch, t_last]
+    ll = (alphas[batch, t_last, jnp.clip(s_star, 0, S - 1)]
+          + lpb[batch, t_last, jnp.clip(s_star, 0, S - 1)])
+    return alphas, ll
+
+
+def _band_betas(lpb, lpe, ranges, Tb, Ub):
+    """Reverse sweep: β(t,s) = LSE(β(t+1, s-δ(t+1)) + lpb, β(t, s+1) + lpe)."""
+    B, T, S = lpb.shape
+    s_iota = jnp.arange(S, dtype=jnp.int32)[None, :]
+    delta = jnp.diff(ranges, axis=1, append=ranges[:, -1:])  # δ(t+1) at index t
+    batch = jnp.arange(B)
+
+    def valid(t, r_t):
+        u = r_t[:, None] + s_iota
+        return (t < Tb[:, None]) & (u < Ub[:, None])
+
+    def shift_right_by(x, d):
+        """y[:, s] = x[:, s - d] (NEG below 0)."""
+        idx = s_iota - d[:, None]
+        ok = idx >= 0
+        g = jnp.take_along_axis(x, jnp.maximum(idx, 0), axis=1)
+        return jnp.where(ok, g, NEG)
+
+    def step(b_next, xs):
+        t, lpb_t, lpe_t, d_t, r_t = xs
+        ne = shift_right_by(b_next, d_t) + lpb_t  # no-emit into t+1
+        # the terminal cell's β = lpb is a SOURCE of the within-row chain
+        # (cells left of it receive it through emits), so inject it into ne
+        u = r_t[:, None] + s_iota
+        terminal = (t == (Tb - 1)[:, None]) & (u == (Ub - 1)[:, None])
+        ne = jnp.where(terminal, lpb_t, ne)
+        # reverse within-row chain:
+        #   β(t,s) = LSE_{j >= s} ( ne(j) + Σ_{k=s..j-1} lpe(t,k) )
+        #          = LSE_{j >= s} ( ne(j) + pre(j) ) - pre(s)
+        # pre = exclusive prefix by shifting (cumsum(x)-x cancels at the
+        # clamped sentinel column)
+        lpe_c = jnp.maximum(lpe_t, _CLAMP)
+        pre = jnp.pad(jnp.cumsum(lpe_c, axis=1)[:, :-1], ((0, 0), (1, 0)))
+        p = ne + pre
+        suffix_lse = _cum_lse(p[:, ::-1], axis=1)[:, ::-1]
+        b_t = suffix_lse - pre
+        b_t = jnp.where(valid(t, r_t), b_t, NEG)
+        return b_t, b_t
+
+    ts = jnp.arange(T, dtype=jnp.int32)
+    xs = (ts, jnp.moveaxis(lpb, 1, 0), jnp.moveaxis(lpe, 1, 0),
+          jnp.moveaxis(delta, 1, 0), jnp.moveaxis(ranges, 1, 0))
+    init = jnp.full((B, S), NEG)
+    _, b_rows = lax.scan(step, init, xs, reverse=True)
+    betas = jnp.moveaxis(b_rows, 0, 1)
+    ll_backward = betas[:, 0, 0]  # ranges[:,0]==0 ⇒ cell (0, 0)
+    return betas, ll_backward
+
+
+def _band_lattice(lpb, lpe, ranges, input_lengths, label_lengths) -> BandLattice:
+    Tb = input_lengths.astype(jnp.int32)
+    Ub = label_lengths.astype(jnp.int32) + 1
+    alphas, ll_f = _band_alphas(lpb, lpe, ranges, Tb, Ub)
+    betas, ll_b = _band_betas(lpb, lpe, ranges, Tb, Ub)
+    return BandLattice(alphas, betas, ll_f, ll_b)
+
+
+# --------------------------------------------------------------------------
+# Loss + gradient
+# --------------------------------------------------------------------------
+
+def _band_prep(acts, labels, ranges, blank):
+    """lpb/lpe/denom on the band; labels gathered per (t, s)."""
+    B, T, S, V = acts.shape
+    x = acts.astype(jnp.float32)
+    m = jnp.max(x, axis=-1)
+    denom = -(m + jnp.log(jnp.sum(jnp.exp(x - m[..., None]), axis=-1)))
+    lpb = x[..., blank] + denom
+
+    U_minus_1 = labels.shape[1]
+    labels_i = labels.astype(jnp.int32)
+    u_idx = ranges[:, :, None] + jnp.arange(S, dtype=jnp.int32)  # (B,T,S)
+    lab_band = jax.vmap(lambda lb, ix: lb[ix])(
+        labels_i, jnp.clip(u_idx, 0, max(U_minus_1 - 1, 0))
+    ) if U_minus_1 > 0 else jnp.zeros((B, T, S), jnp.int32)
+    has_lab = u_idx < U_minus_1  # emit defined only below U-1 (and below Ub-1,
+    # which the lattice mask enforces)
+    v_iota = jnp.arange(V, dtype=jnp.int32)
+    sel = v_iota[None, None, None, :] == lab_band[..., None]
+    e = jnp.max(jnp.where(sel, x, NEG), axis=-1)
+    lpe = jnp.where(has_lab, e + denom, NEG)
+    return lpb, lpe, denom, lab_band, has_lab
+
+
+def _band_grad(acts, denom, lpb, lpe, lat, ranges, lab_band, has_lab,
+               input_lengths, label_lengths, blank, scale):
+    """Dense gradient on the band (one fused elementwise pass)."""
+    B, T, S, V = acts.shape
+    f32 = jnp.float32
+    Tb = input_lengths.astype(jnp.int32)
+    Ub = label_lengths.astype(jnp.int32) + 1
+    s_iota = jnp.arange(S, dtype=jnp.int32)[None, None, :]
+    t_iota = jnp.arange(T, dtype=jnp.int32)[None, :, None]
+    u = ranges[:, :, None] + s_iota  # (B, T, S)
+    valid = (t_iota < Tb[:, None, None]) & (u < Ub[:, None, None])
+
+    alphas, betas, ll = lat.alphas, lat.betas, lat.ll_forward
+    # bshift_u: β(t, u+1) = band (t, s+1)
+    bshift_u = jnp.concatenate(
+        [betas[:, :, 1:], jnp.full((B, T, 1), NEG)], axis=2
+    )
+    bshift_u = jnp.where(u + 1 < Ub[:, None, None], bshift_u, NEG)
+    # bshift_t: β(t+1, u) = band (t+1, s - δ(t+1))
+    delta_next = jnp.diff(ranges, axis=1, append=ranges[:, -1:])  # (B, T)
+    beta_next = jnp.concatenate(
+        [betas[:, 1:, :], jnp.full((B, 1, S), NEG)], axis=1
+    )  # β(t+1, ·) at row t
+    idx = s_iota - delta_next[:, :, None]
+    bshift_t = jnp.where(
+        idx >= 0,
+        jnp.take_along_axis(beta_next, jnp.maximum(idx, 0), axis=2),
+        NEG,
+    )
+    bshift_t = jnp.where(t_iota + 1 < Tb[:, None, None], bshift_t, NEG)
+    terminal = (t_iota == (Tb - 1)[:, None, None]) & (u == (Ub - 1)[:, None, None])
+    bshift_t = jnp.where(terminal, 0.0, bshift_t)
+
+    a_ll = alphas - ll[:, None, None]
+    coef = jnp.where(valid, jnp.exp(a_ll + betas), 0.0)
+    cb = jnp.where(valid, jnp.exp(a_ll + lpb + bshift_t), 0.0)
+    ce = jnp.where(valid & has_lab, jnp.exp(a_ll + lpe + bshift_u), 0.0)
+    s = scale.astype(f32)[:, None, None]
+    coef, cb, ce = coef * s, cb * s, ce * s
+
+    logp = acts.astype(f32) + denom[..., None]
+    probs = jnp.exp(logp)
+    v_iota = jnp.arange(V, dtype=jnp.int32)
+    is_blank = v_iota[None, None, None, :] == blank
+    is_label = v_iota[None, None, None, :] == lab_band[..., None]
+
+    g = coef[..., None] * probs
+    g = g - jnp.where(is_blank, cb[..., None], 0.0)
+    g = g - jnp.where(is_label, ce[..., None], 0.0)
+    g = jnp.where(valid[..., None], g, 0.0)
+    return g.astype(acts.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _pruned_costs(acts, ranges, labels, input_lengths, label_lengths, blank):
+    costs, _ = _pruned_fwd(acts, ranges, labels, input_lengths,
+                           label_lengths, blank)
+    return costs
+
+
+def _pruned_fwd(acts, ranges, labels, input_lengths, label_lengths, blank):
+    lpb, lpe, denom, lab_band, has_lab = _band_prep(acts, labels, ranges, blank)
+    lat = _band_lattice(lpb, lpe, ranges, input_lengths, label_lengths)
+    costs = (-lat.ll_forward).astype(acts.dtype)
+    residuals = (acts, ranges, labels, input_lengths, label_lengths,
+                 lpb, lpe, denom, lab_band, has_lab, lat)
+    return costs, residuals
+
+
+def _pruned_bwd(blank, residuals, g):
+    (acts, ranges, labels, input_lengths, label_lengths,
+     lpb, lpe, denom, lab_band, has_lab, lat) = residuals
+    d_acts = _band_grad(acts, denom, lpb, lpe, lat, ranges, lab_band, has_lab,
+                        input_lengths, label_lengths, blank, g)
+
+    def int_zero(x):
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+    return (d_acts, int_zero(ranges), int_zero(labels),
+            int_zero(input_lengths), int_zero(label_lengths))
+
+
+_pruned_costs.defvjp(_pruned_fwd, _pruned_bwd)
+
+
+def rnnt_loss_pruned(
+    acts: jax.Array,
+    ranges: jax.Array,
+    labels: jax.Array,
+    input_lengths: jax.Array,
+    label_lengths: jax.Array,
+    blank: int = 0,
+    reduction: str = "mean",
+) -> jax.Array:
+    """Transducer loss restricted to a pruned band of the lattice.
+
+    Args:
+      acts: (B, T, S, V) joint logits on the band (raw; log-softmax fused):
+        ``acts[b, t, s]`` is the joint at lattice cell (t, ranges[b,t]+s).
+      ranges: (B, T) int32 band starts from ``rnnt_prune_ranges``
+        (monotone, steps < S, ranges[:,0]==0, terminal covered).
+      labels / lengths / blank / reduction: as in ``rnnt_loss``.
+
+    Returns the negative log-likelihood over band-internal paths; equals
+    ``rnnt_loss`` exactly when the band covers the whole lattice.
+    Differentiable w.r.t. acts (lazy backward, one fused band pass).
+    """
+    if reduction not in ("none", "sum", "mean"):
+        raise ValueError(f"reduction must be none|sum|mean, got {reduction!r}")
+    if acts.ndim != 4:
+        raise ValueError(f"acts must be (B, T, S, V); got {acts.shape}")
+    if ranges.shape != acts.shape[:2]:
+        raise ValueError(
+            f"ranges must be (B, T) = {acts.shape[:2]}; got {ranges.shape}"
+        )
+    costs = _pruned_costs(acts, ranges.astype(jnp.int32), labels,
+                          input_lengths, label_lengths, int(blank))
+    if reduction == "sum":
+        return jnp.sum(costs)
+    if reduction == "mean":
+        return jnp.mean(costs)
+    return costs
