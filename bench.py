@@ -70,7 +70,14 @@ def slope_time_ms(run, target_s=0.3, n_cap=4096, reps=5):
 
 def bench_config(B, T, L, V, impl, iters=10, warmup=3, seed=0):
     """Measure per-call device time for loss+grad (forward + gradient)."""
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
     from warp_transducer_tpu import rnnt_loss
 

@@ -77,3 +77,70 @@ def test_graft_entry_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+class TestPrunedTraining:
+    def test_pruned_train_step_decreases_loss(self):
+        import optax
+
+        from warp_transducer_tpu.models.transducer import (
+            TransducerConfig, init_params, make_model, make_pruned_train_step,
+        )
+
+        cfg = TransducerConfig(
+            vocab_size=16, encoder_dim=32, encoder_layers=1, encoder_heads=2,
+            prediction_dim=32, joint_dim=32, input_dim=8, conv_kernel=3,
+            dtype=jnp.float32,
+        )
+        model = make_model(cfg)
+        B, T, U, S = 2, 10, 5, 3
+        rng = np.random.RandomState(0)
+        params = init_params(cfg, jax.random.PRNGKey(0), B=B, T=T, U=U)
+        batch = {
+            "feats": jnp.asarray(rng.randn(B, T, cfg.input_dim), jnp.float32),
+            "feat_lengths": jnp.full((B,), T, jnp.int32),
+            "labels": jnp.asarray(rng.randint(1, cfg.vocab_size, (B, U - 1)), jnp.int32),
+            "label_lengths": jnp.full((B,), U - 1, jnp.int32),
+        }
+        opt = optax.adam(3e-3)
+        st = opt.init(params)
+        step = jax.jit(make_pruned_train_step(model, opt, s_range=S, blank=cfg.blank))
+        params, st, l0 = step(params, st, batch)
+        losses = [float(l0)]
+        for _ in range(30):
+            params, st, loss = step(params, st, batch)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], losses
+        assert np.isfinite(losses).all()
+
+    def test_banded_joint_matches_dense_joint_on_band(self):
+        from warp_transducer_tpu.models.transducer import (
+            TransducerConfig, init_params, make_model,
+        )
+
+        cfg = TransducerConfig(
+            vocab_size=12, encoder_dim=16, encoder_layers=1, encoder_heads=2,
+            prediction_dim=16, joint_dim=16, input_dim=8, conv_kernel=3,
+            dtype=jnp.float32,
+        )
+        model = make_model(cfg)
+        B, T, U, S = 2, 6, 4, 2
+        rng = np.random.RandomState(1)
+        params = init_params(cfg, jax.random.PRNGKey(1), B=B, T=T, U=U)
+        feats = jnp.asarray(rng.randn(B, T, cfg.input_dim), jnp.float32)
+        fl = jnp.full((B,), T, jnp.int32)
+        labels = jnp.asarray(rng.randint(1, cfg.vocab_size, (B, U - 1)), jnp.int32)
+        ranges = jnp.asarray(np.tile(np.minimum(np.arange(T) // 2, U - S), (B, 1)), jnp.int32)
+
+        dense = model.apply(params, feats, fl, labels)  # (B, T, U, V)
+        band = model.apply(params, feats, fl, labels, ranges, S,
+                           method=model.banded_joint)  # (B, T, S, V)
+        rn = np.asarray(ranges)
+        for b in range(B):
+            for t in range(T):
+                for s in range(S):
+                    u = min(rn[b, t] + s, U - 1)
+                    np.testing.assert_allclose(
+                        np.asarray(band[b, t, s]), np.asarray(dense[b, t, u]),
+                        rtol=1e-5, atol=1e-5,
+                    )

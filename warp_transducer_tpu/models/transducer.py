@@ -133,13 +133,24 @@ class Prediction(nn.Module):
 class Joint(nn.Module):
     cfg: TransducerConfig
 
-    @nn.compact
-    def __call__(self, enc, pred):
+    def setup(self):
         c = self.cfg
-        e = nn.Dense(c.joint_dim, dtype=c.dtype)(enc)  # (B, T, H)
-        p = nn.Dense(c.joint_dim, dtype=c.dtype)(pred)  # (B, U, H)
+        self.enc_proj = nn.Dense(c.joint_dim, dtype=c.dtype, name="Dense_0")
+        self.pred_proj = nn.Dense(c.joint_dim, dtype=c.dtype, name="Dense_1")
+        self.out_proj = nn.Dense(c.vocab_size, dtype=c.dtype, name="Dense_2")
+
+    def __call__(self, enc, pred):
+        e = self.enc_proj(enc)  # (B, T, H)
+        p = self.pred_proj(pred)  # (B, U, H)
         joint = jnp.tanh(e[:, :, None, :] + p[:, None, :, :])  # (B, T, U, H)
-        return nn.Dense(c.vocab_size, dtype=c.dtype)(joint)  # (B, T, U, V)
+        return self.out_proj(joint)  # (B, T, U, V)
+
+    def banded(self, enc, pred_banded):
+        """Joint on a pruned band: pred_banded (B, T, S, H_pred)."""
+        e = self.enc_proj(enc)  # (B, T, H)
+        p = self.pred_proj(pred_banded)  # (B, T, S, H)
+        joint = jnp.tanh(e[:, :, None, :] + p)  # (B, T, S, H)
+        return self.out_proj(joint)  # (B, T, S, V)
 
 
 class Transducer(nn.Module):
@@ -149,6 +160,11 @@ class Transducer(nn.Module):
         self.encoder = Encoder(self.cfg, name="Encoder_0")
         self.prediction = Prediction(self.cfg, name="Prediction_0")
         self.joint = Joint(self.cfg, name="Joint_0")
+        # small linear heads for the factorised (simple/pruned stage-1) loss
+        self.am_head = nn.Dense(self.cfg.vocab_size, dtype=self.cfg.dtype,
+                                name="AmHead_0")
+        self.lm_head = nn.Dense(self.cfg.vocab_size, dtype=self.cfg.dtype,
+                                name="LmHead_0")
 
     def __call__(self, feats, feat_lengths, labels):
         enc = self.encoder(feats, feat_lengths)
@@ -157,6 +173,21 @@ class Transducer(nn.Module):
 
     def encode(self, feats, feat_lengths):
         return self.encoder(feats, feat_lengths)
+
+    def factorised(self, feats, feat_lengths, labels):
+        """(am (B,T,V), lm (B,U,V)) for rnnt_loss_simple / pruning."""
+        enc = self.encoder(feats, feat_lengths)
+        pred = self.prediction(labels)
+        return self.am_head(enc), self.lm_head(pred)
+
+    def banded_joint(self, feats, feat_lengths, labels, ranges, s_range: int):
+        """(B, T, S, V) joint logits on the pruned band."""
+        from ..ops.pruned import gather_banded
+
+        enc = self.encoder(feats, feat_lengths)
+        pred = self.prediction(labels)  # (B, U, H)
+        pred_band = gather_banded(pred, ranges, s_range)  # (B, T, S, H)
+        return self.joint.banded(enc, pred_band)
 
 
 def make_model(cfg: TransducerConfig) -> Transducer:
@@ -168,7 +199,13 @@ def init_params(cfg: TransducerConfig, rng, B=2, T=8, U=3):
     feats = jnp.zeros((B, T, cfg.input_dim), jnp.float32)
     lengths = jnp.full((B,), T, jnp.int32)
     labels = jnp.zeros((B, U - 1), jnp.int32)
-    return model.init(rng, feats, lengths, labels)
+
+    # touch every path (dense joint AND factorised heads) so flax creates
+    # all parameters — setup() submodules are materialised lazily
+    def init_all(self, f, l, lab):
+        return self(f, l, lab), self.factorised(f, l, lab)
+
+    return model.init(rng, feats, lengths, labels, method=init_all)
 
 
 def loss_fn(params, model, batch, blank=0, implementation="auto"):
@@ -192,6 +229,47 @@ def make_train_step(model, optimizer, blank=0, implementation="auto"):
     def step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(loss_fn)(
             params, model, batch, blank=blank, implementation=implementation
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def pruned_loss_fn(params, model, batch, s_range, blank=0, simple_scale=0.5,
+                   implementation="auto"):
+    """Two-stage pruned-transducer objective (arXiv 2206.13236):
+    simple_scale * simple(am, lm) + pruned(joint on band)."""
+    from ..ops.pruned import rnnt_loss_pruned, rnnt_prune_ranges
+    from ..ops.simple import rnnt_loss_simple
+
+    feats, fl = batch["feats"], batch["feat_lengths"]
+    labels, ll = batch["labels"], batch["label_lengths"]
+    am, lm = model.apply(params, feats, fl, labels, method=model.factorised)
+    am, lm = am.astype(jnp.float32), lm.astype(jnp.float32)
+    simple = rnnt_loss_simple(am, lm, labels, fl, ll, blank=blank,
+                              reduction="mean", implementation=implementation)
+    ranges = rnnt_prune_ranges(
+        jax.lax.stop_gradient(am), jax.lax.stop_gradient(lm),
+        labels, fl, ll, s_range, blank=blank, implementation=implementation,
+    )
+    acts_band = model.apply(params, feats, fl, labels, ranges, s_range,
+                            method=model.banded_joint)
+    pruned = rnnt_loss_pruned(acts_band.astype(jnp.float32), ranges, labels,
+                              fl, ll, blank=blank, reduction="mean")
+    return simple_scale * simple + pruned
+
+
+def make_pruned_train_step(model, optimizer, s_range, blank=0,
+                           simple_scale=0.5, implementation="auto"):
+    """Jittable pruned-transducer train step: the joint runs only on a
+    (B, T, S, V) band, never materialising (B, T, U, V)."""
+
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(pruned_loss_fn)(
+            params, model, batch, s_range, blank=blank,
+            simple_scale=simple_scale, implementation=implementation,
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
