@@ -116,6 +116,75 @@ def bench_config(B, T, L, V, impl, iters=10, warmup=3, seed=0):
     )
 
 
+def bench_extras(B, T, L, V, s_range=5, seed=0):
+    """Beyond-reference losses on shapes where the dense loss cannot run:
+    factorised (simple) and pruned loss+grad. Returns list of JSON rows."""
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    import jax.numpy as jnp
+    from warp_transducer_tpu import (
+        gather_banded, rnnt_loss_pruned, rnnt_loss_simple, rnnt_prune_ranges,
+    )
+
+    U = L + 1
+    rng = np.random.RandomState(seed)
+    am = jnp.asarray(rng.uniform(0, 1, (B, T, V)), jnp.float32)
+    lm = jnp.asarray(rng.uniform(0, 1, (B, U, V)), jnp.float32)
+    labels = jnp.asarray(rng.randint(1, V, (B, L)), jnp.int32)
+    il = jnp.full((B,), T, jnp.int32)
+    ll = jnp.full((B,), L, jnp.int32)
+
+    rows = []
+
+    simple_lg = jax.value_and_grad(
+        lambda a, m: rnnt_loss_simple(a, m, labels, il, ll, reduction="sum"),
+        argnums=(0, 1),
+    )
+
+    @jax.jit
+    def run_simple(a, m, n):
+        def body(i, c):
+            loss, (ga, gm) = simple_lg(a * (1.0 + c * 1e-30), m)
+            return loss * 1e-12 + ga[0, 0, 0] * 1e-12 + gm[0, 0, 0] * 1e-12
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    ms = slope_time_ms(lambda n: run_simple(am, lm, n))
+    rows.append({
+        "metric": f"rnnt_loss_simple+grad ms, B={B},T={T},L={L},V={V}",
+        "value": round(ms, 3), "unit": "ms", "vs_baseline": None,
+    })
+
+    S = s_range
+    ranges = jax.jit(
+        lambda a, m: rnnt_prune_ranges(a, m, labels, il, ll, S)
+    )(am, lm)
+    acts_band = jnp.asarray(rng.uniform(0, 1, (B, T, S, V)), jnp.float32)
+    pruned_lg = jax.value_and_grad(
+        lambda a: rnnt_loss_pruned(a, ranges, labels, il, ll, reduction="sum")
+    )
+
+    @jax.jit
+    def run_pruned(a, n):
+        def body(i, c):
+            loss, g = pruned_lg(a * (1.0 + c * 1e-30))
+            return loss * 1e-12 + g[0, 0, 0, 0] * 1e-12
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    ms = slope_time_ms(lambda n: run_pruned(acts_band, n))
+    rows.append({
+        "metric": f"rnnt_loss_pruned+grad ms, B={B},T={T},L={L},S={S},V={V}",
+        "value": round(ms, 3), "unit": "ms", "vs_baseline": None,
+    })
+    return rows
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("B", nargs="?", type=int, default=128)
@@ -125,7 +194,14 @@ def main():
     p.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"])
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--all", action="store_true", help="run every baseline config")
+    p.add_argument("--extras", action="store_true",
+                   help="bench the factorised/pruned losses on this shape")
     args = p.parse_args()
+
+    if args.extras:
+        for row in bench_extras(args.B, args.T, args.L, args.V):
+            print(json.dumps(row), flush=True)
+        return
 
     if args.all:
         # Each config runs in its own subprocess so one failure (e.g. an OOM
