@@ -86,3 +86,50 @@ class TestAutoSharded:
             acts, labels, il, ll, mesh, reduction="none", implementation="xla"
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+
+class TestNewLossesSharded:
+    """simple/pruned losses are batch-parallel: GSPMD shards them cleanly."""
+
+    def test_simple_loss_gspmd(self, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from warp_transducer_tpu.ops.simple import rnnt_loss_simple
+
+        rng = np.random.RandomState(11)
+        B, T, U, V = 8, 6, 4, 7
+        am = jnp.asarray(rng.randn(B, T, V), jnp.float32)
+        lm = jnp.asarray(rng.randn(B, U, V), jnp.float32)
+        labels = jnp.asarray(rng.randint(1, V, (B, U - 1)), jnp.int32)
+        il = jnp.full((B,), T, jnp.int32)
+        ll = jnp.full((B,), U - 1, jnp.int32)
+        ref = rnnt_loss_simple(am, lm, labels, il, ll, reduction="none",
+                               implementation="xla")
+
+        shard = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
+        out = jax.jit(
+            lambda a, m: rnnt_loss_simple(a, m, labels, il, ll,
+                                          reduction="none",
+                                          implementation="xla")
+        )(shard(am, P("data", None, None)), shard(lm, P("data", None, None)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+    def test_pruned_loss_gspmd(self, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from warp_transducer_tpu.ops.pruned import rnnt_loss_pruned
+
+        rng = np.random.RandomState(12)
+        B, T, U, S, V = 8, 6, 4, 4, 5
+        acts_band = jnp.asarray(rng.randn(B, T, S, V), jnp.float32)
+        ranges = jnp.zeros((B, T), jnp.int32)
+        labels = jnp.asarray(rng.randint(1, V, (B, U - 1)), jnp.int32)
+        il = jnp.full((B,), T, jnp.int32)
+        ll = jnp.full((B,), U - 1, jnp.int32)
+        ref = rnnt_loss_pruned(acts_band, ranges, labels, il, ll, reduction="none")
+
+        shard = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
+        out = jax.jit(
+            lambda a, r: rnnt_loss_pruned(a, r, labels, il, ll, reduction="none")
+        )(shard(acts_band, P("data", None, None, None)), shard(ranges, P("data", None)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
