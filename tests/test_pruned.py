@@ -160,3 +160,76 @@ def test_pruned_validation():
         rnnt_loss_pruned(acts_band, ranges[:, :2], labels, il, ll)
     with pytest.raises(ValueError):
         rnnt_loss_pruned(acts_band, ranges, labels, il, ll, reduction="x")
+
+
+def test_prune_ranges_fuzz_contract_and_no_nan():
+    """40 random ragged configs: the ranges contract must hold
+    unconditionally and gradients must never be NaN (infeasible
+    utterances — U_b-1 > T_b*(S-1) — get a huge cost and zero grads)."""
+    from warp_transducer_tpu.ops.simple import rnnt_loss_simple
+
+    B, T, U, V, S = 2, 10, 8, 6, 3
+    for seed in range(40):
+        rng = np.random.RandomState(seed)
+        am = jnp.asarray(rng.randn(B, T, V), jnp.float32)
+        lm = jnp.asarray(rng.randn(B, U, V), jnp.float32)
+        labels = jnp.asarray(rng.randint(1, V, (B, U - 1)), jnp.int32)
+        il = jnp.asarray(rng.randint(1, T + 1, (B,)), jnp.int32)
+        ll = jnp.asarray(rng.randint(1, U, (B,)), jnp.int32)
+
+        r = np.asarray(rnnt_prune_ranges(am, lm, labels, il, ll, S))
+        d = np.diff(r, axis=1)
+        assert np.all(r[:, 0] == 0), (seed, r)
+        assert np.all(d >= 0), (seed, r)
+        assert np.all(d <= S - 1), (seed, r)
+        for b in range(B):
+            Ub = int(ll[b]) + 1
+            assert np.all(r[b] <= max(0, Ub - 1)), (seed, r)
+
+        acts_band = jnp.asarray(rng.randn(B, T, S, V), jnp.float32)
+        loss, g = jax.value_and_grad(
+            lambda a: rnnt_loss_pruned(a, jnp.asarray(r), labels, il, ll,
+                                       reduction="sum")
+        )(acts_band)
+        assert np.isfinite(np.asarray(g)).all(), (seed, "NaN/inf grads")
+        for b in range(B):
+            Tb, Ub = int(il[b]), int(ll[b]) + 1
+            feasible = (Ub - 1) <= Tb * (S - 1)
+            costs = rnnt_loss_pruned(acts_band, jnp.asarray(r), labels, il, ll,
+                                     reduction="none")
+            if feasible:
+                assert float(costs[b]) < 1e29, (seed, b, float(costs[b]))
+            else:
+                assert float(costs[b]) > 1e29, (seed, b, float(costs[b]))
+
+
+def test_simple_loss_prune_range_matches_standalone():
+    from warp_transducer_tpu.ops.simple import rnnt_loss_simple
+
+    rng = np.random.RandomState(8)
+    B, T, U, V, S = 3, 9, 5, 6, 3
+    am = jnp.asarray(rng.randn(B, T, V), jnp.float32)
+    lm = jnp.asarray(rng.randn(B, U, V), jnp.float32)
+    labels = jnp.asarray(rng.randint(1, V, (B, U - 1)), jnp.int32)
+    il = jnp.asarray([9, 6, 4], jnp.int32)
+    ll = jnp.asarray([4, 3, 2], jnp.int32)
+
+    loss_a = rnnt_loss_simple(am, lm, labels, il, ll, reduction="sum",
+                              implementation="xla")
+    loss_b, ranges = rnnt_loss_simple(am, lm, labels, il, ll, reduction="sum",
+                                      implementation="xla", prune_range=S)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+    ranges_ref = rnnt_prune_ranges(am, lm, labels, il, ll, S,
+                                   implementation="xla")
+    np.testing.assert_array_equal(np.asarray(ranges), np.asarray(ranges_ref))
+
+    # gradient flows through the loss output of the tuple form
+    g = jax.grad(
+        lambda a: rnnt_loss_simple(a, lm, labels, il, ll, reduction="sum",
+                                   implementation="xla", prune_range=S)[0]
+    )(am)
+    g_ref = jax.grad(
+        lambda a: rnnt_loss_simple(a, lm, labels, il, ll, reduction="sum",
+                                   implementation="xla")
+    )(am)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-6)

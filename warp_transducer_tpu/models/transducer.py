@@ -180,6 +180,17 @@ class Transducer(nn.Module):
         pred = self.prediction(labels)
         return self.am_head(enc), self.lm_head(pred)
 
+    def factorised_full(self, feats, feat_lengths, labels):
+        """(am, lm, enc, pred) — expose the trunk activations so a pruned
+        training step runs the encoder/prediction networks exactly once."""
+        enc = self.encoder(feats, feat_lengths)
+        pred = self.prediction(labels)
+        return self.am_head(enc), self.lm_head(pred), enc, pred
+
+    def banded_joint_from(self, enc, pred_banded):
+        """Joint on precomputed trunk activations (pruned band)."""
+        return self.joint.banded(enc, pred_banded)
+
     def banded_joint(self, feats, feat_lengths, labels, ranges, s_range: int):
         """(B, T, S, V) joint logits on the pruned band."""
         from ..ops.pruned import gather_banded
@@ -240,22 +251,28 @@ def make_train_step(model, optimizer, blank=0, implementation="auto"):
 def pruned_loss_fn(params, model, batch, s_range, blank=0, simple_scale=0.5,
                    implementation="auto"):
     """Two-stage pruned-transducer objective (arXiv 2206.13236):
-    simple_scale * simple(am, lm) + pruned(joint on band)."""
-    from ..ops.pruned import rnnt_loss_pruned, rnnt_prune_ranges
+    simple_scale * simple(am, lm) + pruned(joint on band).
+
+    The encoder/prediction trunk runs ONCE (factorised_full) and the
+    pruning band comes out of the same lattice the simple loss computes
+    (prune_range=...), so neither the trunk nor the stage-1 recursion is
+    duplicated."""
+    from ..ops.pruned import gather_banded, rnnt_loss_pruned
     from ..ops.simple import rnnt_loss_simple
 
     feats, fl = batch["feats"], batch["feat_lengths"]
     labels, ll = batch["labels"], batch["label_lengths"]
-    am, lm = model.apply(params, feats, fl, labels, method=model.factorised)
-    am, lm = am.astype(jnp.float32), lm.astype(jnp.float32)
-    simple = rnnt_loss_simple(am, lm, labels, fl, ll, blank=blank,
-                              reduction="mean", implementation=implementation)
-    ranges = rnnt_prune_ranges(
-        jax.lax.stop_gradient(am), jax.lax.stop_gradient(lm),
-        labels, fl, ll, s_range, blank=blank, implementation=implementation,
+    am, lm, enc, pred = model.apply(
+        params, feats, fl, labels, method=model.factorised_full
     )
-    acts_band = model.apply(params, feats, fl, labels, ranges, s_range,
-                            method=model.banded_joint)
+    simple, ranges = rnnt_loss_simple(
+        am.astype(jnp.float32), lm.astype(jnp.float32), labels, fl, ll,
+        blank=blank, reduction="mean", implementation=implementation,
+        prune_range=s_range,
+    )
+    pred_band = gather_banded(pred, ranges, s_range)
+    acts_band = model.apply(params, enc, pred_band,
+                            method=model.banded_joint_from)
     pruned = rnnt_loss_pruned(acts_band.astype(jnp.float32), ranges, labels,
                               fl, ll, blank=blank, reduction="mean")
     return simple_scale * simple + pruned

@@ -94,10 +94,13 @@ def fused_prep(acts, labels_u, blank, interpret=None):
 
 
 def use_fused_prep(V: int, dtype, log_probs_input: bool, U: int = 1) -> bool:
+    # The minimum (Tt=8) input block must fit VMEM WITH pallas's
+    # double-buffering and the exp(x-m) intermediate (~3x the block), so
+    # gate at 4 MB per block; larger U*V falls back to the XLA prep path.
     return (
         not log_probs_input
         and V >= MIN_FUSED_V
         and dtype != jnp.float64
-        and 8 * U * V * 4 <= 16 * 1024 * 1024  # min block fits VMEM comfortably
+        and 8 * U * V * 4 <= 4 * 1024 * 1024
         and jax.default_backend() == "tpu"
     )

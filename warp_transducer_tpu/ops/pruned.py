@@ -58,15 +58,24 @@ def rnnt_prune_ranges(am, lm, labels, input_lengths, label_lengths,
                       implementation: str = "auto"):
     """Band starts (B, T) from the simple-joiner lattice posteriors.
 
-    Guarantees: ranges[:, 0] == 0; non-decreasing; steps < s_range;
-    ranges[b, t] <= max(0, U_b - s_range); the terminal cell
-    (T_b-1, U_b-1) is inside the band.
+    Standalone entry point — runs the factorised lattice itself. Inside a
+    training step prefer ``rnnt_loss_simple(..., prune_range=S)``, which
+    returns the ranges from the SAME lattice the loss already computed.
+
+    Guarantees: ranges[:, 0] == 0; non-decreasing; steps <= s_range - 1
+    (also across the t >= T_b padding, which is held constant);
+    ranges[b, t] <= max(0, U_b - s_range).
+
+    The terminal cell (T_b-1, U_b-1) is inside the band whenever a band
+    of width ``s_range`` can contain a path at all, i.e. when
+    ``U_b - 1 <= T_b * (s_range - 1)``. For shorter utterances no width-S
+    band contains any alignment; ``rnnt_loss_pruned`` then returns a huge
+    finite cost (~1e30) with zero gradients — raise ``s_range`` for such
+    data.
     """
-    B, T, V = am.shape
     U = lm.shape[1]
-    S = int(s_range)
-    if S < 2:
-        raise ValueError(f"s_range must be >= 2, got {S}")
+    if int(s_range) < 2:
+        raise ValueError(f"s_range must be >= 2, got {s_range}")
     impl = _pick_implementation(implementation)
 
     labels_u = _prep._pad_labels(labels.astype(jnp.int32), U)
@@ -76,8 +85,22 @@ def rnnt_prune_ranges(am, lm, labels, input_lengths, label_lengths,
     )
     res = _run_lattice(impl, _prep.PreparedInputs(lpb, lpe, None),
                        input_lengths, label_lengths)
+    return ranges_from_posteriors(
+        res.alphas, res.betas, res.ll_forward,
+        input_lengths, label_lengths, s_range,
+    )
+
+
+def ranges_from_posteriors(alphas, betas, ll, input_lengths, label_lengths,
+                           s_range: int):
+    """Band starts from precomputed lattice alphas/betas (see
+    ``rnnt_prune_ranges`` for the guarantees)."""
+    B, T, U = alphas.shape
+    S = int(s_range)
+    if S < 2:
+        raise ValueError(f"s_range must be >= 2, got {S}")
     # posterior mass through each cell
-    gamma = res.alphas + res.betas - res.ll_forward[:, None, None]  # (B,T,U)
+    gamma = alphas + betas - ll[:, None, None]  # (B, T, U)
 
     Ub = label_lengths.astype(jnp.int32) + 1  # (B,)
     hi = jnp.maximum(Ub - S, 0)[:, None]  # max start (B,1)
@@ -109,8 +132,21 @@ def rnnt_prune_ranges(am, lm, labels, input_lengths, label_lengths,
     _, r_bwd = lax.scan(bwd, r_last, jnp.moveaxis(r_fwd[:, :-1], 1, 0),
                         reverse=True)
     ranges = jnp.concatenate([jnp.moveaxis(r_bwd, 0, 1), r_last[:, None]], axis=1)
+    # The path must start at (0, 0), and the backward raise may have lifted
+    # r(0) above 0 (only possible for utterances no width-S band can align);
+    # re-run the forward clamp so the monotone/step<=S-1 contract holds
+    # unconditionally. Infeasible utterances then simply fail to reach the
+    # terminal and get a huge finite cost, never out-of-contract ranges.
     ranges = ranges.at[:, 0].set(0)
-    # beyond T_b the values are irrelevant; clamp into bounds for safety
+    _, r_fix = lax.scan(fwd, jnp.zeros((B,), jnp.int32),
+                        jnp.moveaxis(ranges, 1, 0))
+    ranges = jnp.moveaxis(r_fix, 0, 1).at[:, 0].set(0)
+    # hold the value constant beyond each utterance's last frame so the
+    # Tb-1 -> Tb boundary never sees a negative step (the band recursion
+    # and gradient read delta at that boundary)
+    batch = jnp.arange(B)
+    r_end = ranges[batch, jnp.maximum(Tb - 1, 0)]
+    ranges = jnp.where(t_iota >= (Tb - 1)[:, None], r_end[:, None], ranges)
     return jnp.clip(ranges, 0, jnp.maximum(Ub - 1, 0)[:, None])
 
 
@@ -146,10 +182,12 @@ def _band_alphas(lpb, lpe, ranges, Tb, Ub):
         return (t < Tb[:, None]) & (u < Ub[:, None])
 
     def shift_left_by(x, d):
-        """x (B, S) -> y[:, s] = x[:, s + d] (NEG beyond). d (B,) >= 0."""
+        """x (B, S) -> y[:, s] = x[:, s + d] (NEG beyond). Indices are
+        clamped AND masked on both sides — an out-of-bounds gather under
+        jit fills NaN, which would poison the whole batch."""
         idx = s_iota + d[:, None]
-        ok = idx < S
-        g = jnp.take_along_axis(x, jnp.minimum(idx, S - 1), axis=1)
+        ok = (idx >= 0) & (idx < S)
+        g = jnp.take_along_axis(x, jnp.clip(idx, 0, S - 1), axis=1)
         return jnp.where(ok, g, NEG)
 
     def step(carry, xs):
@@ -179,6 +217,10 @@ def _band_alphas(lpb, lpe, ranges, Tb, Ub):
     s_star = Ub - 1 - ranges[batch, t_last]
     ll = (alphas[batch, t_last, jnp.clip(s_star, 0, S - 1)]
           + lpb[batch, t_last, jnp.clip(s_star, 0, S - 1)])
+    # terminal outside the band (utterance infeasible for this s_range):
+    # the clipped gather above reads a wrong-but-valid cell — mask it,
+    # otherwise a silently wrong finite loss is returned
+    ll = jnp.where((s_star >= 0) & (s_star < S), ll, NEG)
     return alphas, ll
 
 
@@ -194,10 +236,12 @@ def _band_betas(lpb, lpe, ranges, Tb, Ub):
         return (t < Tb[:, None]) & (u < Ub[:, None])
 
     def shift_right_by(x, d):
-        """y[:, s] = x[:, s - d] (NEG below 0)."""
+        """y[:, s] = x[:, s - d] (NEG outside [0, S)); both-sided clamp+mask
+        so adversarial deltas can never gather out of bounds (jit fills
+        NaN on OOB)."""
         idx = s_iota - d[:, None]
-        ok = idx >= 0
-        g = jnp.take_along_axis(x, jnp.maximum(idx, 0), axis=1)
+        ok = (idx >= 0) & (idx < S)
+        g = jnp.take_along_axis(x, jnp.clip(idx, 0, S - 1), axis=1)
         return jnp.where(ok, g, NEG)
 
     def step(b_next, xs):
@@ -291,8 +335,8 @@ def _band_grad(acts, denom, lpb, lpe, lat, ranges, lab_band, has_lab,
     )  # β(t+1, ·) at row t
     idx = s_iota - delta_next[:, :, None]
     bshift_t = jnp.where(
-        idx >= 0,
-        jnp.take_along_axis(beta_next, jnp.maximum(idx, 0), axis=2),
+        (idx >= 0) & (idx < S),
+        jnp.take_along_axis(beta_next, jnp.clip(idx, 0, S - 1), axis=2),
         NEG,
     )
     bshift_t = jnp.where(t_iota + 1 < Tb[:, None, None], bshift_t, NEG)
@@ -303,6 +347,10 @@ def _band_grad(acts, denom, lpb, lpe, lat, ranges, lab_band, has_lab,
     coef = jnp.where(valid, jnp.exp(a_ll + betas), 0.0)
     cb = jnp.where(valid, jnp.exp(a_ll + lpb + bshift_t), 0.0)
     ce = jnp.where(valid & has_lab, jnp.exp(a_ll + lpe + bshift_u), 0.0)
+    # infeasible utterances (no path inside the band): ll is the NEG
+    # sentinel and the a_ll cancellation is garbage — zero their gradient
+    feasible = ll > NEG / 2
+    scale = jnp.where(feasible, scale.astype(f32), 0.0)
     s = scale.astype(f32)[:, None, None]
     coef, cb, ce = coef * s, cb * s, ce * s
 

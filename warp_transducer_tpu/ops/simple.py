@@ -45,7 +45,9 @@ _S_FLOOR = 1e-30
 
 
 def _factorised_lattice_inputs(am, lm, labels_u, blank, precision):
-    """(lpb, lpe, logS, A, Bm, Ma, Ml) from the factorised joint."""
+    """Returns (lpb, lpe, S, A, Bm, onehot): the (B,T,U) blank/label caches,
+    the raw normalizer matmul S (logZ = Ma + Ml + log S), the row-max
+    exponentials A = e^{am-Ma} / Bm = e^{lm-Ml}, and the label one-hot."""
     B, T, V = am.shape
     U = lm.shape[1]
     f32 = jnp.float32
@@ -152,6 +154,41 @@ def _simple_bwd(blank, implementation, precision, residuals, g):
 _simple_costs.defvjp(_simple_fwd, _simple_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _simple_costs_with_ranges(am, lm, labels, input_lengths, label_lengths,
+                              blank, implementation, precision, s_range):
+    (costs, ranges), _ = _simple_ranges_fwd(
+        am, lm, labels, input_lengths, label_lengths,
+        blank, implementation, precision, s_range,
+    )
+    return costs, ranges
+
+
+def _simple_ranges_fwd(am, lm, labels, input_lengths, label_lengths,
+                       blank, implementation, precision, s_range):
+    costs, residuals = _simple_fwd(am, lm, labels, input_lengths,
+                                   label_lengths, blank, implementation,
+                                   precision)
+    # pruning band from the SAME lattice the loss just computed (the
+    # alphas/betas sit in the residuals) — no second forward-backward
+    from .pruned import ranges_from_posteriors
+
+    alphas, betas, ll = residuals[8], residuals[9], residuals[10]
+    ranges = ranges_from_posteriors(
+        alphas, betas, ll, input_lengths, label_lengths, s_range
+    )
+    return (costs, ranges), residuals
+
+
+def _simple_ranges_bwd(blank, implementation, precision, s_range,
+                       residuals, g):
+    g_costs, _g_ranges = g  # ranges are int32: float0 cotangent, ignored
+    return _simple_bwd(blank, implementation, precision, residuals, g_costs)
+
+
+_simple_costs_with_ranges.defvjp(_simple_ranges_fwd, _simple_ranges_bwd)
+
+
 def rnnt_loss_simple(
     am: jax.Array,
     lm: jax.Array,
@@ -162,6 +199,7 @@ def rnnt_loss_simple(
     reduction: str = "mean",
     implementation: str = "auto",
     precision=jax.lax.Precision.HIGHEST,
+    prune_range: int | None = None,
 ) -> jax.Array:
     """RNN-T loss for the additive joiner, without the (B,T,U,V) tensor.
 
@@ -173,6 +211,9 @@ def rnnt_loss_simple(
       precision: matmul precision for the normalizer/gradient contractions
         (HIGHEST ≈ exact f32; DEFAULT trades ~1e-3 relative error for
         speed on very large V).
+      prune_range: when set, ALSO return the (B, T) pruning band starts
+        (``rnnt_prune_ranges`` semantics) computed from the same lattice —
+        return value becomes ``(loss, ranges)``.
 
     Exactly equals ``rnnt_loss(am[:,:,None,:] + lm[:,None,:,:], ...)`` —
     same lattice, same math — but with O((T+U)·V) instead of O(T·U·V)
@@ -192,10 +233,18 @@ def rnnt_loss_simple(
             f"labels length {labels.shape[1]} < U-1 = {lm.shape[1] - 1}"
         )
     impl = _pick_implementation(implementation)
-    costs = _simple_costs(am, lm, labels, input_lengths, label_lengths,
-                          int(blank), impl, precision)
+    if prune_range is not None:
+        costs, ranges = _simple_costs_with_ranges(
+            am, lm, labels, input_lengths, label_lengths,
+            int(blank), impl, precision, int(prune_range),
+        )
+    else:
+        costs = _simple_costs(am, lm, labels, input_lengths, label_lengths,
+                              int(blank), impl, precision)
     if reduction == "sum":
-        return jnp.sum(costs)
-    if reduction == "mean":
-        return jnp.mean(costs)
-    return costs
+        loss = jnp.sum(costs)
+    elif reduction == "mean":
+        loss = jnp.mean(costs)
+    else:
+        loss = costs
+    return (loss, ranges) if prune_range is not None else loss
