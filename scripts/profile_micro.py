@@ -76,13 +76,13 @@ def main():
 
     def lpe_maskmax(a):
         v_iota = jnp.arange(V, dtype=jnp.int32)
-        mask = v_iota[None, None, :] == labels_u[:, None, :]  # (B, U, V)
+        mask = v_iota[None, None, :] == labels_u[:, :, None]  # (B, U, V)
         return jnp.max(jnp.where(mask[:, None, :, :], a, NEG), axis=-1)
 
     def prep2pass(a):
         # denom-max and label-select-max share one read; sumexp is pass 2.
         v_iota = jnp.arange(V, dtype=jnp.int32)
-        mask = v_iota[None, None, :] == labels_u[:, None, :]
+        mask = v_iota[None, None, :] == labels_u[:, :, None]
         m = jnp.max(a, axis=-1)
         e = jnp.max(jnp.where(mask[:, None, :, :], a, NEG), axis=-1)
         denom_ = -(m + jnp.log(jnp.sum(jnp.exp(a - m[..., None]), axis=-1)))

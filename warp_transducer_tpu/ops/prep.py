@@ -81,16 +81,18 @@ def prepare(
 
     labels_u = _pad_labels(labels.astype(jnp.int32), U)  # (B, U-1)
     if U > 1:
-        # Label log-prob extraction as a one-hot matmul: on TPU a gather over
-        # the alphabet axis (take_along_axis) is ~3.6x slower than routing
-        # the selection through the MXU. precision=HIGHEST keeps the one-hot
-        # contraction bit-exact for f32 (each output has exactly one nonzero
-        # term). -inf operands are clamped to a finite sentinel so that
-        # 0 * (-inf) cannot produce NaN in the masked-out terms.
-        onehot = jax.nn.one_hot(labels_u, V, dtype=compute_dtype)  # (B, U-1, V)
-        lp_sel = jnp.maximum(lp[:, :, : U - 1, :], jnp.asarray(-1e30, compute_dtype))
-        gathered = jnp.einsum(
-            "btuv,buv->btu", lp_sel, onehot, precision=jax.lax.Precision.HIGHEST
+        # Label log-prob extraction as a masked lane-reduction: on TPU a
+        # gather over the alphabet axis (take_along_axis) is ~4x slower, and
+        # this max-reduce shares its pass over the activations with the
+        # log-softmax max reduction (XLA fuses the two horizontally),
+        # measurably beating even a one-hot MXU matmul. Bit-exact selection;
+        # a true -inf log-prob surfaces as the finite -1e30 sentinel.
+        v_iota = jnp.arange(V, dtype=jnp.int32)
+        sel = v_iota[None, None, :] == labels_u[:, :, None]  # (B, U-1, V)
+        gathered = jnp.max(
+            jnp.where(sel[:, None, :, :], lp[:, :, : U - 1, :],
+                      jnp.asarray(-1e30, compute_dtype)),
+            axis=-1,
         )  # (B, T, U-1)
         lpe = jnp.pad(gathered, ((0, 0), (0, 0), (0, 1)), constant_values=NEG_INF)
     else:
