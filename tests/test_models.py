@@ -144,3 +144,55 @@ class TestPrunedTraining:
                         np.asarray(band[b, t, s]), np.asarray(dense[b, t, u]),
                         rtol=1e-5, atol=1e-5,
                     )
+
+
+class TestBeamSearch:
+    def _setup(self):
+        from warp_transducer_tpu.models.transducer import (
+            TransducerConfig, init_params, make_model,
+        )
+
+        cfg = TransducerConfig(
+            vocab_size=8, encoder_dim=16, encoder_layers=1, encoder_heads=2,
+            prediction_dim=16, joint_dim=16, input_dim=6, conv_kernel=3,
+            dtype=jnp.float32,
+        )
+        model = make_model(cfg)
+        B, T = 3, 7
+        rng = np.random.RandomState(0)
+        params = init_params(cfg, jax.random.PRNGKey(2), B=B, T=T, U=4)
+        feats = jnp.asarray(rng.randn(B, T, cfg.input_dim), jnp.float32)
+        fl = jnp.asarray([7, 5, 3], jnp.int32)
+        return model, params, feats, fl
+
+    def test_beam1_matches_greedy(self):
+        from warp_transducer_tpu.models.decoding import (
+            beam_search_decode, greedy_decode,
+        )
+
+        model, params, feats, fl = self._setup()
+        gt, gn = greedy_decode(model, params, feats, fl, max_symbols=6)
+        bt, bn, bs = jax.jit(
+            lambda f, l: beam_search_decode(
+                model, params, f, l, max_symbols=6, beam=1, expansions=8
+            )
+        )(feats, fl)
+        np.testing.assert_array_equal(np.asarray(bn[:, 0]), np.asarray(gn))
+        for b in range(feats.shape[0]):
+            n = int(gn[b])
+            np.testing.assert_array_equal(
+                np.asarray(bt[b, 0, :n]), np.asarray(gt[b, :n])
+            )
+
+    def test_beam_scores_sorted_and_improve_on_greedy(self):
+        from warp_transducer_tpu.models.decoding import beam_search_decode
+
+        model, params, feats, fl = self._setup()
+        t1, n1, s1 = beam_search_decode(model, params, feats, fl,
+                                        max_symbols=6, beam=1, expansions=8)
+        t4, n4, s4 = beam_search_decode(model, params, feats, fl,
+                                        max_symbols=6, beam=4, expansions=8)
+        s4 = np.asarray(s4)
+        assert np.all(np.diff(s4, axis=1) <= 1e-5)  # sorted best-first
+        # wider beam never returns a worse best hypothesis
+        assert np.all(s4[:, 0] >= np.asarray(s1)[:, 0] - 1e-5)

@@ -38,7 +38,9 @@ _VMEM_BUDGET = 8 * 1024 * 1024
 
 
 def _pick_chunk(B: int, U_pad: int) -> int:
-    # 12 chunk-sized buffers live at once (4 in-streams + 2 out, double buffered)
+    # 12 chunk-sized buffers live at once (4 in-streams + 2 out, double
+    # buffered). Measured: larger chunks (32MB budget, ch=32) do NOT speed
+    # up the sweep and exceed VMEM at headline shapes — keep ch<=8.
     per_diag = B * U_pad * 4
     ch = _VMEM_BUDGET // (12 * per_diag)
     return max(1, min(int(ch), 8))
