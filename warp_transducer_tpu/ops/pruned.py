@@ -171,115 +171,76 @@ def _cum_lse(x, axis):
     return lax.associative_scan(jnp.logaddexp, x, axis=axis)
 
 
-def _band_alphas(lpb, lpe, ranges, Tb, Ub):
-    """t-major α over the band. lpb/lpe (B, T, S); returns (alphas, ll)."""
+def _band_lattice(lpb, lpe, ranges, input_lengths, label_lengths) -> BandLattice:
+    """Fused sweep: scan step k advances alpha on row k AND beta on row
+    T-1-k (the stream kernel's trick), halving the sequential-loop
+    overhead vs two separate T-step scans."""
     B, T, S = lpb.shape
-    s_iota = jnp.arange(S, dtype=jnp.int32)[None, :]  # (1, S)
-    delta = jnp.diff(ranges, axis=1, prepend=ranges[:, :1])  # (B, T), δ(0)=0
+    Tb = input_lengths.astype(jnp.int32)
+    Ub = label_lengths.astype(jnp.int32) + 1
+    s_iota = jnp.arange(S, dtype=jnp.int32)[None, :]
+    delta_a = jnp.diff(ranges, axis=1, prepend=ranges[:, :1])  # δ(t) at t
+    delta_b = jnp.diff(ranges, axis=1, append=ranges[:, -1:])  # δ(t+1) at t
 
     def valid(t, r_t):
         u = r_t[:, None] + s_iota
         return (t < Tb[:, None]) & (u < Ub[:, None])
 
     def shift_left_by(x, d):
-        """x (B, S) -> y[:, s] = x[:, s + d] (NEG beyond). Indices are
-        clamped AND masked on both sides — an out-of-bounds gather under
-        jit fills NaN, which would poison the whole batch."""
         idx = s_iota + d[:, None]
         ok = (idx >= 0) & (idx < S)
-        g = jnp.take_along_axis(x, jnp.clip(idx, 0, S - 1), axis=1)
-        return jnp.where(ok, g, NEG)
+        return jnp.where(ok, jnp.take_along_axis(x, jnp.clip(idx, 0, S - 1), axis=1), NEG)
+
+    def shift_right_by(x, d):
+        idx = s_iota - d[:, None]
+        ok = (idx >= 0) & (idx < S)
+        return jnp.where(ok, jnp.take_along_axis(x, jnp.clip(idx, 0, S - 1), axis=1), NEG)
+
+    def excl_prefix(lpe_c):
+        return jnp.pad(jnp.cumsum(lpe_c, axis=1)[:, :-1], ((0, 0), (1, 0)))
 
     def step(carry, xs):
-        a_prev, lpb_prev = carry
-        t, lpb_t, lpe_t, d_t, r_t = xs
-        ne = shift_left_by(a_prev + lpb_prev, d_t)  # (B, S)
-        # first row: α(0, 0) = 0 seeds the chain instead of a predecessor
-        ne = jnp.where((t == 0) & (s_iota == 0), 0.0, ne)
-        # exclusive prefix of row emits — built by shifting, NOT by
-        # cumsum(x) - x, which cancels catastrophically at the clamped
-        # sentinel column
-        lpe_c = jnp.maximum(lpe_t, _CLAMP)
-        c = jnp.pad(jnp.cumsum(lpe_c, axis=1)[:, :-1], ((0, 0), (1, 0)))
-        a_t = c + _cum_lse(ne - c, axis=1)
-        a_t = jnp.where(valid(t, r_t), a_t, NEG)
-        return (a_t, lpb_t), a_t
+        a_prev, lpb_prev, b_next = carry
+        (ta, lpb_a, lpe_a, da, ra), (tb, lpb_b, lpe_b, db, rb) = xs
 
+        # ---- alpha on row ta (ascending) ----
+        ne = shift_left_by(a_prev + lpb_prev, da)
+        ne = jnp.where((ta == 0) & (s_iota == 0), 0.0, ne)
+        lpe_ca = jnp.maximum(lpe_a, _CLAMP)
+        c = excl_prefix(lpe_ca)
+        a_t = c + _cum_lse(ne - c, axis=1)
+        a_t = jnp.where(valid(ta, ra), a_t, NEG)
+
+        # ---- beta on row tb (descending) ----
+        ne_b = shift_right_by(b_next, db) + lpb_b
+        u = rb[:, None] + s_iota
+        terminal = (tb == (Tb - 1)[:, None]) & (u == (Ub - 1)[:, None])
+        ne_b = jnp.where(terminal, lpb_b, ne_b)
+        lpe_cb = jnp.maximum(lpe_b, _CLAMP)
+        pre = excl_prefix(lpe_cb)
+        p = ne_b + pre
+        b_t = _cum_lse(p[:, ::-1], axis=1)[:, ::-1] - pre
+        b_t = jnp.where(valid(tb, rb), b_t, NEG)
+
+        return (a_t, lpb_a, b_t), (a_t, b_t)
+
+    mv = lambda x: jnp.moveaxis(x, 1, 0)
     ts = jnp.arange(T, dtype=jnp.int32)
-    init = (jnp.full((B, S), NEG), jnp.full((B, S), NEG))
-    xs = (ts, jnp.moveaxis(lpb, 1, 0), jnp.moveaxis(lpe, 1, 0),
-          jnp.moveaxis(delta, 1, 0), jnp.moveaxis(ranges, 1, 0))
-    _, a_rows = lax.scan(step, init, xs)
-    alphas = jnp.moveaxis(a_rows, 0, 1)  # (B, T, S)
+    xs_a = (ts, mv(lpb), mv(lpe), mv(delta_a), mv(ranges))
+    rev = lambda x: x[::-1]
+    xs_b = tuple(rev(x) for x in (ts, mv(lpb), mv(lpe), mv(delta_b), mv(ranges)))
+    init = (jnp.full((B, S), NEG), jnp.full((B, S), NEG), jnp.full((B, S), NEG))
+    _, (a_rows, b_rows) = lax.scan(step, init, (xs_a, xs_b))
+    alphas = jnp.moveaxis(a_rows, 0, 1)
+    betas = jnp.moveaxis(b_rows[::-1], 0, 1)
 
     batch = jnp.arange(B)
     t_last = Tb - 1
     s_star = Ub - 1 - ranges[batch, t_last]
-    ll = (alphas[batch, t_last, jnp.clip(s_star, 0, S - 1)]
-          + lpb[batch, t_last, jnp.clip(s_star, 0, S - 1)])
-    # terminal outside the band (utterance infeasible for this s_range):
-    # the clipped gather above reads a wrong-but-valid cell — mask it,
-    # otherwise a silently wrong finite loss is returned
-    ll = jnp.where((s_star >= 0) & (s_star < S), ll, NEG)
-    return alphas, ll
-
-
-def _band_betas(lpb, lpe, ranges, Tb, Ub):
-    """Reverse sweep: β(t,s) = LSE(β(t+1, s-δ(t+1)) + lpb, β(t, s+1) + lpe)."""
-    B, T, S = lpb.shape
-    s_iota = jnp.arange(S, dtype=jnp.int32)[None, :]
-    delta = jnp.diff(ranges, axis=1, append=ranges[:, -1:])  # δ(t+1) at index t
-    batch = jnp.arange(B)
-
-    def valid(t, r_t):
-        u = r_t[:, None] + s_iota
-        return (t < Tb[:, None]) & (u < Ub[:, None])
-
-    def shift_right_by(x, d):
-        """y[:, s] = x[:, s - d] (NEG outside [0, S)); both-sided clamp+mask
-        so adversarial deltas can never gather out of bounds (jit fills
-        NaN on OOB)."""
-        idx = s_iota - d[:, None]
-        ok = (idx >= 0) & (idx < S)
-        g = jnp.take_along_axis(x, jnp.clip(idx, 0, S - 1), axis=1)
-        return jnp.where(ok, g, NEG)
-
-    def step(b_next, xs):
-        t, lpb_t, lpe_t, d_t, r_t = xs
-        ne = shift_right_by(b_next, d_t) + lpb_t  # no-emit into t+1
-        # the terminal cell's β = lpb is a SOURCE of the within-row chain
-        # (cells left of it receive it through emits), so inject it into ne
-        u = r_t[:, None] + s_iota
-        terminal = (t == (Tb - 1)[:, None]) & (u == (Ub - 1)[:, None])
-        ne = jnp.where(terminal, lpb_t, ne)
-        # reverse within-row chain:
-        #   β(t,s) = LSE_{j >= s} ( ne(j) + Σ_{k=s..j-1} lpe(t,k) )
-        #          = LSE_{j >= s} ( ne(j) + pre(j) ) - pre(s)
-        # pre = exclusive prefix by shifting (cumsum(x)-x cancels at the
-        # clamped sentinel column)
-        lpe_c = jnp.maximum(lpe_t, _CLAMP)
-        pre = jnp.pad(jnp.cumsum(lpe_c, axis=1)[:, :-1], ((0, 0), (1, 0)))
-        p = ne + pre
-        suffix_lse = _cum_lse(p[:, ::-1], axis=1)[:, ::-1]
-        b_t = suffix_lse - pre
-        b_t = jnp.where(valid(t, r_t), b_t, NEG)
-        return b_t, b_t
-
-    ts = jnp.arange(T, dtype=jnp.int32)
-    xs = (ts, jnp.moveaxis(lpb, 1, 0), jnp.moveaxis(lpe, 1, 0),
-          jnp.moveaxis(delta, 1, 0), jnp.moveaxis(ranges, 1, 0))
-    init = jnp.full((B, S), NEG)
-    _, b_rows = lax.scan(step, init, xs, reverse=True)
-    betas = jnp.moveaxis(b_rows, 0, 1)
-    ll_backward = betas[:, 0, 0]  # ranges[:,0]==0 ⇒ cell (0, 0)
-    return betas, ll_backward
-
-
-def _band_lattice(lpb, lpe, ranges, input_lengths, label_lengths) -> BandLattice:
-    Tb = input_lengths.astype(jnp.int32)
-    Ub = label_lengths.astype(jnp.int32) + 1
-    alphas, ll_f = _band_alphas(lpb, lpe, ranges, Tb, Ub)
-    betas, ll_b = _band_betas(lpb, lpe, ranges, Tb, Ub)
+    ll_f = (alphas[batch, t_last, jnp.clip(s_star, 0, S - 1)]
+            + lpb[batch, t_last, jnp.clip(s_star, 0, S - 1)])
+    ll_f = jnp.where((s_star >= 0) & (s_star < S), ll_f, NEG)
+    ll_b = betas[:, 0, 0]
     return BandLattice(alphas, betas, ll_f, ll_b)
 
 

@@ -89,9 +89,16 @@ def _coefs(lpb, lpe, alphas, betas, ll, input_lengths, label_lengths, scale):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _simple_costs(am, lm, labels, input_lengths, label_lengths,
                   blank, implementation, precision):
-    costs, _ = _simple_fwd(am, lm, labels, input_lengths, label_lengths,
-                           blank, implementation, precision)
-    return costs
+    # primal-only path (scoring under plain jit): alphas only, no betas
+    U = lm.shape[1]
+    labels_u = _prep._pad_labels(labels.astype(jnp.int32), U)
+    labels_u = jnp.pad(labels_u, ((0, 0), (0, 1)), constant_values=0)
+    lpb, lpe, _, _, _, _ = _factorised_lattice_inputs(
+        am, lm, labels_u, blank, precision
+    )
+    res = _run_lattice(implementation, _prep.PreparedInputs(lpb, lpe, None),
+                       input_lengths, label_lengths, compute_betas=False)
+    return (-res.ll_forward).astype(am.dtype)
 
 
 def _simple_fwd(am, lm, labels, input_lengths, label_lengths,
