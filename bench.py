@@ -68,7 +68,7 @@ def slope_time_ms(run, target_s=0.3, n_cap=4096, reps=5):
     return (t2 - t1) / (n2 - n1) * 1e3
 
 
-def bench_config(B, T, L, V, impl, iters=10, warmup=3, seed=0):
+def bench_config(B, T, L, V, impl, iters=10, warmup=3, seed=0, dtype="f32"):
     """Measure per-call device time for loss+grad (forward + gradient)."""
     import os
 
@@ -79,11 +79,13 @@ def bench_config(B, T, L, V, impl, iters=10, warmup=3, seed=0):
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
+
     from warp_transducer_tpu import rnnt_loss
 
+    jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype]
     U = L + 1
     rng = np.random.RandomState(seed)
-    acts = jnp.asarray(rng.uniform(0, 1, size=(B, T, U, V)), jnp.float32)
+    acts = jnp.asarray(rng.uniform(0, 1, size=(B, T, U, V)), jdt)
     labels = jnp.asarray(rng.randint(1, V, size=(B, L)), jnp.int32)
     il = jnp.full((B,), T, jnp.int32)
     ll = jnp.full((B,), L, jnp.int32)
@@ -93,7 +95,7 @@ def bench_config(B, T, L, V, impl, iters=10, warmup=3, seed=0):
     )
     loss = float(jax.jit(lambda a: loss_grad(a)[0])(acts))
 
-    if B * T * U * V * 4 > int(1.5e9):
+    if B * T * U * V * acts.dtype.itemsize > int(1.5e9):
         # Big-config mode: the fori_loop harness needs two extra full-size
         # buffers (the perturbed copy + the while-carry copy of acts), which
         # pushes real-but-tight workloads out of HBM. Instead chain
@@ -121,8 +123,13 @@ def bench_config(B, T, L, V, impl, iters=10, warmup=3, seed=0):
         @jax.jit
         def run_with_acts(a, n):
             def body(i, carry):
-                loss, g = loss_grad(a * (1.0 + carry * 1e-30))
-                return loss * 1e-12 + g[0, 0, 0, 0] * 1e-12
+                # Scalar cast BEFORE the multiply keeps bf16 acts bf16 (an
+                # f32 carry would silently promote the whole tensor and
+                # double the HBM traffic being measured).
+                eps = (1.0 + carry * 1e-30).astype(a.dtype)
+                loss, g = loss_grad(a * eps)
+                return (loss.astype(jnp.float32) * 1e-12
+                        + g[0, 0, 0, 0].astype(jnp.float32) * 1e-12)
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
@@ -211,6 +218,9 @@ def main():
     p.add_argument("L", nargs="?", type=int, default=40)
     p.add_argument("V", nargs="?", type=int, default=28)
     p.add_argument("--impl", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                   help="activation dtype (bf16 halves big-tensor HBM traffic;"
+                        " the lattice recursion stays f32 either way)")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--all", action="store_true", help="run every baseline config")
     p.add_argument("--extras", action="store_true",
@@ -257,12 +267,14 @@ def main():
         return
 
     B, T, L, V = args.B, args.T, args.L, args.V
-    r = bench_config(B, T, L, V, args.impl, iters=args.iters)
+    r = bench_config(B, T, L, V, args.impl, iters=args.iters, dtype=args.dtype)
     base = BASELINES_MS.get((B, T, L, V))
+    tag = "" if args.dtype == "f32" else f",{args.dtype}"
     line = {
-        "metric": f"rnnt_loss+grad ms, B={B},T={T},L={L},V={V}",
+        "metric": f"rnnt_loss+grad ms, B={B},T={T},L={L},V={V}{tag}",
         "value": round(r["mean_ms"], 3),
         "unit": "ms",
+        # the reference has no bf16 path; its f32 number is still the bar
         "vs_baseline": round(base / r["mean_ms"], 3) if base else None,
     }
     print(json.dumps(line), flush=True)

@@ -60,6 +60,36 @@ wttStatus_t wtt_rnnt_loss_fp64(const double* acts, double* grads,
                                int maxT, int maxU,
                                double* costs, wttOptions options);
 
+/* Factorised ("simple") RNN-T loss for the additive joiner
+ *   logit[b,t,u,v] = am[b,t,v] + lm[b,u,v]
+ * — the (B, T, U, V) joint tensor is NEVER materialised; scratch is
+ * O((maxT+maxU)·V + maxT·maxU) per utterance. Exactly equals
+ * wtt_rnnt_loss on the expanded sum (same lattice, same math); gradients
+ * are the u-/t-marginals of the dense gradient, returned w.r.t. am / lm.
+ *
+ * am:      (B, maxT, V) row-major raw logits
+ * lm:      (B, maxU, V) row-major raw logits (maxU = max label len + 1)
+ * grad_am: (B, maxT, V) output, or NULL    (both NULL = score-only,
+ * grad_lm: (B, maxU, V) output, or NULL     one NULL alone is an error)
+ * options.from_log_probs must be 0: the additive joiner is defined on raw
+ * logits (log-softmax is fused); there is no pre-normalised convention.  */
+wttStatus_t wtt_rnnt_loss_simple(const float* am, const float* lm,
+                                 float* grad_am, float* grad_lm,
+                                 const int* labels, const int* label_lengths,
+                                 const int* input_lengths,
+                                 int alphabet_size, int minibatch,
+                                 int maxT, int maxU,
+                                 float* costs, wttOptions options);
+
+wttStatus_t wtt_rnnt_loss_simple_fp64(const double* am, const double* lm,
+                                      double* grad_am, double* grad_lm,
+                                      const int* labels,
+                                      const int* label_lengths,
+                                      const int* input_lengths,
+                                      int alphabet_size, int minibatch,
+                                      int maxT, int maxU,
+                                      double* costs, wttOptions options);
+
 #ifdef __cplusplus
 }
 #endif

@@ -122,12 +122,176 @@ class Lattice {
     }
   }
 
+  // Direct cache access for engines that build lpb/lpe themselves
+  // (the factorised loss) and then reuse the recursions above.
+  Real* lpb() { return lpb_.data(); }
+  Real* lpe() { return lpe_.data(); }
+  const Real* alpha() const { return alpha_.data(); }
+  const Real* beta() const { return beta_.data(); }
+
  private:
   size_t idx(int t, int u) const { return static_cast<size_t>(t) * U + u; }
   int T, U, V, maxU_, blank_;
   bool from_log_probs_;
   std::vector<Real> lpb_, lpe_, denom_, alpha_, beta_;
 };
+
+// Factorised per-utterance engine: joint = am ⊕ lm (see the JAX twin in
+// warp_transducer_tpu/ops/simple.py for the derivation). Scratch is
+// O((T+U)V + T·U); the gradient marginals are two small GEMMs.
+template <typename Real>
+void run_simple_utterance(const Real* am, const Real* lm, Real* gam,
+                          Real* glm, const int* labels, int T, int U, int V,
+                          int blank, Real* cost) {
+  const Real kFloor = static_cast<Real>(1e-30);
+  std::vector<Real> A(static_cast<size_t>(T) * V), Bm(static_cast<size_t>(U) * V);
+  std::vector<Real> Ma(T), Ml(U);
+  for (int t = 0; t < T; ++t) {
+    const Real* row = am + static_cast<size_t>(t) * V;
+    Real hi = row[0];
+    for (int v = 1; v < V; ++v) hi = std::max(hi, row[v]);
+    Ma[t] = hi;
+    for (int v = 0; v < V; ++v) A[static_cast<size_t>(t) * V + v] = std::exp(row[v] - hi);
+  }
+  for (int u = 0; u < U; ++u) {
+    const Real* row = lm + static_cast<size_t>(u) * V;
+    Real hi = row[0];
+    for (int v = 1; v < V; ++v) hi = std::max(hi, row[v]);
+    Ml[u] = hi;
+    for (int v = 0; v < V; ++v) Bm[static_cast<size_t>(u) * V + v] = std::exp(row[v] - hi);
+  }
+
+  // S = A · Bmᵀ  (the normalizer matmul), logZ = Ma ⊕ Ml + log S
+  std::vector<Real> S(static_cast<size_t>(T) * U);
+  for (int t = 0; t < T; ++t)
+    for (int u = 0; u < U; ++u) {
+      const Real* a = &A[static_cast<size_t>(t) * V];
+      const Real* b = &Bm[static_cast<size_t>(u) * V];
+      Real s = 0;
+      for (int v = 0; v < V; ++v) s += a[v] * b[v];
+      S[static_cast<size_t>(t) * U + u] = std::max(s, kFloor);
+    }
+
+  Lattice<Real> lat(T, U, V, U, blank, /*from_log_probs=*/true);
+  Real* lpb = lat.lpb();
+  Real* lpe = lat.lpe();
+  for (int t = 0; t < T; ++t)
+    for (int u = 0; u < U; ++u) {
+      const size_t cell = static_cast<size_t>(t) * U + u;
+      const Real logZ = Ma[t] + Ml[u] + std::log(S[cell]);
+      lpb[cell] = am[static_cast<size_t>(t) * V + blank] +
+                  lm[static_cast<size_t>(u) * V + blank] - logZ;
+      if (u < U - 1) {
+        const int y = labels[u];
+        lpe[cell] = am[static_cast<size_t>(t) * V + y] +
+                    lm[static_cast<size_t>(u) * V + y] - logZ;
+      }
+    }
+
+  const Real ll = lat.forward();
+  *cost = -ll;
+  if (!gam) return;
+
+  lat.backward();
+  const Real* alpha = lat.alpha();
+  const Real* beta = lat.beta();
+  // W = coef / S and the blank/emit correction coefficients (cf.
+  // _coefs in ops/simple.py; derivation docs/rnnt_math.md).
+  std::vector<Real> W(static_cast<size_t>(T) * U);
+  std::vector<Real> cb(static_cast<size_t>(T) * U), ce(static_cast<size_t>(T) * U);
+  for (int t = 0; t < T; ++t)
+    for (int u = 0; u < U; ++u) {
+      const size_t cell = static_cast<size_t>(t) * U + u;
+      W[cell] = std::exp(alpha[cell] + beta[cell] - ll) / S[cell];
+      const Real bt = (t < T - 1) ? beta[cell + U]
+                                  : ((u == U - 1) ? Real(0) : kNegInf<Real>);
+      const Real bu = (u < U - 1) ? beta[cell + 1] : kNegInf<Real>;
+      cb[cell] = std::exp(alpha[cell] + lpb[cell] + bt - ll);
+      ce[cell] = (u < U - 1) ? std::exp(alpha[cell] + lpe[cell] + bu - ll)
+                             : Real(0);
+    }
+
+  // d cost/d am = A ⊙ (W·Bm) − blank/emit corrections   (GEMM T×U·U×V)
+  for (int t = 0; t < T; ++t) {
+    Real* g = gam + static_cast<size_t>(t) * V;
+    for (int u = 0; u < U; ++u) {
+      const Real w = W[static_cast<size_t>(t) * U + u];
+      const Real* b = &Bm[static_cast<size_t>(u) * V];
+      for (int v = 0; v < V; ++v) g[v] += w * b[v];
+    }
+    Real cbsum = 0;
+    for (int u = 0; u < U; ++u) cbsum += cb[static_cast<size_t>(t) * U + u];
+    for (int v = 0; v < V; ++v) g[v] *= A[static_cast<size_t>(t) * V + v];
+    g[blank] -= cbsum;
+    for (int u = 0; u < U - 1; ++u)
+      g[labels[u]] -= ce[static_cast<size_t>(t) * U + u];
+  }
+
+  // d cost/d lm = Bm ⊙ (Wᵀ·A) − corrections             (GEMM U×T·T×V)
+  for (int u = 0; u < U; ++u) {
+    Real* g = glm + static_cast<size_t>(u) * V;
+    for (int t = 0; t < T; ++t) {
+      const Real w = W[static_cast<size_t>(t) * U + u];
+      const Real* a = &A[static_cast<size_t>(t) * V];
+      for (int v = 0; v < V; ++v) g[v] += w * a[v];
+    }
+    Real cbsum = 0, cesum = 0;
+    for (int t = 0; t < T; ++t) {
+      cbsum += cb[static_cast<size_t>(t) * U + u];
+      cesum += ce[static_cast<size_t>(t) * U + u];
+    }
+    for (int v = 0; v < V; ++v) g[v] *= Bm[static_cast<size_t>(u) * V + v];
+    g[blank] -= cbsum;
+    if (u < U - 1) g[labels[u]] -= cesum;
+  }
+}
+
+template <typename T>
+wttStatus_t run_simple(const T* am, const T* lm, T* gam, T* glm,
+                       const int* labels, const int* label_lengths,
+                       const int* input_lengths, int V, int B, int maxT,
+                       int maxU, T* costs, wttOptions options) {
+  if (!am || !lm || !labels || !label_lengths || !input_lengths || !costs)
+    return WTT_STATUS_BAD_ARGUMENT;
+  if ((gam == nullptr) != (glm == nullptr)) return WTT_STATUS_BAD_ARGUMENT;
+  if (V <= 0 || B <= 0 || maxT <= 0 || maxU <= 0 ||
+      options.blank_label < 0 || options.blank_label >= V ||
+      options.from_log_probs != 0)
+    return WTT_STATUS_BAD_ARGUMENT;
+  for (int b = 0; b < B; ++b) {
+    if (input_lengths[b] < 1 || input_lengths[b] > maxT) return WTT_STATUS_BAD_ARGUMENT;
+    if (label_lengths[b] < 0 || label_lengths[b] + 1 > maxU) return WTT_STATUS_BAD_ARGUMENT;
+  }
+
+#if defined(_OPENMP)
+  if (options.num_threads > 0) omp_set_num_threads(options.num_threads);
+#endif
+
+  const size_t am_block = static_cast<size_t>(maxT) * V;
+  const size_t lm_block = static_cast<size_t>(maxU) * V;
+  if (gam) {
+    std::memset(gam, 0, sizeof(T) * am_block * B);
+    std::memset(glm, 0, sizeof(T) * lm_block * B);
+  }
+
+  bool ok = true;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int b = 0; b < B; ++b) {
+    const int Tb = input_lengths[b];
+    const int Ub = label_lengths[b] + 1;
+    T cost;
+    run_simple_utterance<T>(
+        am + b * am_block, lm + b * lm_block,
+        gam ? gam + b * am_block : nullptr, glm ? glm + b * lm_block : nullptr,
+        labels + static_cast<size_t>(b) * (maxU - 1), Tb, Ub, V,
+        options.blank_label, &cost);
+    if (!std::isfinite(cost)) ok = false;
+    costs[b] = cost;
+  }
+  return ok ? WTT_STATUS_SUCCESS : WTT_STATUS_EXECUTION_FAILED;
+}
 
 template <typename T>
 wttStatus_t run(const T* acts, T* grads, const int* labels,
@@ -215,6 +379,30 @@ wttStatus_t wtt_rnnt_loss_fp64(const double* acts, double* grads,
                                double* costs, wttOptions options) {
   return run<double>(acts, grads, labels, label_lengths, input_lengths,
                      alphabet_size, minibatch, maxT, maxU, costs, options);
+}
+
+wttStatus_t wtt_rnnt_loss_simple(const float* am, const float* lm,
+                                 float* grad_am, float* grad_lm,
+                                 const int* labels, const int* label_lengths,
+                                 const int* input_lengths, int alphabet_size,
+                                 int minibatch, int maxT, int maxU,
+                                 float* costs, wttOptions options) {
+  return run_simple<float>(am, lm, grad_am, grad_lm, labels, label_lengths,
+                           input_lengths, alphabet_size, minibatch, maxT,
+                           maxU, costs, options);
+}
+
+wttStatus_t wtt_rnnt_loss_simple_fp64(const double* am, const double* lm,
+                                      double* grad_am, double* grad_lm,
+                                      const int* labels,
+                                      const int* label_lengths,
+                                      const int* input_lengths,
+                                      int alphabet_size, int minibatch,
+                                      int maxT, int maxU, double* costs,
+                                      wttOptions options) {
+  return run_simple<double>(am, lm, grad_am, grad_lm, labels, label_lengths,
+                            input_lengths, alphabet_size, minibatch, maxT,
+                            maxU, costs, options);
 }
 
 }  // extern "C"

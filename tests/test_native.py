@@ -64,6 +64,59 @@ class TestNative:
                 G.BIG_LABEL_LENGTHS,
             )
 
+    def test_simple_matches_jax(self):
+        """Native factorised loss vs the JAX rnnt_loss_simple: costs + grads."""
+        import jax
+        import jax.numpy as jnp
+
+        from warp_transducer_tpu import rnnt_loss_simple
+
+        rng = np.random.RandomState(13)
+        B, T, U, V = 3, 12, 7, 10
+        am = rng.randn(B, T, V).astype(np.float32)
+        lm = rng.randn(B, U, V).astype(np.float32)
+        labels = rng.randint(1, V, size=(B, U - 1)).astype(np.int32)
+        il = np.array([12, 9, 5], np.int32)
+        ll = np.array([6, 4, 2], np.int32)
+
+        costs_n, gam_n, glm_n = native.rnnt_loss_simple_native(
+            am, lm, labels, il, ll
+        )
+
+        def total(a, m):
+            return rnnt_loss_simple(
+                jnp.asarray(a), jnp.asarray(m), jnp.asarray(labels),
+                jnp.asarray(il), jnp.asarray(ll), reduction="sum",
+            )
+
+        costs_j = rnnt_loss_simple(
+            jnp.asarray(am), jnp.asarray(lm), jnp.asarray(labels),
+            jnp.asarray(il), jnp.asarray(ll), reduction="none",
+        )
+        gam_j, glm_j = jax.grad(total, argnums=(0, 1))(am, lm)
+        np.testing.assert_allclose(costs_n, np.asarray(costs_j), rtol=1e-4)
+        np.testing.assert_allclose(gam_n, np.asarray(gam_j), atol=2e-4)
+        np.testing.assert_allclose(glm_n, np.asarray(glm_j), atol=2e-4)
+
+    def test_simple_score_only_fp64(self):
+        rng = np.random.RandomState(17)
+        B, T, U, V = 2, 8, 5, 6
+        am = rng.randn(B, T, V)
+        lm = rng.randn(B, U, V)
+        labels = rng.randint(1, V, size=(B, U - 1)).astype(np.int32)
+        il = np.array([8, 6], np.int32)
+        ll = np.array([4, 2], np.int32)
+        costs, gam, glm = native.rnnt_loss_simple_native(
+            am, lm, labels, il, ll, compute_grads=False
+        )
+        assert gam is None and glm is None
+        # factorised == dense on the expanded sum
+        acts = am[:, :, None, :] + lm[:, None, :, :]
+        costs_d, _ = native.rnnt_loss_native(
+            acts, labels, il, ll, compute_grads=False
+        )
+        np.testing.assert_allclose(costs, costs_d, rtol=1e-10)
+
 
 class TestTorchBinding:
     def test_small_autograd(self):

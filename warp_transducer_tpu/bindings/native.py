@@ -83,6 +83,18 @@ def _load():
         fp(np.int32, flags="C_CONTIGUOUS"), I, I, I, I,
         fp(np.float64, flags="C_CONTIGUOUS"), _Options,
     ]
+    for name, ft in (("wtt_rnnt_loss_simple", np.float32),
+                     ("wtt_rnnt_loss_simple_fp64", np.float64)):
+        f = getattr(lib, name)
+        f.restype = ctypes.c_int
+        f.argtypes = [
+            fp(ft, flags="C_CONTIGUOUS"), fp(ft, flags="C_CONTIGUOUS"),
+            ctypes.c_void_p, ctypes.c_void_p,
+            fp(np.int32, flags="C_CONTIGUOUS"),
+            fp(np.int32, flags="C_CONTIGUOUS"),
+            fp(np.int32, flags="C_CONTIGUOUS"), I, I, I, I,
+            fp(ft, flags="C_CONTIGUOUS"), _Options,
+        ]
     _lib = lib
     return lib
 
@@ -131,3 +143,57 @@ def rnnt_loss_native(
             f"native rnnt loss failed: {_STATUS_STRINGS.get(status, status)}"
         )
     return costs, grads
+
+
+def rnnt_loss_simple_native(
+    am: np.ndarray,
+    lm: np.ndarray,
+    labels: np.ndarray,
+    input_lengths: np.ndarray,
+    label_lengths: np.ndarray,
+    blank: int = 0,
+    num_threads: int = 0,
+    compute_grads: bool = True,
+) -> Tuple[np.ndarray, Optional[np.ndarray], Optional[np.ndarray]]:
+    """Factorised additive-joiner loss with the native CPU engine.
+
+    ``am``: (B, T, V), ``lm``: (B, U, V) raw logits (float32/float64);
+    the (B, T, U, V) joint tensor is never materialised. Returns
+    (costs, grad_am, grad_lm); the grads are None when ``compute_grads``
+    is False. Matches ``warp_transducer_tpu.rnnt_loss_simple``.
+    """
+    lib = _load()
+    am = np.ascontiguousarray(am)
+    lm = np.ascontiguousarray(lm)
+    if am.dtype not in (np.float32, np.float64):
+        raise TypeError(f"am must be float32/float64, got {am.dtype}")
+    if am.ndim != 3 or lm.ndim != 3:
+        raise ValueError(f"am must be (B, T, V), lm (B, U, V); got {am.shape}, {lm.shape}")
+    if lm.dtype != am.dtype or lm.shape[0] != am.shape[0] or lm.shape[2] != am.shape[2]:
+        raise ValueError(f"am/lm mismatch: {am.shape}/{am.dtype} vs {lm.shape}/{lm.dtype}")
+    B, T, V = am.shape
+    U = lm.shape[1]
+    labels = np.ascontiguousarray(labels, dtype=np.int32)
+    if labels.shape != (B, U - 1):
+        fixed = np.zeros((B, U - 1), np.int32)
+        L = min(labels.shape[1], U - 1)
+        fixed[:, :L] = labels[:, :L]
+        labels = fixed
+    il = np.ascontiguousarray(input_lengths, dtype=np.int32)
+    ll = np.ascontiguousarray(label_lengths, dtype=np.int32)
+
+    costs = np.zeros((B,), am.dtype)
+    gam = np.zeros_like(am) if compute_grads else None
+    glm = np.zeros_like(lm) if compute_grads else None
+    gam_p = gam.ctypes.data_as(ctypes.c_void_p) if compute_grads else None
+    glm_p = glm.ctypes.data_as(ctypes.c_void_p) if compute_grads else None
+    opts = _Options(blank, num_threads, 0)
+
+    fn = (lib.wtt_rnnt_loss_simple if am.dtype == np.float32
+          else lib.wtt_rnnt_loss_simple_fp64)
+    status = fn(am, lm, gam_p, glm_p, labels, ll, il, V, B, T, U, costs, opts)
+    if status != 0:
+        raise RuntimeError(
+            f"native simple rnnt loss failed: {_STATUS_STRINGS.get(status, status)}"
+        )
+    return costs, gam, glm
