@@ -13,6 +13,7 @@ line: {"metric": ..., "value": ms, "unit": "ms", "vs_baseline": speedup}.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import subprocess
 import sys
@@ -95,6 +96,23 @@ def bench_config(B, T, L, V, impl, iters=10, warmup=3, seed=0, dtype="f32"):
     )
     loss = float(jax.jit(lambda a: loss_grad(a)[0])(acts))
 
+    # Pin the acts argument (and grads output) to the default major-to-minor
+    # layout. An isolated jit lets XLA pick the entry layout freely, and at
+    # large V it picks a batch-minor one — then inserts a full-size copy of
+    # acts to feed the Pallas prep kernel (which requires default layout).
+    # Measured at B=64,T=150,L=20,V=5000 bf16: 16.2 ms with the copy,
+    # temp buffer 2.4 GB; pinned: temp 0. In a real training step the joint
+    # network's matmul output already has this layout, so pinning makes the
+    # bench match production, not cheat it.
+    try:
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+
+        fmt = Format(Layout(tuple(range(4))),
+                     SingleDeviceSharding(jax.devices()[0]))
+    except Exception:  # pragma: no cover - older jax
+        fmt = None
+
     if B * T * U * V * acts.dtype.itemsize > int(1.5e9):
         # Big-config mode: the fori_loop harness needs two extra full-size
         # buffers (the perturbed copy + the while-carry copy of acts), which
@@ -102,7 +120,10 @@ def bench_config(B, T, L, V, impl, iters=10, warmup=3, seed=0, dtype="f32"):
         # DONATED dispatches: each call's gradient buffer becomes the next
         # call's input, so exactly one big buffer stays resident, and the
         # async dispatch queue amortises the per-call RPC overhead.
-        gf = jax.jit(lambda a: loss_grad(a)[1], donate_argnums=0)
+        layout_kw = (
+            {"in_shardings": (fmt,), "out_shardings": fmt} if fmt else {}
+        )
+        gf = jax.jit(lambda a: loss_grad(a)[1], donate_argnums=0, **layout_kw)
         state = {"a": acts}
 
         def run(n):
@@ -120,7 +141,9 @@ def bench_config(B, T, L, V, impl, iters=10, warmup=3, seed=0, dtype="f32"):
         # loss out of the loop — the carry-perturbed input prevents that).
         # ``acts`` MUST be a jit argument, not a closure: closed-over arrays
         # are captured as HLO constants and blow up remote compiles.
-        @jax.jit
+        layout_kw = {"in_shardings": (fmt, None)} if fmt else {}
+
+        @functools.partial(jax.jit, **layout_kw)
         def run_with_acts(a, n):
             def body(i, carry):
                 # Scalar cast BEFORE the multiply keeps bf16 acts bf16 (an

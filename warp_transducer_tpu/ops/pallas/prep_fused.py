@@ -29,7 +29,11 @@ MIN_FUSED_V = 512  # lane padding <= 25% and usually 0 for multiples of 128
 
 
 def _kernel(acts_ref, labels_ref, lpb_ref, lpe_ref, denom_ref, *, blank, U):
-    x = acts_ref[0]  # (Tt, U, V) f32
+    # Convert per-tile in VMEM: accepting bf16/f16 directly halves the HBM
+    # read AND avoids XLA materialising a full f32 copy of the (B,T,U,V)
+    # tensor just to feed this kernel (measured: that copy made bf16 slower
+    # than f32 end-to-end at B=64,V=5000).
+    x = acts_ref[0].astype(jnp.float32)  # (Tt, U, V)
     Tt, _, V = x.shape
     m = jnp.max(x, axis=-1)  # (Tt, U)
     s = jnp.sum(jnp.exp(x - m[..., None]), axis=-1)
@@ -83,14 +87,15 @@ def _fused_prep(acts, labels_u, blank, interpret):
 
 
 def fused_prep(acts, labels_u, blank, interpret=None):
-    """One-pass (lpb, lpe, denom) from raw f32 activations.
+    """One-pass (lpb, lpe, denom) from raw activations (f32/bf16/f16 —
+    converted to f32 per-tile inside the kernel; outputs are always f32).
 
     ``labels_u``: (B, U) int32, column U-1 ignored. lpe column U-1 is the
     -inf sentinel (as a finite NEG, matching the Pallas lattice kernels).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _fused_prep(acts.astype(jnp.float32), labels_u, int(blank), interpret)
+    return _fused_prep(acts, labels_u, int(blank), interpret)
 
 
 def use_fused_prep(V: int, dtype, log_probs_input: bool, U: int = 1) -> bool:

@@ -56,17 +56,20 @@ def prepare(
       blank: blank symbol index.
     """
     B, T, U, V = acts.shape
-    x = acts.astype(compute_dtype)
 
     from .pallas import prep_fused as _pf
 
     if _pf.use_fused_prep(V, compute_dtype, log_probs_input, U):
         # Large-V fast path: one read of the activations produces all three
-        # caches (vs three XLA passes). See pallas/prep_fused.py.
+        # caches (vs three XLA passes). Acts are passed in their NATIVE
+        # dtype — the kernel converts per-tile in VMEM, so bf16 inputs are
+        # read as bf16 (half the HBM traffic, no materialised f32 copy).
         labels_u = _pad_labels(labels.astype(jnp.int32), U)
         labels_full = jnp.pad(labels_u, ((0, 0), (0, 1)))  # (B, U)
-        lpb, lpe, denom = _pf.fused_prep(x, labels_full, blank)
+        lpb, lpe, denom = _pf.fused_prep(acts, labels_full, blank)
         return PreparedInputs(lpb=lpb, lpe=lpe, denom=denom)
+
+    x = acts.astype(compute_dtype)
 
     if log_probs_input:
         denom = None
