@@ -86,7 +86,12 @@ def bench_config(B, T, L, V, impl, iters=10, warmup=3, seed=0, dtype="f32"):
     jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype]
     U = L + 1
     rng = np.random.RandomState(seed)
-    acts = jnp.asarray(rng.uniform(0, 1, size=(B, T, U, V)), jdt)
+    # Generate acts ON DEVICE: a GB-scale host upload through the axon
+    # tunnel takes many minutes and has nothing to do with the op under
+    # test. (f32 uniform then cast so the values match across dtypes.)
+    acts = jax.jit(
+        lambda k: jax.random.uniform(k, (B, T, U, V), jnp.float32).astype(jdt)
+    )(jax.random.PRNGKey(seed))
     labels = jnp.asarray(rng.randint(1, V, size=(B, L)), jnp.int32)
     il = jnp.full((B,), T, jnp.int32)
     ll = jnp.full((B,), L, jnp.int32)
