@@ -118,13 +118,17 @@ def bench_config(B, T, L, V, impl, iters=10, warmup=3, seed=0, dtype="f32"):
     except Exception:  # pragma: no cover - older jax
         fmt = None
 
-    if B * T * U * V * acts.dtype.itemsize > int(1.5e9):
+    if B * T * U * V * acts.dtype.itemsize > int(2e8):
         # Big-config mode: the fori_loop harness needs two extra full-size
         # buffers (the perturbed copy + the while-carry copy of acts), which
-        # pushes real-but-tight workloads out of HBM. Instead chain
-        # DONATED dispatches: each call's gradient buffer becomes the next
-        # call's input, so exactly one big buffer stays resident, and the
-        # async dispatch queue amortises the per-call RPC overhead.
+        # pushes real-but-tight workloads out of HBM — and the ``a * eps``
+        # perturbed copy is MATERIALISED whenever prep is a Pallas call
+        # (custom-call operands can't absorb the multiply), adding a full
+        # write+read per iteration that a real training step doesn't have.
+        # Instead chain DONATED dispatches: each call's gradient buffer
+        # becomes the next call's input, so exactly one big buffer stays
+        # resident, no perturbation copy exists, and the async dispatch
+        # queue amortises the per-call RPC overhead.
         layout_kw = (
             {"in_shardings": (fmt,), "out_shardings": fmt} if fmt else {}
         )
