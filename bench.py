@@ -150,7 +150,16 @@ def bench_config(B, T, L, V, impl, iters=10, warmup=3, seed=0, dtype="f32"):
         # loss out of the loop — the carry-perturbed input prevents that).
         # ``acts`` MUST be a jit argument, not a closure: closed-over arrays
         # are captured as HLO constants and blow up remote compiles.
-        layout_kw = {"in_shardings": (fmt, None)} if fmt else {}
+        # Pin only when the fused Pallas prep runs (V >= MIN_FUSED_V):
+        # that's the op whose default-layout operand XLA otherwise feeds
+        # with a materialised copy. For small V there is no copy to kill
+        # and the pin sends the compiler into a 5-minute layout-assignment
+        # search at the headline shape (measured 307 s vs ~40 s).
+        from warp_transducer_tpu.ops.pallas.prep_fused import MIN_FUSED_V
+
+        layout_kw = (
+            {"in_shardings": (fmt, None)} if fmt and V >= MIN_FUSED_V else {}
+        )
 
         @functools.partial(jax.jit, **layout_kw)
         def run_with_acts(a, n):
