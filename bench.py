@@ -129,8 +129,13 @@ def bench_config(B, T, L, V, impl, iters=10, warmup=3, seed=0, dtype="f32"):
         # becomes the next call's input, so exactly one big buffer stays
         # resident, no perturbation copy exists, and the async dispatch
         # queue amortises the per-call RPC overhead.
+        # Pin only for fused-prep shapes — see the fori-mode comment below
+        # (at small V the pin triggers minutes-long layout assignment).
+        from warp_transducer_tpu.ops.pallas.prep_fused import MIN_FUSED_V
+
         layout_kw = (
-            {"in_shardings": (fmt,), "out_shardings": fmt} if fmt else {}
+            {"in_shardings": (fmt,), "out_shardings": fmt}
+            if fmt and V >= MIN_FUSED_V else {}
         )
         gf = jax.jit(lambda a: loss_grad(a)[1], donate_argnums=0, **layout_kw)
         state = {"a": acts}
