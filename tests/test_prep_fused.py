@@ -69,6 +69,27 @@ def test_loss_and_grad_with_fused_prep(monkeypatch):
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), rtol=1e-5, atol=1e-6)
 
 
+def test_fused_prep_bf16_input():
+    """bf16 acts go into the kernel UNCONVERTED (per-tile VMEM convert);
+    outputs are f32 and must match converting the whole tensor up front."""
+    rng = np.random.RandomState(4)
+    B, T, U, V = 2, 6, 4, 512
+    acts_bf = jnp.asarray(rng.randn(B, T, U, V) * 3.0, jnp.bfloat16)
+    labels = jnp.asarray(rng.randint(1, V, (B, U - 1)), jnp.int32)
+    labels_full = jnp.pad(labels, ((0, 0), (0, 1)))
+
+    lpb, lpe, denom = PF.fused_prep(acts_bf, labels_full, 0, interpret=True)
+    assert lpb.dtype == denom.dtype == jnp.float32
+
+    ref = P.prepare(acts_bf.astype(jnp.float32), labels, 0, log_probs_input=False)
+    np.testing.assert_allclose(np.asarray(lpb), np.asarray(ref.lpb), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(denom), np.asarray(ref.denom), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(lpe[:, :, : U - 1]), np.asarray(ref.lpe[:, :, : U - 1]),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
 def test_fused_prep_ragged_T_tile():
     """T not divisible by the tile: edge rows must still be exact."""
     rng = np.random.RandomState(2)
