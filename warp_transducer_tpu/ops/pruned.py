@@ -230,7 +230,12 @@ def _band_lattice(lpb, lpe, ranges, input_lengths, label_lengths) -> BandLattice
     rev = lambda x: x[::-1]
     xs_b = tuple(rev(x) for x in (ts, mv(lpb), mv(lpe), mv(delta_b), mv(ranges)))
     init = (jnp.full((B, S), NEG), jnp.full((B, S), NEG), jnp.full((B, S), NEG))
-    _, (a_rows, b_rows) = lax.scan(step, init, (xs_a, xs_b))
+    # unroll: the per-step work is tiny ((B,S) vector ops), so the T-step
+    # while-loop overhead dominates at long T; unrolling lets XLA fuse 8
+    # steps' elementwise work per loop iteration. Gated on T because the
+    # 8x-bigger loop body slows compilation with no runtime win at short T.
+    unroll = 8 if T >= 512 else 1
+    _, (a_rows, b_rows) = lax.scan(step, init, (xs_a, xs_b), unroll=unroll)
     alphas = jnp.moveaxis(a_rows, 0, 1)
     betas = jnp.moveaxis(b_rows[::-1], 0, 1)
 
