@@ -123,6 +123,70 @@ class TestModuleWrapper:
         opts = RNNTOptions(blank=1, reduction="sum")
         assert opts.blank == 1 and opts.reduction == "sum"
 
+    def test_options_honored_by_rnnt_loss(self):
+        """rnnt_loss(options=...) takes precedence over the kwargs."""
+        acts, labels, il, ll = _fixture()
+        opts = RNNTOptions(reduction="sum", implementation="xla")
+        out = rnnt_loss(acts, labels, il, ll, reduction="none", options=opts)
+        assert out.shape == ()  # options.reduction won
+        np.testing.assert_allclose(float(out), G.BIG_COSTS.sum(), rtol=1e-5)
+
+    def test_options_honored_by_module(self):
+        acts, labels, il, ll = _fixture()
+        mod = RNNTLoss(options=RNNTOptions(reduction="sum", implementation="xla"))
+        np.testing.assert_allclose(
+            float(mod(acts, labels, il, ll)), G.BIG_COSTS.sum(), rtol=1e-5
+        )
+
+    def test_fwd_bwd_check_warns(self, capfd):
+        """fwd_bwd_check_tol arms the likelihood self-check; a negative tol
+        always trips it (ll_fwd == ll_bwd up to rounding, diff > -1)."""
+        acts, labels, il, ll = _fixture()
+        opts = RNNTOptions(reduction="sum", implementation="xla",
+                           fwd_bwd_check_tol=-1.0)
+        out = rnnt_loss(acts, labels, il, ll, options=opts)
+        jax.effects_barrier()
+        captured = capfd.readouterr()
+        assert "likelihood mismatch" in captured.out + captured.err
+        np.testing.assert_allclose(float(out), G.BIG_COSTS.sum(), rtol=1e-5)
+
+    def test_fwd_bwd_check_silent_when_consistent(self, capfd):
+        acts, labels, il, ll = _fixture()
+        opts = RNNTOptions(reduction="sum", implementation="xla",
+                           fwd_bwd_check_tol=0.1)
+        rnnt_loss(acts, labels, il, ll, options=opts)
+        jax.effects_barrier()
+        captured = capfd.readouterr()
+        assert "likelihood mismatch" not in captured.out + captured.err
+
+    def test_fwd_bwd_check_under_grad(self, capfd):
+        """The check also runs on the training (custom_vjp fwd) path."""
+        acts, labels, il, ll = _fixture()
+        opts = RNNTOptions(reduction="sum", implementation="xla",
+                           fwd_bwd_check_tol=-1.0)
+        jax.grad(lambda a: rnnt_loss(a, labels, il, ll, options=opts))(acts)
+        jax.effects_barrier()
+        captured = capfd.readouterr()
+        assert "likelihood mismatch" in captured.out + captured.err
+
+
+class TestDtypeSteering:
+    def test_bf16_small_v_upcast_matches_f32(self):
+        """auto + bf16 + small V takes the f32 path (same costs bitwise)."""
+        acts, labels, il, ll = _fixture()
+        acts_bf = acts.astype(jnp.bfloat16)
+        out_auto = rnnt_loss(acts_bf, labels, il, ll, reduction="none",
+                             implementation="auto")
+        out_f32 = rnnt_loss(acts_bf.astype(jnp.float32), labels, il, ll,
+                            reduction="none", implementation="xla")
+        np.testing.assert_allclose(
+            np.asarray(out_auto, np.float32), np.asarray(out_f32), rtol=1e-6
+        )
+        # gradients flow back in the caller's dtype
+        g = jax.grad(lambda a: rnnt_loss(a, labels, il, ll, reduction="sum",
+                                         implementation="auto"))(acts_bf)
+        assert g.dtype == jnp.bfloat16
+
 
 class TestLengths:
     def test_ragged_vs_oracle(self):

@@ -166,15 +166,18 @@ class TestBeamSearch:
         return model, params, feats, fl
 
     def test_beam_score_is_true_path_score(self):
-        """The returned score must equal the Viterbi path score of the
-        returned hypothesis (rescored through the loss machinery)."""
+        """Without prefix merging, the returned score must equal a single
+        path score of the returned hypothesis (rescored through the loss
+        machinery); with merging it pools all paths and may only exceed it
+        (see test_merged_score_bounds)."""
         from warp_transducer_tpu.models.decoding import beam_search_decode
         from warp_transducer_tpu.ops.alignment import rnnt_viterbi_align
 
         model, params, feats, fl = self._setup()
         bt, bn, bs = jax.jit(
             lambda f, l: beam_search_decode(
-                model, params, f, l, max_symbols=6, beam=4, expansions=8
+                model, params, f, l, max_symbols=6, beam=4, expansions=8,
+                merge=False,
             )
         )(feats, fl)
         # rescore the best hypothesis: its Viterbi alignment score must be
@@ -220,3 +223,107 @@ class TestBeamSearch:
         assert np.all(np.diff(s4, axis=1) <= 1e-5)  # sorted best-first
         # wider beam never returns a worse best hypothesis
         assert np.all(s4[:, 0] >= np.asarray(s1)[:, 0] - 1e-5)
+
+    def test_merged_score_bounds(self):
+        """The pooled score of a merged hypothesis is sandwiched between its
+        Viterbi best-path score and its full marginal log-likelihood."""
+        from warp_transducer_tpu.models.decoding import beam_search_decode
+        from warp_transducer_tpu.ops.alignment import rnnt_viterbi_align
+        from warp_transducer_tpu.ops.rnnt import rnnt_score
+
+        model, params, feats, fl = self._setup()
+        bt, bn, bs = beam_search_decode(model, params, feats, fl,
+                                        max_symbols=6, beam=4, expansions=8,
+                                        merge=True)
+        for b in range(feats.shape[0]):
+            n = int(bn[b, 0])
+            if n == 0:
+                continue
+            labels = bt[b : b + 1, 0, :n]
+            acts = model.apply(params, feats[b : b + 1], fl[b : b + 1], labels)
+            vit = rnnt_viterbi_align(
+                acts.astype(jnp.float32), labels, fl[b : b + 1],
+                jnp.asarray([n], jnp.int32),
+            )
+            full_ll = -float(rnnt_score(
+                acts.astype(jnp.float32), labels, fl[b : b + 1],
+                jnp.asarray([n], jnp.int32), implementation="xla",
+            )[0])
+            pooled = float(bs[b, 0])
+            assert float(vit.score[0]) - 1e-3 <= pooled <= full_ll + 1e-3, (
+                b, float(vit.score[0]), pooled, full_ll
+            )
+
+    def test_prefix_merge_pools_probability(self):
+        """merge=True pools duplicate token strings: the best merged score
+        is >= the best unmerged score, and the surviving live beams hold
+        distinct hypotheses."""
+        from warp_transducer_tpu.models.decoding import beam_search_decode
+
+        model, params, feats, fl = self._setup()
+        tm, nm, sm = beam_search_decode(model, params, feats, fl,
+                                        max_symbols=6, beam=4, expansions=3,
+                                        merge=True)
+        tu, nu, su = beam_search_decode(model, params, feats, fl,
+                                        max_symbols=6, beam=4, expansions=3,
+                                        merge=False)
+        sm, su = np.asarray(sm), np.asarray(su)
+        assert np.all(sm[:, 0] >= su[:, 0] - 1e-5)
+        # merged beams: no two live beams share the same token string
+        tm, nm = np.asarray(tm), np.asarray(nm)
+        for b in range(tm.shape[0]):
+            seen = set()
+            for k in range(tm.shape[1]):
+                if sm[b, k] <= -1e29:
+                    continue
+                key = tuple(tm[b, k, : nm[b, k]])
+                assert key not in seen, (b, k, key)
+                seen.add(key)
+
+    def test_decode_survives_layer_rename(self):
+        """Decoders must use module methods, not raw param paths: a model
+        whose Prediction uses different layer names must still decode."""
+        import flax.linen as nn
+
+        from warp_transducer_tpu.models.decoding import (
+            beam_search_decode, greedy_decode,
+        )
+        from warp_transducer_tpu.models.transducer import (
+            Encoder, Joint, Prediction, Transducer, TransducerConfig,
+        )
+
+        class RenamedPrediction(Prediction):
+            def setup(self):
+                c = self.cfg
+                self.embed = nn.Embed(c.vocab_size, c.prediction_dim,
+                                      dtype=c.dtype, name="TotallyDifferentEmbed")
+                self.cell = nn.OptimizedLSTMCell(c.prediction_dim, dtype=c.dtype,
+                                                 name="RenamedCell")
+
+        class RenamedModel(Transducer):
+            def setup(self):
+                self.encoder = Encoder(self.cfg, name="Encoder_0")
+                self.prediction = RenamedPrediction(self.cfg, name="PredX")
+                self.joint = Joint(self.cfg, name="Joint_0")
+                self.am_head = nn.Dense(self.cfg.vocab_size, dtype=self.cfg.dtype)
+                self.lm_head = nn.Dense(self.cfg.vocab_size, dtype=self.cfg.dtype)
+
+        cfg = TransducerConfig(
+            vocab_size=8, encoder_dim=16, encoder_layers=1, encoder_heads=2,
+            prediction_dim=16, joint_dim=16, input_dim=6, conv_kernel=3,
+            dtype=jnp.float32,
+        )
+        model = RenamedModel(cfg)
+        B, T = 2, 5
+        rng = np.random.RandomState(0)
+        feats = jnp.asarray(rng.randn(B, T, cfg.input_dim), jnp.float32)
+        fl = jnp.asarray([5, 4], jnp.int32)
+        labels = jnp.zeros((B, 3), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), feats, fl, labels)
+
+        gt, gn = greedy_decode(model, params, feats, fl, max_symbols=4)
+        assert gt.shape == (B, 4)
+        bt, bn, bs = beam_search_decode(model, params, feats, fl,
+                                        max_symbols=4, beam=2, expansions=2)
+        assert bt.shape == (B, 2, 4)
+        assert np.isfinite(np.asarray(bs)[:, 0]).all()

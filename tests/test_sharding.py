@@ -87,6 +87,23 @@ class TestAutoSharded:
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
 
+    def test_output_sharding_pinned(self, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        acts, labels, il, ll = _problem(seed=5)
+        out = auto_sharded_rnnt_loss(
+            acts, labels, il, ll, mesh, reduction="none", implementation="xla"
+        )
+        assert out.sharding.is_equivalent_to(
+            NamedSharding(mesh, P("data")), out.ndim
+        ), out.sharding
+        # every device holds exactly B / n_devices costs
+        assert {s.data.shape for s in out.addressable_shards} == {(1,)}
+        scalar = auto_sharded_rnnt_loss(
+            acts, labels, il, ll, mesh, reduction="sum", implementation="xla"
+        )
+        assert scalar.sharding.is_fully_replicated
+
 
 class TestNewLossesSharded:
     """simple/pruned losses are batch-parallel: GSPMD shards them cleanly."""

@@ -1,0 +1,125 @@
+"""TensorFlow binding tests: the golden cases of the reference's
+``tensorflow_binding/tests/test_warprnnt_op.py:10-94`` ported to the
+jax2tf-based binding, plus graph-mode and SavedModel coverage the
+reference never had.
+"""
+import numpy as np
+import pytest
+
+import golden as G
+
+tf = pytest.importorskip("tensorflow")
+
+from warp_transducer_tpu.bindings import tf_binding  # noqa: E402
+
+
+def _grads(acts, labels, il, ll, **kw):
+    acts_t = tf.constant(acts)
+    with tf.GradientTape() as tape:
+        tape.watch(acts_t)
+        costs = tf_binding.rnnt_loss(
+            acts_t, tf.constant(labels), tf.constant(il), tf.constant(ll), **kw
+        )
+        total = tf.reduce_sum(costs)
+    return costs.numpy(), tape.gradient(total, acts_t).numpy()
+
+
+class TestGolden:
+    def test_small(self):
+        """small_test fixture (B=1,T=2,U=3,V=5), raw-acts convention."""
+        costs, grads = _grads(
+            G.SMALL_ACTS, G.SMALL_LABELS, G.SMALL_INPUT_LENGTHS,
+            G.SMALL_LABEL_LENGTHS,
+        )
+        np.testing.assert_allclose(costs, [G.SMALL_COST], rtol=1e-5)
+        np.testing.assert_allclose(grads, G.SMALL_GRADS_ACTS, atol=1e-6)
+
+    def test_multiple_batches(self):
+        """options/big test (B=2,T=4,U=3,V=3) — costs and dense grads
+        (test_warprnnt_op.py:52-86)."""
+        costs, grads = _grads(
+            G.BIG_ACTS.astype(np.float32), G.BIG_LABELS,
+            G.BIG_INPUT_LENGTHS, G.BIG_LABEL_LENGTHS,
+        )
+        np.testing.assert_allclose(costs, G.BIG_COSTS.astype(np.float32), rtol=1e-5)
+        np.testing.assert_allclose(grads, G.BIG_GRADS_ACTS, atol=1e-6)
+
+    def test_log_probs_convention(self):
+        """CPU convention: caller applies log_softmax, sparse gradient
+        (the reference TF op's non-GPU path, test_warprnnt_op.py:20-21)."""
+        acts = tf.constant(G.BIG_ACTS.astype(np.float32))
+        with tf.GradientTape() as tape:
+            tape.watch(acts)
+            lp = tf.nn.log_softmax(acts, axis=-1)
+            costs = tf_binding.rnnt_loss(
+                lp, tf.constant(G.BIG_LABELS), tf.constant(G.BIG_INPUT_LENGTHS),
+                tf.constant(G.BIG_LABEL_LENGTHS), from_log_probs=True,
+            )
+            total = tf.reduce_sum(costs)
+        grads = tape.gradient(total, acts).numpy()
+        np.testing.assert_allclose(costs.numpy(), G.BIG_COSTS.astype(np.float32), rtol=1e-5)
+        # chain rule through log_softmax turns the sparse log-prob gradient
+        # into the dense activation gradient
+        np.testing.assert_allclose(grads, G.BIG_GRADS_ACTS, atol=1e-6)
+
+
+class TestGraphMode:
+    def test_tf_function(self):
+        """The op must be graph-compatible (XlaCallModule, not numpy_function)."""
+
+        @tf.function(autograph=False)
+        def f(a):
+            return tf_binding.rnnt_loss(
+                a, tf.constant(G.BIG_LABELS), tf.constant(G.BIG_INPUT_LENGTHS),
+                tf.constant(G.BIG_LABEL_LENGTHS),
+            )
+
+        costs = f(tf.constant(G.BIG_ACTS.astype(np.float32)))
+        np.testing.assert_allclose(costs.numpy(), G.BIG_COSTS.astype(np.float32), rtol=1e-5)
+        # and its graph must not contain a py_func-style escape hatch
+        graph_ops = {op.type for op in f.get_concrete_function(
+            tf.TensorSpec(G.BIG_ACTS.shape, tf.float32)).graph.get_operations()}
+        assert not any("PyFunc" in o or "EagerPyFunc" in o for o in graph_ops), graph_ops
+
+    def test_gradient_in_graph_mode(self):
+        @tf.function(autograph=False)
+        def g(a):
+            with tf.GradientTape() as tape:
+                tape.watch(a)
+                costs = tf_binding.rnnt_loss(
+                    a, tf.constant(G.BIG_LABELS), tf.constant(G.BIG_INPUT_LENGTHS),
+                    tf.constant(G.BIG_LABEL_LENGTHS),
+                )
+                total = tf.reduce_sum(costs)
+            return tape.gradient(total, a)
+
+        grads = g(tf.constant(G.BIG_ACTS.astype(np.float32))).numpy()
+        np.testing.assert_allclose(grads, G.BIG_GRADS_ACTS, atol=1e-6)
+
+
+class TestSavedModel:
+    def test_round_trip(self, tmp_path):
+        mod = tf_binding.make_rnnt_loss_module()
+        acts = tf.constant(G.BIG_ACTS.astype(np.float32))
+        args = (acts, tf.constant(G.BIG_LABELS),
+                tf.constant(G.BIG_INPUT_LENGTHS), tf.constant(G.BIG_LABEL_LENGTHS))
+        before = mod(*args).numpy()
+        path = str(tmp_path / "rnnt_loss_sm")
+        tf.saved_model.save(mod, path)
+        loaded = tf.saved_model.load(path)
+        after = loaded(*args).numpy()
+        np.testing.assert_allclose(before, after, rtol=1e-6)
+        np.testing.assert_allclose(after, G.BIG_COSTS.astype(np.float32), rtol=1e-5)
+
+
+class TestNativeFallback:
+    def test_native_fallback_costs(self):
+        from warp_transducer_tpu.bindings.native import available
+
+        if not available():
+            pytest.skip("native backend not built")
+        costs = tf_binding.rnnt_loss_native_op(
+            tf.constant(G.BIG_ACTS.astype(np.float32)), tf.constant(G.BIG_LABELS),
+            tf.constant(G.BIG_INPUT_LENGTHS), tf.constant(G.BIG_LABEL_LENGTHS),
+        )
+        np.testing.assert_allclose(costs.numpy(), G.BIG_COSTS.astype(np.float32), rtol=1e-5)

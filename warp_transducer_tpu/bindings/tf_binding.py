@@ -1,15 +1,31 @@
-"""TensorFlow binding over the native CPU backend.
+"""TensorFlow binding: the JAX RNN-T loss lowered into TF via jax2tf.
 
-Capability parity with the reference's TF custom op
-(/root/reference/tensorflow_binding/): a ``tf.custom_gradient`` function
-computing costs in forward and replaying the cached analytic gradient in
-backward (the reference op likewise returns grads as a second output and its
-registered gradient only rescales them, tf ``__init__.py:37-42``).
+Capability parity with the reference's compiled TF custom op
+(/root/reference/tensorflow_binding/src/warprnnt_op.cc:13-191 and
+``warprnnt_tensorflow/__init__.py:9-48``), redesigned the TPU-native way:
+instead of a hand-built C++ kernel + registered gradient, the *same*
+``jax.custom_vjp`` op that serves JAX users is converted with
+``jax2tf.convert(with_gradient=True)``:
 
-TensorFlow is an optional dependency; this module imports lazily and raises
-a clear error if TF is absent.  CPU-only — the TPU path is the JAX API.
+* graph-compatible: the op lowers to a single ``XlaCallModule`` (StableHLO)
+  node — works under ``tf.function``, serializes into a SavedModel, and
+  runs on any TF device with an XLA backend (the reference op is CPU/GPU
+  kernels compiled per framework build);
+* the registered gradient is the real analytic VJP (lazy backward pass),
+  not a cached-grads rescale, so TF training steps get the same
+  memory/performance profile as JAX ones;
+* dtype fidelity: f32 and bf16 pass straight through (the reference op
+  registers float32 only and silently rejects everything else,
+  warprnnt_op.cc:136-150).
+
+TensorFlow is an optional dependency; this module imports it lazily.
+The legacy native-CPU path (``tf.numpy_function`` over the C backend) is
+kept as ``rnnt_loss_native_op`` for environments without an XLA-capable
+TF runtime.
 """
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 
@@ -27,10 +43,76 @@ def _tf():
         ) from e
 
 
+@functools.lru_cache(maxsize=None)
+def _converted_loss(blank: int, log_probs_input: bool,
+                    platforms: tuple = ("cpu",)):
+    from jax.experimental import jax2tf
+
+    from ..ops.rnnt import rnnt_loss as jax_rnnt_loss
+
+    def fn(acts, labels, input_lengths, label_lengths):
+        # implementation='xla': the portable engine — a Pallas custom call
+        # would pin the StableHLO payload to one backend, and the lowering
+        # platform must be chosen HERE (TF's runtime device), not inherited
+        # from whatever jax.default_backend() happens to be.
+        return jax_rnnt_loss(
+            acts, labels, input_lengths, label_lengths,
+            blank=blank, reduction="none", log_probs_input=log_probs_input,
+            implementation="xla",
+        )
+
+    return jax2tf.convert(
+        fn, with_gradient=True, native_serialization_platforms=platforms
+    )
+
+
 def rnnt_loss(acts, labels, input_lengths, label_lengths, blank=0,
-              from_log_probs=False):
-    """RNN-T loss for TF graphs: returns per-utterance costs (B,),
-    differentiable w.r.t. ``acts``."""
+              from_log_probs=False, platforms=("cpu",)):
+    """RNN-T loss for TF graphs: per-utterance costs (B,), differentiable
+    w.r.t. ``acts`` — the drop-in for ``warprnnt_tensorflow.rnnt_loss``
+    (/root/reference/tensorflow_binding/warprnnt_tensorflow/__init__.py:9-34).
+
+    Args:
+      acts: (B, T, U, V) float32/bfloat16 joint activations (raw by
+        default; log-softmax is fused into the loss).
+      labels: (B, L) int32 targets, L >= U-1.
+      input_lengths / label_lengths: (B,) int32.
+      blank: blank index.
+      from_log_probs: inputs already log-softmaxed (reference CPU
+        convention; sparse gradient).
+      platforms: lowering targets baked into the StableHLO payload
+        (default CPU; pass ("cpu", "tpu") for a module that runs on both).
+    """
+    tf = _tf()
+    fn = _converted_loss(int(blank), bool(from_log_probs), tuple(platforms))
+    return fn(
+        acts,
+        tf.cast(labels, tf.int32),
+        tf.cast(input_lengths, tf.int32),
+        tf.cast(label_lengths, tf.int32),
+    )
+
+
+def make_rnnt_loss_module(blank: int = 0, from_log_probs: bool = False,
+                          platforms=("cpu",)):
+    """A ``tf.Module`` wrapping the loss in a ``tf.function`` — ready for
+    ``tf.saved_model.save`` (the SavedModel carries the StableHLO payload,
+    no Python or JAX needed at serving time)."""
+    tf = _tf()
+    fn = _converted_loss(int(blank), bool(from_log_probs), tuple(platforms))
+
+    class RNNTLossModule(tf.Module):
+        @tf.function(autograph=False)
+        def __call__(self, acts, labels, input_lengths, label_lengths):
+            return fn(acts, labels, input_lengths, label_lengths)
+
+    return RNNTLossModule()
+
+
+def rnnt_loss_native_op(acts, labels, input_lengths, label_lengths, blank=0,
+                        from_log_probs=False):
+    """Legacy eager-only fallback over the native CPU backend
+    (``tf.numpy_function``; not graph-serializable — prefer ``rnnt_loss``)."""
     tf = _tf()
 
     @tf.custom_gradient

@@ -1,9 +1,14 @@
-"""Greedy RNN-T decoding for the flagship Transducer model.
+"""Greedy and beam-search RNN-T decoding for the flagship Transducer model.
 
-Jittable, static-shape greedy decode: at each step either emit the argmax
-label (advancing the prediction network) or consume the next encoder frame
-on blank.  The loop runs a fixed ``T + max_symbols`` steps with masking —
-no data-dependent Python control flow (XLA-friendly).
+Jittable, static-shape decoders: no data-dependent Python control flow
+(XLA-friendly ``lax.scan`` loops with masking). All prediction-network and
+joint-network access goes through module methods
+(``model.predict_init / predict_step / joint_step`` via ``model.apply``) —
+never through raw parameter-dict paths — so renaming or restructuring
+layers inside the model cannot silently break decoding.
+
+The reference library ships no decoding at all; this is beyond-reference
+functionality.
 """
 from __future__ import annotations
 
@@ -12,6 +17,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+NEG = -1.0e30
 
 
 def greedy_decode(
@@ -24,34 +31,24 @@ def greedy_decode(
 ) -> Tuple[jax.Array, jax.Array]:
     """Greedy decode a batch.
 
+    At each step either emit the argmax label (advancing the prediction
+    network) or consume the next encoder frame on blank; the loop runs a
+    fixed ``T + max_symbols`` steps with masking.
+
     Returns (tokens, token_lengths): tokens is (B, max_symbols) int32 padded
     with ``blank``.
     """
-    cfg = model.cfg
     B, T = feats.shape[0], feats.shape[1]
 
     enc = model.apply(params, feats, feat_lengths, method=model.encode)  # (B, T, H)
 
-    import flax.linen as nn
-
-    cell = nn.OptimizedLSTMCell(cfg.prediction_dim, dtype=cfg.dtype)
-
-    def pred_step(carry_state, token):
-        """One prediction-network step for a (B,) token batch."""
-        emb_tbl = params["params"]["Prediction_0"]["Embed_0"]["embedding"]
-        emb = jnp.take(emb_tbl, token, axis=0).astype(cfg.dtype)
-        lstm_params = {"params": params["params"]["Prediction_0"]["ScanOptimizedLSTMCell_0"]}
-        new_state, out = cell.apply(lstm_params, carry_state, emb)
-        return new_state, out
+    def pred_step(state, token):
+        return model.apply(params, state, token, method=model.predict_step)
 
     def joint_step(e_frame, p_out):
-        jp = params["params"]["Joint_0"]
-        e = e_frame @ jp["Dense_0"]["kernel"].astype(cfg.dtype) + jp["Dense_0"]["bias"].astype(cfg.dtype)
-        p = p_out @ jp["Dense_1"]["kernel"].astype(cfg.dtype) + jp["Dense_1"]["bias"].astype(cfg.dtype)
-        h = jnp.tanh(e + p)
-        return h @ jp["Dense_2"]["kernel"].astype(cfg.dtype) + jp["Dense_2"]["bias"].astype(cfg.dtype)
+        return model.apply(params, e_frame, p_out, method=model.joint_step)
 
-    state0 = cell.initialize_carry(jax.random.PRNGKey(0), (B, cfg.prediction_dim))
+    state0 = model.apply(params, B, method=model.predict_init)
     state0, pred0 = pred_step(state0, jnp.full((B,), blank, jnp.int32))
 
     def body(carry, _):
@@ -91,6 +88,34 @@ def greedy_decode(
     return tokens, n_sym
 
 
+def _merge_duplicate_hyps(scores, tokens, n):
+    """Pool the probability of duplicate hypotheses (equal token strings).
+
+    Hypotheses with the same emitted token sequence are the same hypothesis
+    reached along different lattice paths; their probabilities add. The
+    prediction-network state is a deterministic function of the token
+    string, so keeping the lowest-index (canonical) member's state is exact.
+
+    scores (B, M), tokens (B, M, L) blank-padded, n (B, M) emission counts.
+    Returns scores with each duplicate class's log-prob pooled onto its
+    canonical member and all other members masked to NEG.
+    """
+    M = scores.shape[1]
+    same = (n[:, :, None] == n[:, None, :]) & jnp.all(
+        tokens[:, :, None, :] == tokens[:, None, :, :], axis=-1
+    )  # (B, M, M); diagonal is True
+    idx = jnp.arange(M)
+    first = jnp.argmax(same, axis=-1)  # lowest j equal to i
+    is_canon = first == idx[None, :]
+    # log-sum-exp over each duplicate class (finite NEG sentinel: NaN-free)
+    m = jnp.max(jnp.where(same, scores[:, None, :], NEG), axis=-1)
+    pooled = m + jnp.log(
+        jnp.sum(jnp.where(same, jnp.exp(scores[:, None, :] - m[..., None]), 0.0),
+                axis=-1)
+    )
+    return jnp.where(is_canon, pooled, NEG)
+
+
 def beam_search_decode(
     model,
     params,
@@ -100,47 +125,32 @@ def beam_search_decode(
     beam: int = 4,
     expansions: int = 3,
     blank: int = 0,
+    merge: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Time-synchronous beam search (no prefix merging) — jittable, static
-    shapes. The reference library ships no decoding at all.
+    """Time-synchronous beam search — jittable, static shapes.
 
     Per frame, each of ``beam`` hypotheses may emit up to ``expansions``
     labels before consuming the frame with a blank; the K best blank-closed
-    hypotheses survive to the next frame.
+    hypotheses survive to the next frame. With ``merge`` (default), closed
+    hypotheses with identical token strings pool their probability
+    (log-sum-exp) instead of occupying duplicate beam slots.
 
     Returns (tokens (B, K, max_symbols), token_lengths (B, K),
     scores (B, K)), beams sorted best-first. ``beam=1, expansions`` large
     reduces to greedy decoding.
     """
-    cfg = model.cfg
     B, T = feats.shape[0], feats.shape[1]
     K = beam
-    NEG = jnp.asarray(-1e30, jnp.float32)
 
     enc = model.apply(params, feats, feat_lengths, method=model.encode)
 
-    import flax.linen as nn
-
-    cell = nn.OptimizedLSTMCell(cfg.prediction_dim, dtype=cfg.dtype)
-    emb_tbl = params["params"]["Prediction_0"]["Embed_0"]["embedding"]
-    lstm_params = {"params": params["params"]["Prediction_0"]["ScanOptimizedLSTMCell_0"]}
-    jp = params["params"]["Joint_0"]
-
     def pred_step(state, token):
         """(B, K) tokens -> new lstm state, (B, K, H) output."""
-        emb = jnp.take(emb_tbl, token, axis=0).astype(cfg.dtype)  # (B, K, E)
-        flat = lambda x: x.reshape((B * K,) + x.shape[2:])
-        st_flat = jax.tree.map(flat, state)
-        new_flat, out = cell.apply(lstm_params, st_flat, flat(emb))
-        unflat = lambda x: x.reshape((B, K) + x.shape[1:])
-        return jax.tree.map(unflat, new_flat), unflat(out)
+        return model.apply(params, state, token, method=model.predict_step)
 
     def joint_logp(e_frame, p_out):
         """e_frame (B, H), p_out (B, K, H) -> log-probs (B, K, V)."""
-        e = e_frame @ jp["Dense_0"]["kernel"].astype(cfg.dtype) + jp["Dense_0"]["bias"].astype(cfg.dtype)
-        p = p_out @ jp["Dense_1"]["kernel"].astype(cfg.dtype) + jp["Dense_1"]["bias"].astype(cfg.dtype)
-        h = jnp.tanh(e[:, None, :] + p)
-        logits = h @ jp["Dense_2"]["kernel"].astype(cfg.dtype) + jp["Dense_2"]["bias"].astype(cfg.dtype)
+        logits = model.apply(params, e_frame, p_out, method=model.joint_step)
         return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
     def gather_k(tree, idx):
@@ -150,9 +160,23 @@ def beam_search_decode(
             return jnp.take_along_axis(x, ix.astype(jnp.int32), axis=1)
         return jax.tree.map(g, tree)
 
+    def close_pool(closed, open_b, blank_sc):
+        """Merge blank-closed open hypotheses into the closed pool (2K -> K)."""
+        pool_scores = jnp.concatenate([closed["score"], blank_sc], axis=1)
+        pool = jax.tree.map(
+            lambda c, o: jnp.concatenate([c, o], axis=1),
+            {k: v for k, v in closed.items() if k != "score"},
+            {k: v for k, v in open_b.items() if k != "score"},
+        )
+        if merge:
+            pool_scores = _merge_duplicate_hyps(
+                pool_scores, pool["tokens"], pool["n"]
+            )
+        top_sc, top_ix = jax.lax.top_k(pool_scores, K)
+        return {"score": top_sc, **gather_k(pool, top_ix)}
+
     # initial beams: beam 0 live at score 0, rest dead
-    state0 = cell.initialize_carry(jax.random.PRNGKey(0), (B * K, cfg.prediction_dim))
-    state0 = jax.tree.map(lambda x: x.reshape(B, K, -1), state0)
+    state0 = model.apply(params, B, K, method=model.predict_init)
     state0, pred0 = pred_step(state0, jnp.full((B, K), blank, jnp.int32))
     beams0 = {
         "score": jnp.full((B, K), NEG).at[:, 0].set(0.0),
@@ -180,16 +204,7 @@ def beam_search_decode(
 
         for _ in range(expansions):
             lp = joint_logp(e_frame, open_b["pred"])  # (B, K, V)
-            # close with blank: merge into the closed pool (2K -> K)
-            blank_sc = open_b["score"] + lp[:, :, blank]
-            pool_scores = jnp.concatenate([closed["score"], blank_sc], axis=1)
-            pool = jax.tree.map(
-                lambda c, o: jnp.concatenate([c, o], axis=1),
-                {k: v for k, v in closed.items() if k != "score"},
-                {k: v for k, v in open_b.items() if k != "score"},
-            )
-            top_sc, top_ix = jax.lax.top_k(pool_scores, K)
-            closed = {"score": top_sc, **gather_k(pool, top_ix)}
+            closed = close_pool(closed, open_b, open_b["score"] + lp[:, :, blank])
 
             # expand with labels: top-K over (K * V) non-blank continuations
             lab_sc = open_b["score"][:, :, None] + lp  # (B, K, V)
@@ -216,15 +231,7 @@ def beam_search_decode(
 
         # force-close any surviving open hypotheses with a final blank
         lp = joint_logp(e_frame, open_b["pred"])
-        blank_sc = open_b["score"] + lp[:, :, blank]
-        pool_scores = jnp.concatenate([closed["score"], blank_sc], axis=1)
-        pool = jax.tree.map(
-            lambda c, o: jnp.concatenate([c, o], axis=1),
-            {k: v for k, v in closed.items() if k != "score"},
-            {k: v for k, v in open_b.items() if k != "score"},
-        )
-        top_sc, top_ix = jax.lax.top_k(pool_scores, K)
-        closed = {"score": top_sc, **gather_k(pool, top_ix)}
+        closed = close_pool(closed, open_b, open_b["score"] + lp[:, :, blank])
 
         # inactive frames pass the beams through untouched
         out = jax.tree.map(

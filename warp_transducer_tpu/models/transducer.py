@@ -105,29 +105,50 @@ class Encoder(nn.Module):
 
 
 class Prediction(nn.Module):
-    """Embedding + unidirectional LSTM over the (blank-prefixed) labels."""
+    """Embedding + unidirectional LSTM over the (blank-prefixed) labels.
+
+    Exposes single-step methods (``initial_state`` / ``step``) so decoders
+    drive it through ``model.apply(..., method=...)`` instead of reaching
+    into the parameter dict — renaming or restructuring layers cannot
+    silently break decoding.
+    """
 
     cfg: TransducerConfig
 
-    @nn.compact
+    def setup(self):
+        c = self.cfg
+        # names pinned to the pre-refactor auto-generated ones so existing
+        # checkpoints load unchanged
+        self.embed = nn.Embed(c.vocab_size, c.prediction_dim, dtype=c.dtype,
+                              name="Embed_0")
+        self.cell = nn.OptimizedLSTMCell(c.prediction_dim, dtype=c.dtype,
+                                         name="ScanOptimizedLSTMCell_0")
+
     def __call__(self, labels):
         c = self.cfg
         B = labels.shape[0]
         # prefix with start-of-sequence (blank) token: U = L + 1 positions
         tokens = jnp.pad(labels, ((0, 0), (1, 0)), constant_values=c.blank)
-        emb = nn.Embed(c.vocab_size, c.prediction_dim, dtype=c.dtype)(tokens)
-
-        cell = nn.OptimizedLSTMCell(c.prediction_dim, dtype=c.dtype)
+        emb = self.embed(tokens)
         scan = nn.transforms.scan(
-            nn.OptimizedLSTMCell,
+            lambda cell, carry, x: cell(carry, x),
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=1,
             out_axes=1,
         )
-        carry = cell.initialize_carry(jax.random.PRNGKey(0), (B, c.prediction_dim))
-        _, out = scan(c.prediction_dim, dtype=c.dtype)(carry, emb)
+        _, out = scan(self.cell, self.initial_state(B), emb)
         return out  # (B, U, H)
+
+    def initial_state(self, *batch_dims: int):
+        """LSTM carry for a decode loop; ``batch_dims`` may be (B,) or (B, K)."""
+        return self.cell.initialize_carry(
+            jax.random.PRNGKey(0), (*batch_dims, self.cfg.prediction_dim)
+        )
+
+    def step(self, state, tokens):
+        """One decode step: tokens (...,) int32 -> (new_state, out (..., H))."""
+        return self.cell(state, self.embed(tokens))
 
 
 class Joint(nn.Module):
@@ -152,6 +173,15 @@ class Joint(nn.Module):
         joint = jnp.tanh(e[:, :, None, :] + p)  # (B, T, S, H)
         return self.out_proj(joint)  # (B, T, S, V)
 
+    def step(self, enc_frame, pred_out):
+        """Decode-time joint: enc_frame (B, H_enc), pred_out (B, ..., H_pred)
+        -> logits (B, ..., V); enc broadcasts over any beam dims."""
+        e = self.enc_proj(enc_frame)
+        p = self.pred_proj(pred_out)
+        while e.ndim < p.ndim:
+            e = jnp.expand_dims(e, -2)
+        return self.out_proj(jnp.tanh(e + p))
+
 
 class Transducer(nn.Module):
     cfg: TransducerConfig
@@ -173,6 +203,17 @@ class Transducer(nn.Module):
 
     def encode(self, feats, feat_lengths):
         return self.encoder(feats, feat_lengths)
+
+    # --- decode-facing single-step methods (used via model.apply(...,
+    # method=...); decoders never touch the raw param dict) ---------------
+    def predict_init(self, *batch_dims: int):
+        return self.prediction.initial_state(*batch_dims)
+
+    def predict_step(self, state, tokens):
+        return self.prediction.step(state, tokens)
+
+    def joint_step(self, enc_frame, pred_out):
+        return self.joint.step(enc_frame, pred_out)
 
     def factorised(self, feats, feat_lengths, labels):
         """(am (B,T,V), lm (B,U,V)) for rnnt_loss_simple / pruning."""

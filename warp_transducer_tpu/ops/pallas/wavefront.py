@@ -184,15 +184,22 @@ def _wavefront(lpb, lpe, input_lengths, label_lengths, compute_betas,
     len_spec = pl.BlockSpec((Bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ll_spec = pl.BlockSpec((Bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
+    # Scoring path: no beta output at all — a 1-diagonal stub replaces the
+    # (N, B, U) array, halving output HBM (the reference's score_forward
+    # likewise skips all beta work, gpu_rnnt.h:237-253).
+    n_beta = N if compute_betas else 1
+    beta_spec = pl.BlockSpec((n_beta, Bt, U_pad), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+
     kernel = functools.partial(_kernel, n_diag=N, compute_betas=compute_betas)
     alpha_d, beta_d, llf, llb = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[len_spec, len_spec, panel_spec, panel_spec],
-        out_specs=(panel_spec, panel_spec, ll_spec, ll_spec),
+        out_specs=(panel_spec, beta_spec, ll_spec, ll_spec),
         out_shape=(
             jax.ShapeDtypeStruct((N, Bp, U_pad), jnp.float32),
-            jax.ShapeDtypeStruct((N, Bp, U_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_beta, Bp, U_pad), jnp.float32),
             jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
             jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
         ),

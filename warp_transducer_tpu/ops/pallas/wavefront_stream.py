@@ -213,6 +213,13 @@ def _wavefront_stream(lpb, lpe, input_lengths, label_lengths, compute_betas, int
         _stream_kernel, n_pad=n_pad, ch=ch, compute_betas=compute_betas
     )
     buf = lambda: pltpu.VMEM((2, ch, B_pad, U_pad), jnp.float32)
+    # Scoring path: the backward stream never runs — shrink the beta HBM
+    # output to a 1-diagonal stub and its three VMEM buffers (lpb_b, lpe_b,
+    # b_out) to minimal tiles (score_forward analog, gpu_rnnt.h:237-253).
+    bbuf = buf if compute_betas else (
+        lambda: pltpu.VMEM((2, 1, _SUBLANES, _LANES), jnp.float32)
+    )
+    n_beta = n_pad if compute_betas else 1
     alpha_d, beta_d, llf, llb = pl.pallas_call(
         kernel,
         in_specs=[
@@ -229,13 +236,13 @@ def _wavefront_stream(lpb, lpe, input_lengths, label_lengths, compute_betas, int
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, B_pad, U_pad), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, B_pad, U_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_beta, B_pad, U_pad), jnp.float32),
             jax.ShapeDtypeStruct((B_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((B_pad, 1), jnp.float32),
         ),
         scratch_shapes=[
-            buf(), buf(), buf(), buf(),  # lpb_f, lpe_f, lpb_b, lpe_b
-            buf(), buf(),  # a_out, b_out
+            buf(), buf(), bbuf(), bbuf(),  # lpb_f, lpe_f, lpb_b, lpe_b
+            buf(), bbuf(),  # a_out, b_out
             pltpu.SemaphoreType.DMA((2, 4)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],

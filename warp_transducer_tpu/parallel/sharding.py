@@ -108,13 +108,21 @@ def auto_sharded_rnnt_loss(
     acts, labels, input_lengths, label_lengths, mesh: Mesh,
     axis: str = DATA_AXIS, **kwargs
 ):
-    """GSPMD path: place inputs batch-sharded and call the op under jit."""
+    """GSPMD path: place inputs batch-sharded and call the op under jit.
+
+    The output sharding is pinned explicitly (batch-sharded costs for
+    ``reduction='none'``, replicated scalar otherwise) rather than left to
+    placement inference, so the contract holds even when a caller passes
+    differently-placed inputs.
+    """
     shard = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
     acts = shard(acts, P(axis, None, None, None))
     labels = shard(labels, P(axis, None))
     input_lengths = shard(input_lengths, P(axis))
     label_lengths = shard(label_lengths, P(axis))
+    out_spec = P(axis) if kwargs.get("reduction", "mean") == "none" else P()
     f = jax.jit(
         functools.partial(_rnnt.rnnt_loss, **kwargs),
+        out_shardings=NamedSharding(mesh, out_spec),
     )
     return f(acts, labels, input_lengths, label_lengths)
