@@ -2,11 +2,15 @@
  *
  * Capability parity with the reference public C API
  * (/root/reference/include/rnnt.h) re-designed without its C-era baggage:
- * no caller-managed workspace (the library allocates internally; a sizing
- * query is still provided for embedders that want to pre-allocate), no
- * batch_first flag (one canonical (B, T, U, V) row-major layout), and both
- * gradient conventions in one entry point (the reference splits them across
- * its CPU/GPU backends).
+ * no batch_first flag (one canonical (B, T, U, V) row-major layout), and
+ * both gradient conventions in one entry point (the reference splits them
+ * across its CPU/GPU backends).
+ *
+ * Workspace contract (reference: rnnt.h:139-143, README.md:36-37): the
+ * dense and pruned entry points take a `workspace` pointer. Pass NULL for
+ * internal allocation (the convenient default), or a buffer of at least
+ * wtt_get_workspace_size(...) bytes for zero-allocation calls — the engine
+ * then performs no heap allocation at all.
  */
 #ifndef WTT_RNNT_TPU_H
 #define WTT_RNNT_TPU_H
@@ -37,28 +41,65 @@ typedef struct {
 int wtt_get_version(void);
 const char* wtt_get_status_string(wttStatus_t status);
 
-/* Bytes of scratch the library will allocate internally per call.   */
+/* Scratch bytes needed by wtt_rnnt_loss for (maxT, maxU, minibatch); also
+ * sizes wtt_rnnt_loss_pruned when called with maxU = s_range. Pass the
+ * resulting buffer as `workspace`, or NULL to let the library allocate. */
 wttStatus_t wtt_get_workspace_size(int maxT, int maxU, int minibatch,
                                    int fp64, size_t* size_bytes);
 
 /* Loss (+ gradient when grads != NULL; score-only otherwise).
- * acts:   (B, maxT, maxU, V) row-major
- * labels: (B, maxU-1) zero padded
- * costs:  (B,) output
- * grads:  (B, maxT, maxU, V) output or NULL                          */
+ * acts:      (B, maxT, maxU, V) row-major
+ * labels:    (B, maxU-1) zero padded
+ * costs:     (B,) output
+ * grads:     (B, maxT, maxU, V) output or NULL
+ * workspace: >= wtt_get_workspace_size bytes, or NULL (internal alloc) */
 wttStatus_t wtt_rnnt_loss(const float* acts, float* grads,
                           const int* labels, const int* label_lengths,
                           const int* input_lengths,
                           int alphabet_size, int minibatch,
                           int maxT, int maxU,
-                          float* costs, wttOptions options);
+                          float* costs, void* workspace, wttOptions options);
 
 wttStatus_t wtt_rnnt_loss_fp64(const double* acts, double* grads,
                                const int* labels, const int* label_lengths,
                                const int* input_lengths,
                                int alphabet_size, int minibatch,
                                int maxT, int maxU,
-                               double* costs, wttOptions options);
+                               double* costs, void* workspace,
+                               wttOptions options);
+
+/* Pruned (banded) RNN-T loss: the dense loss restricted to a per-frame
+ * band of width s_range (the JAX twin is rnnt_loss_pruned; see
+ * warp_transducer_tpu/ops/pruned.py for the math and the band contract).
+ *
+ * acts:   (B, maxT, s_range, V) joint logits on the band, row-major;
+ *         acts[b,t,s] is lattice cell (t, ranges[b,t] + s). Raw logits
+ *         only (log-softmax fused): options.from_log_probs must be 0.
+ * ranges: (B, maxT) int band starts — ranges[b,0] == 0, non-decreasing,
+ *         steps <= s_range-1, ranges[b,t] <= U_b - 1.
+ * labels: (B, max_label_len) zero padded, max_label_len >= max(label_lengths).
+ * grads:  (B, maxT, s_range, V) output or NULL (score-only).
+ * An utterance whose band admits no complete alignment gets cost 1e30 and
+ * zero gradients (matching the JAX implementation).
+ * workspace: >= wtt_get_workspace_size(maxT, s_range, B, fp64) bytes or
+ * NULL. */
+wttStatus_t wtt_rnnt_loss_pruned(const float* acts, float* grads,
+                                 const int* ranges, const int* labels,
+                                 const int* label_lengths,
+                                 const int* input_lengths,
+                                 int alphabet_size, int minibatch,
+                                 int maxT, int s_range, int max_label_len,
+                                 float* costs, void* workspace,
+                                 wttOptions options);
+
+wttStatus_t wtt_rnnt_loss_pruned_fp64(const double* acts, double* grads,
+                                      const int* ranges, const int* labels,
+                                      const int* label_lengths,
+                                      const int* input_lengths,
+                                      int alphabet_size, int minibatch,
+                                      int maxT, int s_range, int max_label_len,
+                                      double* costs, void* workspace,
+                                      wttOptions options);
 
 /* Factorised ("simple") RNN-T loss for the additive joiner
  *   logit[b,t,u,v] = am[b,t,v] + lm[b,u,v]

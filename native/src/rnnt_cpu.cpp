@@ -34,17 +34,28 @@ inline T logaddexp(T a, T b) {
 
 // Per-utterance engine. All lattice scratch is (T x U) for this utterance's
 // true lengths; `stride_u = maxU` indexes into the padded activation block.
+// Scratch comes from the caller workspace when provided (zero-allocation
+// contract, cf. /root/reference/include/rnnt.h:139-143) — `scratch` must
+// hold 5*T*U Reals — or is allocated internally when scratch == nullptr.
 template <typename Real>
 class Lattice {
  public:
-  Lattice(int T_, int U_, int V_, int maxU, int blank, bool from_log_probs)
+  Lattice(int T_, int U_, int V_, int maxU, int blank, bool from_log_probs,
+          Real* scratch = nullptr)
       : T(T_), U(U_), V(V_), maxU_(maxU), blank_(blank),
-        from_log_probs_(from_log_probs),
-        lpb_(static_cast<size_t>(T_) * U_),
-        lpe_(static_cast<size_t>(T_) * U_, kNegInf<Real>),
-        denom_(from_log_probs ? 0 : static_cast<size_t>(T_) * U_),
-        alpha_(static_cast<size_t>(T_) * U_),
-        beta_(static_cast<size_t>(T_) * U_) {}
+        from_log_probs_(from_log_probs) {
+    const size_t n = static_cast<size_t>(T_) * U_;
+    if (!scratch) {
+      own_.resize(5 * n);
+      scratch = own_.data();
+    }
+    lpb_ = scratch;
+    lpe_ = scratch + n;
+    denom_ = scratch + 2 * n;
+    alpha_ = scratch + 3 * n;
+    beta_ = scratch + 4 * n;
+    std::fill(lpe_, lpe_ + n, kNegInf<Real>);
+  }
 
   // Build the blank/label caches (and softmax denominators when fusing).
   void setup(const Real* acts, const int* labels) {
@@ -124,16 +135,17 @@ class Lattice {
 
   // Direct cache access for engines that build lpb/lpe themselves
   // (the factorised loss) and then reuse the recursions above.
-  Real* lpb() { return lpb_.data(); }
-  Real* lpe() { return lpe_.data(); }
-  const Real* alpha() const { return alpha_.data(); }
-  const Real* beta() const { return beta_.data(); }
+  Real* lpb() { return lpb_; }
+  Real* lpe() { return lpe_; }
+  const Real* alpha() const { return alpha_; }
+  const Real* beta() const { return beta_; }
 
  private:
   size_t idx(int t, int u) const { return static_cast<size_t>(t) * U + u; }
   int T, U, V, maxU_, blank_;
   bool from_log_probs_;
-  std::vector<Real> lpb_, lpe_, denom_, alpha_, beta_;
+  Real *lpb_, *lpe_, *denom_, *alpha_, *beta_;
+  std::vector<Real> own_;
 };
 
 // Factorised per-utterance engine: joint = am ⊕ lm (see the JAX twin in
@@ -297,7 +309,7 @@ template <typename T>
 wttStatus_t run(const T* acts, T* grads, const int* labels,
                 const int* label_lengths, const int* input_lengths,
                 int V, int B, int maxT, int maxU, T* costs,
-                wttOptions options) {
+                void* workspace, wttOptions options) {
   if (!acts || !labels || !label_lengths || !input_lengths || !costs)
     return WTT_STATUS_BAD_ARGUMENT;
   if (V <= 0 || B <= 0 || maxT <= 0 || maxU <= 0 ||
@@ -313,6 +325,10 @@ wttStatus_t run(const T* acts, T* grads, const int* labels,
 #endif
 
   const size_t block = static_cast<size_t>(maxT) * maxU * V;
+  // per-utterance workspace slice: the 5 lattice arrays, maxT*maxU each
+  // (matches wtt_get_workspace_size)
+  const size_t ws_per_mb = 5u * static_cast<size_t>(maxT) * maxU;
+  T* ws = static_cast<T*>(workspace);
   if (grads) std::memset(grads, 0, sizeof(T) * block * B);
 
   bool ok = true;
@@ -325,7 +341,8 @@ wttStatus_t run(const T* acts, T* grads, const int* labels,
     const T* a_b = acts + b * block;
     const int* lab_b = labels + static_cast<size_t>(b) * (maxU - 1);
     Lattice<T> lat(Tb, Ub, V, maxU, options.blank_label,
-                   options.from_log_probs != 0);
+                   options.from_log_probs != 0,
+                   ws ? ws + b * ws_per_mb : nullptr);
     lat.setup(a_b, lab_b);
     const T ll = lat.forward();
     if (!std::isfinite(ll)) ok = false;
@@ -334,6 +351,194 @@ wttStatus_t run(const T* acts, T* grads, const int* labels,
       lat.backward();
       lat.gradient(grads + b * block, a_b, lab_b, ll);
     }
+  }
+  return ok ? WTT_STATUS_SUCCESS : WTT_STATUS_EXECUTION_FAILED;
+}
+
+// ---------------------------------------------------------------------------
+// Pruned (banded) engine: the dense loss restricted to band cells
+// (t, ranges[t] + s), s in [0, s_range). Scalar twin of the JAX band
+// recursion in warp_transducer_tpu/ops/pruned.py (same masks, same
+// infeasible-band semantics).
+// ---------------------------------------------------------------------------
+
+template <typename Real>
+void run_pruned_utterance(const Real* acts /* (T, S, V) rows */, Real* grads,
+                          const int* ranges, const int* labels, int Tb,
+                          int Ub, int S, int V, int blank, Real* cost,
+                          Real* scratch /* 5*Tb*S */) {
+  const size_t n = static_cast<size_t>(Tb) * S;
+  std::vector<Real> own;
+  if (!scratch) {
+    own.resize(5 * n);
+    scratch = own.data();
+  }
+  Real* lpb = scratch;
+  Real* lpe = scratch + n;
+  Real* denom = scratch + 2 * n;
+  Real* alpha = scratch + 3 * n;
+  Real* beta = scratch + 4 * n;
+
+  auto idx = [S](int t, int s) { return static_cast<size_t>(t) * S + s; };
+  auto valid = [&](int t, int s) { return ranges[t] + s < Ub; };
+
+  // caches: fused log-softmax denominator + blank/label log-probs per cell
+  for (int t = 0; t < Tb; ++t) {
+    for (int s = 0; s < S; ++s) {
+      const size_t cell = idx(t, s);
+      if (!valid(t, s)) {
+        lpb[cell] = kNegInf<Real>;
+        lpe[cell] = kNegInf<Real>;
+        denom[cell] = 0;
+        continue;
+      }
+      const int u = ranges[t] + s;
+      const Real* row = acts + cell * V;
+      Real hi = row[0];
+      for (int v = 1; v < V; ++v) hi = std::max(hi, row[v]);
+      Real sum = 0;
+      for (int v = 0; v < V; ++v) sum += std::exp(row[v] - hi);
+      const Real d = -hi - std::log(sum);
+      denom[cell] = d;
+      lpb[cell] = row[blank] + d;
+      lpe[cell] = (u < Ub - 1) ? row[labels[u]] + d : kNegInf<Real>;
+    }
+  }
+
+  // alpha: no-emit predecessor is band (t-1, s + delta_t); emit is (t, s-1)
+  for (int t = 0; t < Tb; ++t) {
+    const int delta = (t > 0) ? ranges[t] - ranges[t - 1] : 0;
+    for (int s = 0; s < S; ++s) {
+      const size_t cell = idx(t, s);
+      if (!valid(t, s)) {
+        alpha[cell] = kNegInf<Real>;
+        continue;
+      }
+      if (t == 0 && s == 0) {
+        alpha[cell] = 0;  // ranges[0] == 0 => lattice origin
+        continue;
+      }
+      Real ne = kNegInf<Real>;
+      if (t > 0 && s + delta < S)
+        ne = alpha[idx(t - 1, s + delta)] + lpb[idx(t - 1, s + delta)];
+      Real em = kNegInf<Real>;
+      if (s > 0) em = alpha[idx(t, s - 1)] + lpe[idx(t, s - 1)];
+      alpha[cell] = logaddexp(ne, em);
+    }
+  }
+
+  const int s_star = Ub - 1 - ranges[Tb - 1];
+  const bool feasible = s_star >= 0 && s_star < S;
+  const Real ll = feasible
+                      ? alpha[idx(Tb - 1, s_star)] + lpb[idx(Tb - 1, s_star)]
+                      : kNegInf<Real>;
+  // infeasible band (no complete alignment fits): huge finite cost, zero
+  // gradients — mirrors the JAX NEG sentinel semantics (ops/pruned.py)
+  *cost = std::isfinite(ll) ? -ll : static_cast<Real>(1e30);
+  if (!grads || !std::isfinite(ll)) return;
+
+  // beta: no-emit successor is band (t+1, s - delta_{t+1}); emit is (t, s+1)
+  for (int t = Tb - 1; t >= 0; --t) {
+    const int delta_n = (t < Tb - 1) ? ranges[t + 1] - ranges[t] : 0;
+    for (int s = S - 1; s >= 0; --s) {
+      const size_t cell = idx(t, s);
+      if (!valid(t, s)) {
+        beta[cell] = kNegInf<Real>;
+        continue;
+      }
+      if (t == Tb - 1 && s == s_star) {
+        beta[cell] = lpb[cell];
+        continue;
+      }
+      Real ne = kNegInf<Real>;
+      if (t < Tb - 1 && s - delta_n >= 0)
+        ne = beta[idx(t + 1, s - delta_n)] + lpb[cell];
+      Real em = kNegInf<Real>;
+      if (s + 1 < S && valid(t, s + 1)) em = beta[idx(t, s + 1)] + lpe[cell];
+      beta[cell] = logaddexp(ne, em);
+    }
+  }
+
+  // gradient: dense on the band, fused log-softmax convention
+  for (int t = 0; t < Tb; ++t) {
+    const int delta_n = (t < Tb - 1) ? ranges[t + 1] - ranges[t] : 0;
+    for (int s = 0; s < S; ++s) {
+      const size_t cell = idx(t, s);
+      if (!valid(t, s)) continue;
+      const int u = ranges[t] + s;
+      const Real a = alpha[cell];
+      // blank-transition continuation: beta(t+1, u) or 1 at the terminal
+      Real bt = kNegInf<Real>;
+      if (t == Tb - 1 && u == Ub - 1) bt = 0;
+      else if (t < Tb - 1 && s - delta_n >= 0) bt = beta[idx(t + 1, s - delta_n)];
+      // emit-transition continuation: beta(t, u+1) (must be inside band)
+      Real bu = kNegInf<Real>;
+      if (u + 1 < Ub && s + 1 < S) bu = beta[idx(t, s + 1)];
+      const Real coef = std::exp(a + beta[cell] - ll);
+      const Real gb = std::exp(a + lpb[cell] + bt - ll);
+      const Real ge = (u < Ub - 1) ? std::exp(a + lpe[cell] + bu - ll) : Real(0);
+      const Real* row = acts + cell * V;
+      Real* grow = grads + cell * V;
+      const Real d = denom[cell];
+      for (int v = 0; v < V; ++v) grow[v] = coef * std::exp(row[v] + d);
+      grow[blank] -= gb;
+      if (u < Ub - 1) grow[labels[u]] -= ge;
+    }
+  }
+}
+
+template <typename T>
+wttStatus_t run_pruned(const T* acts, T* grads, const int* ranges,
+                       const int* labels, const int* label_lengths,
+                       const int* input_lengths, int V, int B, int maxT,
+                       int S, int maxL, T* costs, void* workspace,
+                       wttOptions options) {
+  if (!acts || !ranges || !labels || !label_lengths || !input_lengths || !costs)
+    return WTT_STATUS_BAD_ARGUMENT;
+  if (V <= 0 || B <= 0 || maxT <= 0 || S < 2 || maxL < 0 ||
+      options.blank_label < 0 || options.blank_label >= V ||
+      options.from_log_probs != 0)
+    return WTT_STATUS_BAD_ARGUMENT;
+  for (int b = 0; b < B; ++b) {
+    const int Tb = input_lengths[b];
+    const int Ub = label_lengths[b] + 1;
+    if (Tb < 1 || Tb > maxT) return WTT_STATUS_BAD_ARGUMENT;
+    if (label_lengths[b] < 0 || label_lengths[b] > maxL)
+      return WTT_STATUS_BAD_ARGUMENT;
+    const int* r = ranges + static_cast<size_t>(b) * maxT;
+    if (r[0] != 0) return WTT_STATUS_BAD_ARGUMENT;
+    for (int t = 0; t < Tb; ++t) {
+      if (r[t] < 0 || r[t] > Ub - 1) return WTT_STATUS_BAD_ARGUMENT;
+      if (t > 0 && (r[t] < r[t - 1] || r[t] - r[t - 1] > S - 1))
+        return WTT_STATUS_BAD_ARGUMENT;
+    }
+  }
+
+#if defined(_OPENMP)
+  if (options.num_threads > 0) omp_set_num_threads(options.num_threads);
+#endif
+
+  const size_t block = static_cast<size_t>(maxT) * S * V;
+  const size_t ws_per_mb = 5u * static_cast<size_t>(maxT) * S;
+  T* ws = static_cast<T*>(workspace);
+  if (grads) std::memset(grads, 0, sizeof(T) * block * B);
+
+  bool ok = true;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int b = 0; b < B; ++b) {
+    const int Tb = input_lengths[b];
+    const int Ub = label_lengths[b] + 1;
+    T cost;
+    run_pruned_utterance<T>(
+        acts + b * block, grads ? grads + b * block : nullptr,
+        ranges + static_cast<size_t>(b) * maxT,
+        labels + static_cast<size_t>(b) * maxL,
+        Tb, Ub, S, V, options.blank_label, &cost,
+        ws ? ws + b * ws_per_mb : nullptr);
+    if (!std::isfinite(cost)) ok = false;
+    costs[b] = cost;
   }
   return ok ? WTT_STATUS_SUCCESS : WTT_STATUS_EXECUTION_FAILED;
 }
@@ -367,18 +572,46 @@ wttStatus_t wtt_get_workspace_size(int maxT, int maxU, int minibatch,
 wttStatus_t wtt_rnnt_loss(const float* acts, float* grads, const int* labels,
                           const int* label_lengths, const int* input_lengths,
                           int alphabet_size, int minibatch, int maxT, int maxU,
-                          float* costs, wttOptions options) {
+                          float* costs, void* workspace, wttOptions options) {
   return run<float>(acts, grads, labels, label_lengths, input_lengths,
-                    alphabet_size, minibatch, maxT, maxU, costs, options);
+                    alphabet_size, minibatch, maxT, maxU, costs, workspace,
+                    options);
 }
 
 wttStatus_t wtt_rnnt_loss_fp64(const double* acts, double* grads,
                                const int* labels, const int* label_lengths,
                                const int* input_lengths, int alphabet_size,
                                int minibatch, int maxT, int maxU,
-                               double* costs, wttOptions options) {
+                               double* costs, void* workspace,
+                               wttOptions options) {
   return run<double>(acts, grads, labels, label_lengths, input_lengths,
-                     alphabet_size, minibatch, maxT, maxU, costs, options);
+                     alphabet_size, minibatch, maxT, maxU, costs, workspace,
+                     options);
+}
+
+wttStatus_t wtt_rnnt_loss_pruned(const float* acts, float* grads,
+                                 const int* ranges, const int* labels,
+                                 const int* label_lengths,
+                                 const int* input_lengths, int alphabet_size,
+                                 int minibatch, int maxT, int s_range,
+                                 int max_label_len, float* costs,
+                                 void* workspace, wttOptions options) {
+  return run_pruned<float>(acts, grads, ranges, labels, label_lengths,
+                           input_lengths, alphabet_size, minibatch, maxT,
+                           s_range, max_label_len, costs, workspace, options);
+}
+
+wttStatus_t wtt_rnnt_loss_pruned_fp64(const double* acts, double* grads,
+                                      const int* ranges, const int* labels,
+                                      const int* label_lengths,
+                                      const int* input_lengths,
+                                      int alphabet_size, int minibatch,
+                                      int maxT, int s_range, int max_label_len,
+                                      double* costs, void* workspace,
+                                      wttOptions options) {
+  return run_pruned<double>(acts, grads, ranges, labels, label_lengths,
+                            input_lengths, alphabet_size, minibatch, maxT,
+                            s_range, max_label_len, costs, workspace, options);
 }
 
 wttStatus_t wtt_rnnt_loss_simple(const float* am, const float* lm,

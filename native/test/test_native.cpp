@@ -25,7 +25,7 @@ static bool small_test() {
   opt.from_log_probs = 0;  // fused log-softmax path
   wttStatus_t st = wtt_rnnt_loss(acts.data(), grads.data(), labels.data(),
                                  label_lengths.data(), input_lengths.data(),
-                                 V, B, T, U, costs.data(), opt);
+                                 V, B, T, U, costs.data(), nullptr, opt);
   if (st != WTT_STATUS_SUCCESS) {
     std::printf("small_test status: %s\n", wtt_get_status_string(st));
     return false;
@@ -49,7 +49,7 @@ static bool random_test() {
   wttOptions opt{};
   wttStatus_t st = wtt_rnnt_loss(acts.data(), grads.data(), labels.data(),
                                  label_lengths.data(), input_lengths.data(),
-                                 V, B, T, U, costs.data(), opt);
+                                 V, B, T, U, costs.data(), nullptr, opt);
   if (st != WTT_STATUS_SUCCESS) return false;
   for (int b = 0; b < B; ++b)
     if (!std::isfinite(costs[b])) return false;
@@ -91,7 +91,7 @@ static bool simple_test() {
   std::vector<float> costs_d(B), grads_d(acts.size());
   if (wtt_rnnt_loss(acts.data(), grads_d.data(), labels.data(),
                     label_lengths.data(), input_lengths.data(), V, B, T, U,
-                    costs_d.data(), opt) != WTT_STATUS_SUCCESS)
+                    costs_d.data(), nullptr, opt) != WTT_STATUS_SUCCESS)
     return false;
 
   std::vector<float> costs_s(B), gam(am.size()), glm(lm.size());
@@ -135,11 +135,160 @@ static bool simple_test() {
   return true;
 }
 
+// Caller-workspace path must be bit-identical to internal allocation and
+// honor the zero-allocation contract (reference rnnt.h:139-143).
+static bool workspace_test() {
+  const int B = 2, T = 9, U = 5, V = 7;
+  std::mt19937 gen(3);
+  std::uniform_real_distribution<float> dist(-1.f, 1.f);
+  std::vector<float> acts(static_cast<size_t>(B) * T * U * V);
+  for (auto& x : acts) x = dist(gen);
+  std::vector<int> labels(B * (U - 1));
+  std::uniform_int_distribution<int> ldist(1, V - 1);
+  for (auto& l : labels) l = ldist(gen);
+  std::vector<int> label_lengths = {4, 2};
+  std::vector<int> input_lengths = {9, 6};
+  wttOptions opt{};
+
+  std::vector<float> c0(B), g0(acts.size()), c1(B), g1(acts.size());
+  if (wtt_rnnt_loss(acts.data(), g0.data(), labels.data(),
+                    label_lengths.data(), input_lengths.data(), V, B, T, U,
+                    c0.data(), nullptr, opt) != WTT_STATUS_SUCCESS)
+    return false;
+
+  size_t ws_bytes = 0;
+  if (wtt_get_workspace_size(T, U, B, 0, &ws_bytes) != WTT_STATUS_SUCCESS)
+    return false;
+  std::vector<unsigned char> ws(ws_bytes, 0xCD);
+  if (wtt_rnnt_loss(acts.data(), g1.data(), labels.data(),
+                    label_lengths.data(), input_lengths.data(), V, B, T, U,
+                    c1.data(), ws.data(), opt) != WTT_STATUS_SUCCESS)
+    return false;
+
+  for (int b = 0; b < B; ++b)
+    if (c0[b] != c1[b]) return false;
+  for (size_t i = 0; i < g0.size(); ++i)
+    if (g0[i] != g1[i]) return false;
+  std::printf("workspace_test: caller workspace bit-identical (%zu bytes)\n",
+              ws_bytes);
+  return true;
+}
+
+// Pruned loss with a band covering the whole lattice == dense loss, and the
+// banded gradient cells equal the dense gradient at the same lattice cells.
+static bool pruned_test() {
+  const int B = 2, T = 8, U = 4, V = 6, S = U;
+  std::mt19937 gen(21);
+  std::uniform_real_distribution<float> dist(-1.f, 1.f);
+  std::vector<float> acts(static_cast<size_t>(B) * T * U * V);
+  for (auto& x : acts) x = dist(gen);
+  std::vector<int> labels(B * (U - 1));
+  std::uniform_int_distribution<int> ldist(1, V - 1);
+  for (auto& l : labels) l = ldist(gen);
+  std::vector<int> label_lengths = {3, 2};
+  std::vector<int> input_lengths = {8, 5};
+  std::vector<int> ranges(B * T, 0);  // full-width band: starts all 0
+  wttOptions opt{};
+
+  std::vector<float> cd(B), gd(acts.size());
+  if (wtt_rnnt_loss(acts.data(), gd.data(), labels.data(),
+                    label_lengths.data(), input_lengths.data(), V, B, T, U,
+                    cd.data(), nullptr, opt) != WTT_STATUS_SUCCESS)
+    return false;
+
+  // with S == U and ranges == 0, the band IS the lattice: same acts layout
+  std::vector<float> cp(B), gp(acts.size());
+  if (wtt_rnnt_loss_pruned(acts.data(), gp.data(), ranges.data(),
+                           labels.data(), label_lengths.data(),
+                           input_lengths.data(), V, B, T, S, U - 1,
+                           cp.data(), nullptr, opt) != WTT_STATUS_SUCCESS)
+    return false;
+
+  for (int b = 0; b < B; ++b)
+    if (!close(cp[b], cd[b], 1e-4)) {
+      std::printf("pruned_test cost[%d]: %f vs dense %f\n", b, cp[b], cd[b]);
+      return false;
+    }
+  for (size_t i = 0; i < gd.size(); ++i)
+    if (!close(gp[i], gd[i], 1e-4)) {
+      std::printf("pruned_test grad[%zu]: %f vs dense %f\n", i, gp[i], gd[i]);
+      return false;
+    }
+
+  // a genuinely narrow band (S=2) on a diagonal range: loss must be finite,
+  // >= dense loss (fewer paths), grads NaN-free, and the workspace path
+  // bit-identical
+  const int S2 = 2;
+  std::vector<int> r2(B * T);
+  for (int b = 0; b < B; ++b) {
+    const int Ub = label_lengths[b] + 1;
+    const int Tb = input_lengths[b];
+    for (int t = 0; t < T; ++t) {
+      int r = (t * (Ub - 1)) / (Tb > 1 ? Tb - 1 : 1);
+      if (r > Ub - S2) r = Ub - S2;
+      if (r < 0) r = 0;
+      r2[b * T + t] = (t == 0) ? 0 : r;
+    }
+    // enforce monotone, step<=S2-1 (defensive; the formula already is)
+    for (int t = 1; t < T; ++t) {
+      if (r2[b * T + t] < r2[b * T + t - 1]) r2[b * T + t] = r2[b * T + t - 1];
+      if (r2[b * T + t] - r2[b * T + t - 1] > S2 - 1)
+        r2[b * T + t] = r2[b * T + t - 1] + S2 - 1;
+    }
+  }
+  std::vector<float> acts2(static_cast<size_t>(B) * T * S2 * V);
+  for (int b = 0; b < B; ++b)
+    for (int t = 0; t < T; ++t)
+      for (int s = 0; s < S2; ++s) {
+        int u = r2[b * T + t] + s;
+        if (u > U - 1) u = U - 1;
+        for (int v = 0; v < V; ++v)
+          acts2[((static_cast<size_t>(b) * T + t) * S2 + s) * V + v] =
+              acts[((static_cast<size_t>(b) * T + t) * U + u) * V + v];
+      }
+  std::vector<float> cp2(B), gp2(acts2.size());
+  if (wtt_rnnt_loss_pruned(acts2.data(), gp2.data(), r2.data(), labels.data(),
+                           label_lengths.data(), input_lengths.data(), V, B,
+                           T, S2, U - 1, cp2.data(), nullptr,
+                           opt) != WTT_STATUS_SUCCESS)
+    return false;
+  for (int b = 0; b < B; ++b) {
+    if (!std::isfinite(cp2[b])) return false;
+    if (cp2[b] < cd[b] - 1e-4) {
+      std::printf("pruned_test narrow cost[%d] %f < dense %f\n", b, cp2[b], cd[b]);
+      return false;
+    }
+  }
+  for (float g : gp2)
+    if (std::isnan(g)) return false;
+
+  size_t ws_bytes = 0;
+  if (wtt_get_workspace_size(T, S2, B, 0, &ws_bytes) != WTT_STATUS_SUCCESS)
+    return false;
+  std::vector<unsigned char> ws(ws_bytes, 0xCD);
+  std::vector<float> cp3(B), gp3(acts2.size());
+  if (wtt_rnnt_loss_pruned(acts2.data(), gp3.data(), r2.data(), labels.data(),
+                           label_lengths.data(), input_lengths.data(), V, B,
+                           T, S2, U - 1, cp3.data(), ws.data(),
+                           opt) != WTT_STATUS_SUCCESS)
+    return false;
+  for (int b = 0; b < B; ++b)
+    if (cp3[b] != cp2[b]) return false;
+  for (size_t i = 0; i < gp2.size(); ++i)
+    if (gp3[i] != gp2[i]) return false;
+
+  std::printf("pruned_test: full band == dense (%f, %f); narrow band %f %f\n",
+              cp[0], cp[1], cp2[0], cp2[1]);
+  return true;
+}
+
 int main() {
   if (wtt_get_version() != 1) return 1;
   bool ok = small_test();
   ok = random_test() && ok;
   ok = simple_test() && ok;
+  ok = workspace_test() && ok;
+  ok = pruned_test() && ok;
   std::printf(ok ? "native tests pass\n" : "native tests FAIL\n");
   return ok ? 0 : 1;
 }

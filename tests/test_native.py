@@ -98,6 +98,85 @@ class TestNative:
         np.testing.assert_allclose(gam_n, np.asarray(gam_j), atol=2e-4)
         np.testing.assert_allclose(glm_n, np.asarray(glm_j), atol=2e-4)
 
+    def test_pruned_matches_jax_on_random_bands(self):
+        """Native banded loss vs the JAX rnnt_loss_pruned: costs + grads on
+        real (posterior-derived) pruning bands."""
+        import jax
+        import jax.numpy as jnp
+
+        from warp_transducer_tpu import rnnt_loss_pruned, rnnt_prune_ranges
+
+        rng = np.random.RandomState(23)
+        B, T, U, V, S = 3, 12, 7, 9, 3
+        am = rng.randn(B, T, V).astype(np.float32)
+        lm = rng.randn(B, U, V).astype(np.float32)
+        labels = rng.randint(1, V, size=(B, U - 1)).astype(np.int32)
+        il = np.array([12, 9, 6], np.int32)
+        ll = np.array([6, 4, 2], np.int32)
+        ranges = np.asarray(rnnt_prune_ranges(
+            jnp.asarray(am), jnp.asarray(lm), jnp.asarray(labels),
+            jnp.asarray(il), jnp.asarray(ll), S, implementation="xla",
+        ))
+        acts = rng.randn(B, T, S, V).astype(np.float32)
+
+        costs_n, grads_n = native.rnnt_loss_pruned_native(
+            acts, ranges, labels, il, ll
+        )
+
+        costs_j = rnnt_loss_pruned(
+            jnp.asarray(acts), jnp.asarray(ranges), jnp.asarray(labels),
+            jnp.asarray(il), jnp.asarray(ll), reduction="none",
+        )
+        grads_j = jax.grad(lambda a: rnnt_loss_pruned(
+            a, jnp.asarray(ranges), jnp.asarray(labels),
+            jnp.asarray(il), jnp.asarray(ll), reduction="sum",
+        ))(jnp.asarray(acts))
+        np.testing.assert_allclose(costs_n, np.asarray(costs_j), rtol=1e-4)
+        np.testing.assert_allclose(grads_n, np.asarray(grads_j), atol=2e-4)
+
+    def test_pruned_full_band_equals_dense(self):
+        rng = np.random.RandomState(29)
+        B, T, U, V = 2, 6, 4, 5
+        acts = rng.randn(B, T, U, V).astype(np.float32)
+        labels = rng.randint(1, V, size=(B, U - 1)).astype(np.int32)
+        il = np.array([6, 4], np.int32)
+        ll = np.array([3, 2], np.int32)
+        ranges = np.zeros((B, T), np.int32)  # S = U: band is the lattice
+        cd, gd = native.rnnt_loss_native(acts, labels, il, ll)
+        cp, gp = native.rnnt_loss_pruned_native(acts, ranges, labels, il, ll)
+        np.testing.assert_allclose(cp, cd, rtol=1e-6)
+        np.testing.assert_allclose(gp, gd, atol=1e-6)
+
+    def test_pruned_bad_ranges_rejected(self):
+        rng = np.random.RandomState(31)
+        B, T, U, V, S = 1, 5, 4, 5, 2
+        acts = rng.randn(B, T, S, V).astype(np.float32)
+        labels = rng.randint(1, V, size=(B, U - 1)).astype(np.int32)
+        il = np.array([5], np.int32)
+        ll = np.array([3], np.int32)
+        bad = np.array([[0, 2, 1, 1, 1]], np.int32)  # non-monotone
+        with pytest.raises(RuntimeError, match="bad argument"):
+            native.rnnt_loss_pruned_native(acts, bad, labels, il, ll)
+        jump = np.array([[0, 0, 3, 3, 3]], np.int32)  # step > S-1
+        with pytest.raises(RuntimeError, match="bad argument"):
+            native.rnnt_loss_pruned_native(acts, jump, labels, il, ll)
+
+    def test_caller_workspace_bit_identical(self):
+        """The zero-allocation workspace contract (rnnt.h:139-143)."""
+        acts = G.BIG_ACTS.astype(np.float32)
+        B, T, U, V = acts.shape
+        c0, g0 = native.rnnt_loss_native(
+            acts, G.BIG_LABELS, G.BIG_INPUT_LENGTHS, G.BIG_LABEL_LENGTHS
+        )
+        nbytes = native.workspace_size(T, U, B)
+        ws = np.full((nbytes,), 0xCD, np.uint8)
+        c1, g1 = native.rnnt_loss_native(
+            acts, G.BIG_LABELS, G.BIG_INPUT_LENGTHS, G.BIG_LABEL_LENGTHS,
+            workspace=ws,
+        )
+        np.testing.assert_array_equal(c0, c1)
+        np.testing.assert_array_equal(g0, g1)
+
     def test_simple_score_only_fp64(self):
         rng = np.random.RandomState(17)
         B, T, U, V = 2, 8, 5, 6

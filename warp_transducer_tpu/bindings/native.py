@@ -74,15 +74,31 @@ def _load():
         fp(np.float32, flags="C_CONTIGUOUS"), ctypes.c_void_p,
         fp(np.int32, flags="C_CONTIGUOUS"), fp(np.int32, flags="C_CONTIGUOUS"),
         fp(np.int32, flags="C_CONTIGUOUS"), I, I, I, I,
-        fp(np.float32, flags="C_CONTIGUOUS"), _Options,
+        fp(np.float32, flags="C_CONTIGUOUS"), ctypes.c_void_p, _Options,
     ]
     lib.wtt_rnnt_loss_fp64.restype = ctypes.c_int
     lib.wtt_rnnt_loss_fp64.argtypes = [
         fp(np.float64, flags="C_CONTIGUOUS"), ctypes.c_void_p,
         fp(np.int32, flags="C_CONTIGUOUS"), fp(np.int32, flags="C_CONTIGUOUS"),
         fp(np.int32, flags="C_CONTIGUOUS"), I, I, I, I,
-        fp(np.float64, flags="C_CONTIGUOUS"), _Options,
+        fp(np.float64, flags="C_CONTIGUOUS"), ctypes.c_void_p, _Options,
     ]
+    lib.wtt_get_workspace_size.restype = ctypes.c_int
+    lib.wtt_get_workspace_size.argtypes = [
+        I, I, I, I, ctypes.POINTER(ctypes.c_size_t)
+    ]
+    for name, ft in (("wtt_rnnt_loss_pruned", np.float32),
+                     ("wtt_rnnt_loss_pruned_fp64", np.float64)):
+        f = getattr(lib, name)
+        f.restype = ctypes.c_int
+        f.argtypes = [
+            fp(ft, flags="C_CONTIGUOUS"), ctypes.c_void_p,
+            fp(np.int32, flags="C_CONTIGUOUS"),
+            fp(np.int32, flags="C_CONTIGUOUS"),
+            fp(np.int32, flags="C_CONTIGUOUS"),
+            fp(np.int32, flags="C_CONTIGUOUS"), I, I, I, I, I,
+            fp(ft, flags="C_CONTIGUOUS"), ctypes.c_void_p, _Options,
+        ]
     for name, ft in (("wtt_rnnt_loss_simple", np.float32),
                      ("wtt_rnnt_loss_simple_fp64", np.float64)):
         f = getattr(lib, name)
@@ -108,11 +124,15 @@ def rnnt_loss_native(
     from_log_probs: bool = False,
     num_threads: int = 0,
     compute_grads: bool = True,
+    workspace: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Compute (costs, grads) with the native CPU engine.
 
     ``acts`` must be float32 or float64, shape (B, T, U, V); ``labels``
     (B, U-1) int32.  Returns grads=None when ``compute_grads`` is False.
+    ``workspace``: optional caller buffer of >= ``workspace_size(...)``
+    bytes for zero-allocation calls (the reference's workspace contract,
+    rnnt.h:139-143); None lets the engine allocate internally.
     """
     lib = _load()
     acts = np.ascontiguousarray(acts)
@@ -135,12 +155,89 @@ def rnnt_loss_native(
     grads = np.zeros_like(acts) if compute_grads else None
     gptr = grads.ctypes.data_as(ctypes.c_void_p) if compute_grads else None
     opts = _Options(blank, num_threads, int(from_log_probs))
+    if workspace is not None:
+        workspace = np.ascontiguousarray(workspace)
+        wptr = workspace.ctypes.data_as(ctypes.c_void_p)
+    else:
+        wptr = None
 
     fn = lib.wtt_rnnt_loss if acts.dtype == np.float32 else lib.wtt_rnnt_loss_fp64
-    status = fn(acts, gptr, labels, ll, il, V, B, T, U, costs, opts)
+    status = fn(acts, gptr, labels, ll, il, V, B, T, U, costs, wptr, opts)
     if status != 0:
         raise RuntimeError(
             f"native rnnt loss failed: {_STATUS_STRINGS.get(status, status)}"
+        )
+    return costs, grads
+
+
+def workspace_size(maxT: int, maxU: int, minibatch: int,
+                   fp64: bool = False) -> int:
+    """Bytes of scratch ``rnnt_loss_native`` needs for these dims — pass a
+    buffer this big as ``workspace`` for zero-allocation calls. For the
+    pruned loss use ``maxU = s_range``."""
+    lib = _load()
+    out = ctypes.c_size_t(0)
+    status = lib.wtt_get_workspace_size(maxT, maxU, minibatch, int(fp64),
+                                        ctypes.byref(out))
+    if status != 0:
+        raise RuntimeError(
+            f"workspace sizing failed: {_STATUS_STRINGS.get(status, status)}"
+        )
+    return out.value
+
+
+def rnnt_loss_pruned_native(
+    acts: np.ndarray,
+    ranges: np.ndarray,
+    labels: np.ndarray,
+    input_lengths: np.ndarray,
+    label_lengths: np.ndarray,
+    blank: int = 0,
+    num_threads: int = 0,
+    compute_grads: bool = True,
+    workspace: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Banded (pruned) RNN-T loss with the native CPU engine.
+
+    ``acts``: (B, T, S, V) float32/float64 joint logits on the band
+    (``acts[b,t,s]`` is lattice cell (t, ranges[b,t]+s)); ``ranges``:
+    (B, T) int32 band starts obeying the band contract (see
+    ``rnnt_prune_ranges``). Matches ``warp_transducer_tpu.rnnt_loss_pruned``.
+    """
+    lib = _load()
+    acts = np.ascontiguousarray(acts)
+    if acts.dtype not in (np.float32, np.float64):
+        raise TypeError(f"acts must be float32/float64, got {acts.dtype}")
+    if acts.ndim != 4:
+        raise ValueError(f"acts must be (B, T, S, V), got {acts.shape}")
+    B, T, S, V = acts.shape
+    ranges = np.ascontiguousarray(ranges, dtype=np.int32)
+    if ranges.shape != (B, T):
+        raise ValueError(f"ranges must be (B, T) = {(B, T)}, got {ranges.shape}")
+    labels = np.ascontiguousarray(labels, dtype=np.int32)
+    if labels.ndim != 2 or labels.shape[0] != B:
+        raise ValueError(f"labels must be (B, L), got {labels.shape}")
+    L = labels.shape[1]
+    il = np.ascontiguousarray(input_lengths, dtype=np.int32)
+    ll = np.ascontiguousarray(label_lengths, dtype=np.int32)
+
+    costs = np.zeros((B,), acts.dtype)
+    grads = np.zeros_like(acts) if compute_grads else None
+    gptr = grads.ctypes.data_as(ctypes.c_void_p) if compute_grads else None
+    opts = _Options(blank, num_threads, 0)
+    if workspace is not None:
+        workspace = np.ascontiguousarray(workspace)
+        wptr = workspace.ctypes.data_as(ctypes.c_void_p)
+    else:
+        wptr = None
+
+    fn = (lib.wtt_rnnt_loss_pruned if acts.dtype == np.float32
+          else lib.wtt_rnnt_loss_pruned_fp64)
+    status = fn(acts, gptr, ranges, labels, ll, il, V, B, T, S, L, costs,
+                wptr, opts)
+    if status != 0:
+        raise RuntimeError(
+            f"native pruned rnnt loss failed: {_STATUS_STRINGS.get(status, status)}"
         )
     return costs, grads
 
