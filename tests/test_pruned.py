@@ -233,3 +233,118 @@ def test_simple_loss_prune_range_matches_standalone():
                                    implementation="xla")
     )(am)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-6)
+
+
+class TestBandStreamKernel:
+    """The Pallas band kernel (pallas/band_stream.py) must match the XLA
+    band scan cell-for-cell, including sentinels and infeasible bands."""
+
+    def _lattice_inputs(self, seed, B, T, U, V, S, ragged=True):
+        from warp_transducer_tpu.ops.pruned import _band_prep
+
+        rng = np.random.RandomState(seed)
+        acts = jnp.asarray(rng.randn(B, T, S, V), jnp.float32)
+        labels = jnp.asarray(rng.randint(1, V, (B, max(U - 1, 1))), jnp.int32)
+        if ragged:
+            il = jnp.asarray(rng.randint(1, T + 1, (B,)), jnp.int32).at[0].set(T)
+            ll = jnp.asarray(rng.randint(0, U, (B,)), jnp.int32).at[0].set(U - 1)
+        else:
+            il = jnp.full((B,), T, jnp.int32)
+            ll = jnp.full((B,), U - 1, jnp.int32)
+        # random contract-abiding ranges: monotone, steps <= S-1, start 0
+        steps = rng.randint(0, S, size=(B, T))
+        steps[:, 0] = 0
+        r = np.minimum(np.cumsum(steps, axis=1),
+                       np.maximum(np.asarray(ll)[:, None] + 1 - S, 0))
+        ranges = jnp.asarray(r, jnp.int32)
+        lpb, lpe, _, _, _ = _band_prep(acts, labels, ranges, 0)
+        return lpb, lpe, ranges, il, ll
+
+    @pytest.mark.parametrize("seed,B,T,U,V,S", [
+        (0, 3, 9, 6, 5, 3),
+        (1, 2, 5, 9, 4, 5),
+        (2, 4, 12, 7, 6, 8),   # S == sublane tile boundary
+        (3, 1, 1, 1, 3, 2),    # T = 1 degenerate
+        (4, 2, 17, 12, 5, 11), # S > 8: two sublane tiles
+    ])
+    def test_matches_xla_band_lattice(self, seed, B, T, U, V, S):
+        from warp_transducer_tpu.ops.pallas import band_stream
+        from warp_transducer_tpu.ops.pruned import _band_lattice
+
+        lpb, lpe, ranges, il, ll = self._lattice_inputs(seed, B, T, U, V, S)
+        ref = _band_lattice(lpb, lpe, ranges, il, ll, implementation="xla")
+        a, b, llf, llb = band_stream.band_forward_backward(
+            lpb, lpe, ranges, il, ll, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(llf), np.asarray(ref.ll_forward),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(llb), np.asarray(ref.ll_backward),
+                                   rtol=1e-5, atol=1e-5)
+        # compare lattices only where valid (sentinel cells are exact NEG in
+        # both engines)
+        Tb = np.asarray(il); Ub = np.asarray(ll) + 1
+        r = np.asarray(ranges)
+        va, vb = np.asarray(a), np.asarray(b)
+        ra, rb = np.asarray(ref.alphas), np.asarray(ref.betas)
+        for bb in range(lpb.shape[0]):
+            for t in range(int(Tb[bb])):
+                for s in range(lpb.shape[2]):
+                    if r[bb, t] + s < Ub[bb]:
+                        np.testing.assert_allclose(
+                            va[bb, t, s], ra[bb, t, s], rtol=1e-4, atol=1e-4,
+                            err_msg=f"alpha b={bb} t={t} s={s}")
+                        np.testing.assert_allclose(
+                            vb[bb, t, s], rb[bb, t, s], rtol=1e-4, atol=1e-4,
+                            err_msg=f"beta b={bb} t={t} s={s}")
+
+    def test_infeasible_band_sentinel(self):
+        """A band too narrow to reach the terminal must give ll == NEG in
+        both engines (and thus the same huge finite cost downstream)."""
+        from warp_transducer_tpu.ops.pallas import band_stream
+        from warp_transducer_tpu.ops.pruned import _band_lattice
+
+        B, T, U, V, S = 1, 3, 8, 4, 2  # U-1=7 > T*(S-1)=3: infeasible
+        rng = np.random.RandomState(5)
+        acts = jnp.asarray(rng.randn(B, T, S, V), jnp.float32)
+        labels = jnp.asarray(rng.randint(1, V, (B, U - 1)), jnp.int32)
+        il = jnp.full((B,), T, jnp.int32)
+        ll = jnp.full((B,), U - 1, jnp.int32)
+        ranges = jnp.asarray([[0, 1, 2]], jnp.int32)
+
+        from warp_transducer_tpu.ops.pruned import _band_prep
+        lpb, lpe, _, _, _ = _band_prep(acts, labels, ranges, 0)
+        ref = _band_lattice(lpb, lpe, ranges, il, ll, implementation="xla")
+        _, _, llf, _ = band_stream.band_forward_backward(
+            lpb, lpe, ranges, il, ll, interpret=True
+        )
+        assert float(ref.ll_forward[0]) < -1e29
+        assert float(llf[0]) < -1e29
+
+    def test_pruned_loss_pallas_impl_end_to_end(self):
+        """rnnt_loss_pruned(implementation='pallas') == 'xla' incl. grads."""
+        from warp_transducer_tpu.ops.pruned import _band_prep  # noqa: F401
+
+        acts, labels, il, ll = _setup(7, B=2, T=8, U=5, V=6, ragged=True)
+        B, T, U, V = acts.shape
+        S = 3
+        rng = np.random.RandomState(8)
+        steps = rng.randint(0, S, size=(B, T)); steps[:, 0] = 0
+        r = np.minimum(np.cumsum(steps, axis=1),
+                       np.maximum(np.asarray(ll)[:, None] + 1 - S, 0))
+        ranges = jnp.asarray(r, jnp.int32)
+        band = jnp.asarray(rng.randn(B, T, S, V), jnp.float32)
+
+        cx = rnnt_loss_pruned(band, ranges, labels, il, ll, reduction="none",
+                              implementation="xla")
+        cp = rnnt_loss_pruned(band, ranges, labels, il, ll, reduction="none",
+                              implementation="pallas")
+        np.testing.assert_allclose(np.asarray(cp), np.asarray(cx),
+                                   rtol=1e-5, atol=1e-5)
+        gx = jax.grad(lambda a: rnnt_loss_pruned(
+            a, ranges, labels, il, ll, reduction="sum",
+            implementation="xla"))(band)
+        gp = jax.grad(lambda a: rnnt_loss_pruned(
+            a, ranges, labels, il, ll, reduction="sum",
+            implementation="pallas"))(band)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-5)

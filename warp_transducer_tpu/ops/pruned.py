@@ -171,10 +171,24 @@ def _cum_lse(x, axis):
     return lax.associative_scan(jnp.logaddexp, x, axis=axis)
 
 
-def _band_lattice(lpb, lpe, ranges, input_lengths, label_lengths) -> BandLattice:
+def _band_lattice(lpb, lpe, ranges, input_lengths, label_lengths,
+                  implementation: str = "xla") -> BandLattice:
     """Fused sweep: scan step k advances alpha on row k AND beta on row
     T-1-k (the stream kernel's trick), halving the sequential-loop
-    overhead vs two separate T-step scans."""
+    overhead vs two separate T-step scans.
+
+    ``implementation='pallas'`` dispatches to the single-invocation
+    streamed kernel (``pallas/band_stream.py``) that runs the whole
+    t-recursion in-kernel — the XLA scan's T dependent dispatches are the
+    dominant cost at long T.
+    """
+    if implementation == "pallas":
+        from .pallas import band_stream
+
+        alphas, betas, ll_f, ll_b = band_stream.band_forward_backward(
+            lpb, lpe, ranges, input_lengths, label_lengths
+        )
+        return BandLattice(alphas, betas, ll_f, ll_b)
     B, T, S = lpb.shape
     Tb = input_lengths.astype(jnp.int32)
     Ub = label_lengths.astype(jnp.int32) + 1
@@ -333,23 +347,26 @@ def _band_grad(acts, denom, lpb, lpe, lat, ranges, lab_band, has_lab,
     return g.astype(acts.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _pruned_costs(acts, ranges, labels, input_lengths, label_lengths, blank):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _pruned_costs(acts, ranges, labels, input_lengths, label_lengths, blank,
+                  implementation):
     costs, _ = _pruned_fwd(acts, ranges, labels, input_lengths,
-                           label_lengths, blank)
+                           label_lengths, blank, implementation)
     return costs
 
 
-def _pruned_fwd(acts, ranges, labels, input_lengths, label_lengths, blank):
+def _pruned_fwd(acts, ranges, labels, input_lengths, label_lengths, blank,
+                implementation):
     lpb, lpe, denom, lab_band, has_lab = _band_prep(acts, labels, ranges, blank)
-    lat = _band_lattice(lpb, lpe, ranges, input_lengths, label_lengths)
+    lat = _band_lattice(lpb, lpe, ranges, input_lengths, label_lengths,
+                        implementation=implementation)
     costs = (-lat.ll_forward).astype(acts.dtype)
     residuals = (acts, ranges, labels, input_lengths, label_lengths,
                  lpb, lpe, denom, lab_band, has_lab, lat)
     return costs, residuals
 
 
-def _pruned_bwd(blank, residuals, g):
+def _pruned_bwd(blank, implementation, residuals, g):
     (acts, ranges, labels, input_lengths, label_lengths,
      lpb, lpe, denom, lab_band, has_lab, lat) = residuals
     d_acts = _band_grad(acts, denom, lpb, lpe, lat, ranges, lab_band, has_lab,
@@ -373,6 +390,7 @@ def rnnt_loss_pruned(
     label_lengths: jax.Array,
     blank: int = 0,
     reduction: str = "mean",
+    implementation: str = "auto",
 ) -> jax.Array:
     """Transducer loss restricted to a pruned band of the lattice.
 
@@ -382,6 +400,9 @@ def rnnt_loss_pruned(
       ranges: (B, T) int32 band starts from ``rnnt_prune_ranges``
         (monotone, steps < S, ranges[:,0]==0, terminal covered).
       labels / lengths / blank / reduction: as in ``rnnt_loss``.
+      implementation: 'auto' | 'xla' | 'pallas' — the band recursion
+        engine ('pallas' = single-invocation streamed kernel, the long-T
+        fast path; 'auto' picks it on TPU).
 
     Returns the negative log-likelihood over band-internal paths; equals
     ``rnnt_loss`` exactly when the band covers the whole lattice.
@@ -395,8 +416,9 @@ def rnnt_loss_pruned(
         raise ValueError(
             f"ranges must be (B, T) = {acts.shape[:2]}; got {ranges.shape}"
         )
+    impl = _pick_implementation(implementation)
     costs = _pruned_costs(acts, ranges.astype(jnp.int32), labels,
-                          input_lengths, label_lengths, int(blank))
+                          input_lengths, label_lengths, int(blank), impl)
     if reduction == "sum":
         return jnp.sum(costs)
     if reduction == "mean":
