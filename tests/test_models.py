@@ -146,6 +146,34 @@ class TestPrunedTraining:
                     )
 
 
+class TestFusedJointTraining:
+    def test_fused_loss_matches_unfused(self, tiny):
+        """model.fused_loss == rnnt_loss on the materialised joint."""
+        cfg, model, params, batch = tiny
+        from warp_transducer_tpu.models.transducer import loss_fn
+
+        ref = loss_fn(params, model, batch, implementation="xla")
+        fused = model.apply(
+            params, batch["feats"], batch["feat_lengths"], batch["labels"],
+            batch["label_lengths"], implementation="xla",
+            method=model.fused_loss,
+        )
+        np.testing.assert_allclose(float(fused), float(ref), rtol=1e-5)
+
+    def test_fused_train_step_decreases_loss(self, tiny):
+        from warp_transducer_tpu.models.transducer import make_fused_train_step
+
+        cfg, model, params, batch = tiny
+        opt = optax.adam(1e-2)
+        step = jax.jit(make_fused_train_step(model, opt, implementation="xla"))
+        opt_state = opt.init(params)
+        losses = []
+        for _ in range(8):
+            params, opt_state, loss = step(params, opt_state, batch)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], losses
+
+
 class TestBeamSearch:
     def _setup(self):
         from warp_transducer_tpu.models.transducer import (

@@ -9,12 +9,13 @@ sharding over TPU meshes.
 """
 
 from .ops.alignment import ViterbiAlignment, rnnt_viterbi_align
+from .ops.fused_joint import rnnt_loss_fused_joint
 from .ops.pruned import gather_banded, rnnt_loss_pruned, rnnt_prune_ranges
 from .ops.rnnt import RNNTLoss, rnnt_loss, rnnt_loss_and_grad, rnnt_score
 from .ops.simple import rnnt_loss_simple
 from .utils.options import RNNTOptions
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "RNNTLoss",
@@ -22,6 +23,7 @@ __all__ = [
     "rnnt_loss_and_grad",
     "rnnt_loss_simple",
     "rnnt_loss_pruned",
+    "rnnt_loss_fused_joint",
     "rnnt_prune_ranges",
     "gather_banded",
     "rnnt_score",

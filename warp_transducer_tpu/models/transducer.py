@@ -182,6 +182,23 @@ class Joint(nn.Module):
             e = jnp.expand_dims(e, -2)
         return self.out_proj(jnp.tanh(e + p))
 
+    def fused_loss(self, enc, pred, labels, input_lengths, label_lengths,
+                   reduction="mean", implementation="auto"):
+        """RNN-T loss with the output projection fused in: the (B,T,U,V)
+        logits are never materialised (ops/fused_joint.py)."""
+        from ..ops.fused_joint import rnnt_loss_fused_joint
+
+        c = self.cfg
+        e = self.enc_proj(enc)
+        p = self.pred_proj(pred)
+        W = self.out_proj.variables["params"]["kernel"]
+        b = self.out_proj.variables["params"]["bias"]
+        return rnnt_loss_fused_joint(
+            e.astype(c.dtype), p.astype(c.dtype), W.astype(c.dtype),
+            b.astype(jnp.float32), labels, input_lengths, label_lengths,
+            blank=c.blank, reduction=reduction, implementation=implementation,
+        )
+
 
 class Transducer(nn.Module):
     cfg: TransducerConfig
@@ -241,6 +258,17 @@ class Transducer(nn.Module):
         pred_band = gather_banded(pred, ranges, s_range)  # (B, T, S, H)
         return self.joint.banded(enc, pred_band)
 
+    def fused_loss(self, feats, feat_lengths, labels, label_lengths,
+                   reduction="mean", implementation="auto"):
+        """End-to-end loss with the joint projection fused into the loss
+        kernels — the dense-training path for large vocabularies."""
+        enc = self.encoder(feats, feat_lengths)
+        pred = self.prediction(labels)
+        return self.joint.fused_loss(
+            enc, pred, labels, feat_lengths, label_lengths,
+            reduction=reduction, implementation=implementation,
+        )
+
 
 def make_model(cfg: TransducerConfig) -> Transducer:
     return Transducer(cfg)
@@ -285,6 +313,26 @@ def make_train_step(model, optimizer, blank=0, implementation="auto"):
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    return step
+
+
+def make_fused_train_step(model, optimizer, implementation="auto"):
+    """Jittable train step over the fused joint+loss op: the (B, T, U, V)
+    logits and their gradient never touch HBM (ops/fused_joint.py)."""
+
+    def loss(params, batch):
+        return model.apply(
+            params, batch["feats"], batch["feat_lengths"], batch["labels"],
+            batch["label_lengths"], implementation=implementation,
+            method=model.fused_loss,
+        )
+
+    def step(params, opt_state, batch):
+        l, grads = jax.value_and_grad(loss)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, l
 
     return step
 

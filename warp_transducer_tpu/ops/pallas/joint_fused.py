@@ -1,0 +1,365 @@
+"""Fused joint-network + RNN-T-loss Pallas kernels.
+
+The dense large-V loss is HBM-bound: the (B, T, U, V) joint tensor is
+written by the joint network's output projection, read by prep, and
+read+written again by the gradient pass — ~69% of the chip's practical
+stream rate with nothing left to tune (ROADMAP #8). These kernels make the
+big tensor DISAPPEAR: the joint projection's output tile is produced in
+VMEM by the MXU and consumed in-register.
+
+Given the projected trunk activations e = enc_proj(enc) (B, T, H) and
+p = pred_proj(pred) (B, U, H), the joint is
+``logits[b,t,u] = tanh(e[b,t] + p[b,u]) @ W + bias`` (models/transducer.py
+``Joint``; reference analog: the test-time joint of
+/root/reference/pytorch_binding/test/test_time.py:45-99).
+
+* ``fused_prep``: per (batch, T-tile) grid step, builds the (T_t·U_pad, H)
+  row block, runs the (H, V)-tiled MXU matmul, and reduces each row online
+  (running max / sum-exp + blank and label column extraction) to the three
+  (B, T, U) lattice caches. The (·, V) logits exist only tile-wise in VMEM
+  — the reference's ``reduce.h`` fused one step further into the producer.
+* ``fused_grad``: recomputes each logits tile, forms the dense gradient
+  g = coef·softmax − cb·1_blank − ce·1_label in-register (the closed form
+  of /root/reference/include/detail/gpu_rnnt_kernel.h:143-179), and
+  contracts it immediately: dW += hᵀg, de/dp from (g Wᵀ)·tanh′, db += Σg.
+  The gradient tensor is never materialised either.
+
+Layout notes: row blocks are (T_t·U_pad, H) with U_pad a multiple of 8
+and T_t·U_pad a multiple of 128, so the collapse/expand reshapes between
+(T_t, U_pad, H) and (R, H) are layout no-ops; per-row scalars (labels and
+the (B,T,U) coefficient fields) are passed pre-flattened as (rows, 1)
+panels to avoid lane-relayout transposes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .wavefront import _LANES, _SUBLANES, _round_up
+
+NEG = -1.0e30
+_V_TILE = 512
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _row_geometry(T: int, U: int):
+    """Pick (T_t, U_pad, R): U_pad multiple of 8, R = T_t*U_pad multiple
+    of 128, R in a VPU/MXU-friendly range."""
+    U_pad = _round_up(U, _SUBLANES)
+    import math
+
+    T_t = _LANES // math.gcd(U_pad, _LANES)  # smallest T_t with R % 128 == 0
+    while T_t * U_pad < 256:  # grow towards fuller MXU row blocks
+        T_t *= 2
+    R = T_t * U_pad
+    return T_t, U_pad, R
+
+
+def _estimate_vmem(R, H, Vt, V_pad, w_bytes):
+    # W + dW(f32, bwd only counted by caller) + h rows + logits + misc
+    return (H * V_pad * w_bytes  # W resident
+            + R * H * 4 * 2      # h rows (f32) + dh/hpre
+            + R * Vt * 4 * 2)    # logits tile + g
+
+
+# ---------------------------------------------------------------------------
+# Forward: (e, p, W, bias, labels) -> (denom, lpb, lpe) row-flat
+# ---------------------------------------------------------------------------
+
+def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, lab_ref,
+                 denom_ref, lpb_ref, lpe_ref,
+                 *, blank: int, n_vt: int, v_tile: int, t_t: int, u_pad: int,
+                 mm_dtype):
+    f32 = jnp.float32
+    neg = jnp.asarray(NEG, f32)
+    R = t_t * u_pad
+    H = e_ref.shape[2]
+
+    e_t = e_ref[0].astype(f32)  # (T_t, H)
+    p_t = p_ref[0].astype(f32)  # (U_pad, H)
+    h3 = jnp.tanh(e_t[:, None, :] + p_t[None, :, :])  # (T_t, U_pad, H)
+    hm = h3.reshape(R, H).astype(mm_dtype)
+
+    lab = lab_ref[...]  # (R, 1) int32; -1 where no label defined
+
+    m = jnp.full((R, 1), neg, f32)
+    s = jnp.zeros((R, 1), f32)
+    blank_logit = jnp.zeros((R, 1), f32)
+    lab_logit = jnp.full((R, 1), neg, f32)
+
+    for k in range(n_vt):
+        w_k = w_ref[:, k * v_tile:(k + 1) * v_tile].astype(mm_dtype)
+        logits = jax.lax.dot_general(
+            hm, w_k, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) + bias_ref[:, k * v_tile:(k + 1) * v_tile]
+        t_max = jnp.max(logits, axis=1, keepdims=True)
+        m_new = jnp.maximum(m, t_max)
+        s = s * jnp.exp(m - m_new) + jnp.sum(
+            jnp.exp(logits - m_new), axis=1, keepdims=True
+        )
+        m = m_new
+        if k * v_tile <= blank < (k + 1) * v_tile:
+            bl = blank - k * v_tile
+            blank_logit = logits[:, bl:bl + 1]
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, v_tile), 1)
+        sel = jnp.where(col == (lab - k * v_tile), logits, neg)
+        lab_logit = jnp.maximum(lab_logit,
+                                jnp.max(sel, axis=1, keepdims=True))
+
+    denom = -(m + jnp.log(s))
+    denom_ref[...] = denom
+    lpb_ref[...] = blank_logit + denom
+    lpe_ref[...] = lab_logit + denom  # stays ~NEG where lab == -1
+
+
+# ---------------------------------------------------------------------------
+# Backward: recompute tiles, contract the in-register dense gradient
+# ---------------------------------------------------------------------------
+
+def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, lab_ref,
+                 denom_ref, coef_ref, cb_ref, ce_ref,
+                 de_ref, dp_ref, dw_ref, db_ref,
+                 *, blank: int, n_vt: int, v_tile: int, t_t: int, u_pad: int,
+                 mm_dtype):
+    f32 = jnp.float32
+    R = t_t * u_pad
+    H = e_ref.shape[2]
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    e_t = e_ref[0].astype(f32)
+    p_t = p_ref[0].astype(f32)
+    h3 = jnp.tanh(e_t[:, None, :] + p_t[None, :, :])  # (T_t, U_pad, H)
+    hm32 = h3.reshape(R, H)
+    hm = hm32.astype(mm_dtype)
+
+    lab = lab_ref[...]        # (R, 1)
+    denom = denom_ref[...]    # (R, 1)
+    coef = coef_ref[...]
+    cb = cb_ref[...]
+    ce = ce_ref[...]
+
+    @pl.when((b == 0) & (i == 0))
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    @pl.when(i == 0)
+    def _():
+        dp_ref[...] = jnp.zeros_like(dp_ref)
+
+    dh = jnp.zeros((R, H), f32)
+    for k in range(n_vt):
+        w_k = w_ref[:, k * v_tile:(k + 1) * v_tile]
+        logits = jax.lax.dot_general(
+            hm, w_k.astype(mm_dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) + bias_ref[:, k * v_tile:(k + 1) * v_tile]
+        # softmax prob of tile columns; padded columns have bias NEG -> 0
+        pvt = jnp.exp(logits + denom)
+        g = coef * pvt
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, v_tile), 1)
+        if k * v_tile <= blank < (k + 1) * v_tile:
+            g = g - jnp.where(col == (blank - k * v_tile), cb, 0.0)
+        g = g - jnp.where(col == (lab - k * v_tile), ce, 0.0)
+
+        dh = dh + jax.lax.dot_general(
+            g.astype(mm_dtype), w_k.astype(mm_dtype),
+            (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        )
+        dw_ref[:, k * v_tile:(k + 1) * v_tile] += jax.lax.dot_general(
+            hm, g.astype(mm_dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        db_ref[:, k * v_tile:(k + 1) * v_tile] += jnp.sum(
+            g, axis=0, keepdims=True
+        )
+
+    dh_pre = (dh * (1.0 - hm32 * hm32)).reshape(t_t, u_pad, H)
+    de_ref[0] = jnp.sum(dh_pre, axis=1)  # (T_t, H)
+    dp_ref[0] += jnp.sum(dh_pre, axis=0)  # (U_pad, H)
+
+
+# ---------------------------------------------------------------------------
+# Host wrappers
+# ---------------------------------------------------------------------------
+
+def _common_geometry(e, p, W):
+    B, T, H = e.shape
+    U = p.shape[1]
+    V = W.shape[1]
+    T_t, U_pad, R = _row_geometry(T, U)
+    T_pad = _round_up(T, T_t)
+    v_tile = min(_V_TILE, _round_up(V, _LANES))
+    V_pad = _round_up(V, v_tile)
+    n_vt = V_pad // v_tile
+    return B, T, U, H, V, T_t, U_pad, R, T_pad, v_tile, V_pad, n_vt
+
+
+def fused_vmem_ok(e, p, W, backward: bool = False) -> bool:
+    """Whether the resident-W kernels fit VMEM for these shapes."""
+    B, T, U, H, V, T_t, U_pad, R, T_pad, v_tile, V_pad, n_vt = (
+        _common_geometry(e, p, W))
+    w_bytes = 2 if W.dtype == jnp.bfloat16 else 4
+    est = _estimate_vmem(R, H, v_tile, V_pad, w_bytes)
+    if backward:
+        est += H * V_pad * 4 + R * H * 4  # dW accumulator + dh
+    return est < _VMEM_BUDGET
+
+
+def _labels_rows(labels, label_valid_len, B, T_pad, U, U_pad, T_t):
+    """(rows, 1) int32 panel: labels[u] for row (b, t, u); -1 where the
+    emit transition is undefined (u >= U-1 or beyond the utterance)."""
+    labels_u = labels.astype(jnp.int32)
+    lab_full = jnp.full((B, U_pad), -1, jnp.int32)
+    lab_full = jax.lax.dynamic_update_slice(
+        lab_full, labels_u[:, : U - 1], (0, 0)
+    ) if U > 1 else lab_full
+    u_iota = jnp.arange(U_pad, dtype=jnp.int32)[None, :]
+    lab_full = jnp.where(u_iota < label_valid_len[:, None], lab_full, -1)
+    rows = jnp.broadcast_to(lab_full[:, None, :], (B, T_pad, U_pad))
+    return rows.reshape(-1, 1)
+
+
+def _flat_rows(x, B, T, U, T_pad, U_pad, fill=0.0):
+    """(B, T, U) -> (B*T_pad*U_pad, 1) f32 panel."""
+    x = jnp.pad(x.astype(jnp.float32),
+                ((0, 0), (0, T_pad - T), (0, U_pad - U)),
+                constant_values=fill)
+    return x.reshape(-1, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("blank", "interpret"))
+def fused_prep(e, p, W, bias, labels, label_lengths, blank=0,
+               interpret=False):
+    """(denom, lpb, lpe) as (B, T, U) f32 — the joint tensor never exists.
+
+    e: (B, T, H), p: (B, U, H) projected trunk activations; W: (H, V),
+    bias: (V,) output-projection parameters; labels: (B, >=U-1) int32.
+    """
+    B, T, U, H, V, T_t, U_pad, R, T_pad, v_tile, V_pad, n_vt = (
+        _common_geometry(e, p, W))
+    f32 = jnp.float32
+    mm_dtype = jnp.bfloat16 if W.dtype == jnp.bfloat16 else f32
+    T_tiles = T_pad // T_t
+
+    e_p = jnp.pad(e, ((0, 0), (0, T_pad - T), (0, 0)))
+    p_p = jnp.pad(p, ((0, 0), (0, U_pad - U), (0, 0)))
+    W_p = jnp.pad(W, ((0, 0), (0, V_pad - V)))
+    bias_p = jnp.pad(bias.astype(f32)[None, :], ((0, 0), (0, V_pad - V)),
+                     constant_values=NEG)
+    lab_rows = _labels_rows(labels, label_lengths.astype(jnp.int32),
+                            B, T_pad, U, U_pad, T_t)
+    rows_total = B * T_pad * U_pad
+
+    kernel = functools.partial(
+        _prep_kernel, blank=blank, n_vt=n_vt, v_tile=v_tile,
+        t_t=T_t, u_pad=U_pad, mm_dtype=mm_dtype,
+    )
+    row_spec = pl.BlockSpec((R, 1), lambda b, i: (b * T_tiles + i, 0),
+                            memory_space=pltpu.VMEM)
+    denom_r, lpb_r, lpe_r = pl.pallas_call(
+        kernel,
+        grid=(B, T_tiles),
+        in_specs=[
+            pl.BlockSpec((1, T_t, H), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, V_pad), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V_pad), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec,
+        ],
+        out_specs=(row_spec, row_spec, row_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows_total, 1), f32),
+            jax.ShapeDtypeStruct((rows_total, 1), f32),
+            jax.ShapeDtypeStruct((rows_total, 1), f32),
+        ),
+        interpret=interpret,
+    )(e_p, p_p, W_p, bias_p, lab_rows)
+
+    unflat = lambda x: x.reshape(B, T_pad, U_pad)[:, :T, :U]
+    return unflat(denom_r), unflat(lpb_r), unflat(lpe_r)
+
+
+@functools.partial(jax.jit, static_argnames=("blank", "interpret"))
+def fused_grad(e, p, W, bias, labels, label_lengths, denom, coef, cb, ce,
+               blank=0, interpret=False):
+    """(de, dp, dW, db) from the (B, T, U) coefficient fields.
+
+    coef/cb/ce must already be valid-masked and cotangent-scaled (zero on
+    invalid cells); the dense (B, T, U, V) gradient is formed tile-wise in
+    VMEM and contracted on the spot.
+    """
+    B, T, U, H, V, T_t, U_pad, R, T_pad, v_tile, V_pad, n_vt = (
+        _common_geometry(e, p, W))
+    f32 = jnp.float32
+    mm_dtype = jnp.bfloat16 if W.dtype == jnp.bfloat16 else f32
+    T_tiles = T_pad // T_t
+
+    e_p = jnp.pad(e, ((0, 0), (0, T_pad - T), (0, 0)))
+    p_p = jnp.pad(p, ((0, 0), (0, U_pad - U), (0, 0)))
+    W_p = jnp.pad(W, ((0, 0), (0, V_pad - V)))
+    bias_p = jnp.pad(bias.astype(f32)[None, :], ((0, 0), (0, V_pad - V)),
+                     constant_values=NEG)
+    lab_rows = _labels_rows(labels, label_lengths.astype(jnp.int32),
+                            B, T_pad, U, U_pad, T_t)
+    denom_r = _flat_rows(denom, B, T, U, T_pad, U_pad)
+    coef_r = _flat_rows(coef, B, T, U, T_pad, U_pad)
+    cb_r = _flat_rows(cb, B, T, U, T_pad, U_pad)
+    ce_r = _flat_rows(ce, B, T, U, T_pad, U_pad)
+
+    kernel = functools.partial(
+        _grad_kernel, blank=blank, n_vt=n_vt, v_tile=v_tile,
+        t_t=T_t, u_pad=U_pad, mm_dtype=mm_dtype,
+    )
+    T_tiles_ = T_tiles
+    row_spec = pl.BlockSpec((R, 1), lambda b, i: (b * T_tiles_ + i, 0),
+                            memory_space=pltpu.VMEM)
+    de, dp, dW, db = pl.pallas_call(
+        kernel,
+        grid=(B, T_tiles),
+        in_specs=[
+            pl.BlockSpec((1, T_t, H), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, V_pad), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V_pad), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec,   # labels
+            row_spec,   # denom
+            row_spec,   # coef
+            row_spec,   # cb
+            row_spec,   # ce
+        ],
+        out_specs=(
+            pl.BlockSpec((1, T_t, H), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, V_pad), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V_pad), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T_pad, H), f32),
+            jax.ShapeDtypeStruct((B, U_pad, H), f32),
+            jax.ShapeDtypeStruct((H, V_pad), f32),
+            jax.ShapeDtypeStruct((1, V_pad), f32),
+        ),
+        interpret=interpret,
+    )(e_p, p_p, W_p, bias_p, lab_rows, denom_r, coef_r, cb_r, ce_r)
+
+    return (de[:, :T].astype(e.dtype), dp[:, :U].astype(p.dtype),
+            dW[:, :V].astype(W.dtype), db[0, :V].astype(bias.dtype))
