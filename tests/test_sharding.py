@@ -150,3 +150,59 @@ class TestNewLossesSharded:
             lambda a, r: rnnt_loss_pruned(a, r, labels, il, ll, reduction="none")
         )(shard(acts_band, P("data", None, None, None)), shard(ranges, P("data", None)))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+
+class TestFusedJointSharded:
+    """Data-parallel fused joint+loss: batch-sharded activations, replicated
+    projection weights, dW/db psum-reduced across shards."""
+
+    def _problem(self, seed=21, B=8, T=6, U=4, V=9, H=16):
+        rng = np.random.RandomState(seed)
+        e = jnp.asarray(rng.randn(B, T, H) * 0.5, jnp.float32)
+        p = jnp.asarray(rng.randn(B, U, H) * 0.5, jnp.float32)
+        W = jnp.asarray(rng.randn(H, V) / np.sqrt(H), jnp.float32)
+        bias = jnp.asarray(rng.randn(V) * 0.1, jnp.float32)
+        labels = jnp.asarray(rng.randint(1, V, (B, U - 1)), jnp.int32)
+        il = jnp.asarray(rng.randint(2, T + 1, (B,)), jnp.int32)
+        ll = jnp.asarray(rng.randint(0, U, (B,)), jnp.int32)
+        return e, p, W, bias, labels, il, ll
+
+    def test_costs_match_single_device(self, mesh):
+        from warp_transducer_tpu.ops.fused_joint import rnnt_loss_fused_joint
+        from warp_transducer_tpu.parallel.sharding import (
+            data_parallel_fused_joint_loss,
+        )
+
+        e, p, W, bias, labels, il, ll = self._problem()
+        ref = rnnt_loss_fused_joint(e, p, W, bias, labels, il, ll,
+                                    reduction="none", implementation="xla")
+        out = data_parallel_fused_joint_loss(
+            e, p, W, bias, labels, il, ll, mesh, reduction="none",
+            implementation="xla",
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+    def test_all_gradients_match_single_device(self, mesh):
+        """de/dp stay sharded; dW/db must be the full cross-shard psum."""
+        from warp_transducer_tpu.ops.fused_joint import rnnt_loss_fused_joint
+        from warp_transducer_tpu.parallel.sharding import (
+            data_parallel_fused_joint_loss,
+        )
+
+        e, p, W, bias, labels, il, ll = self._problem(seed=22)
+
+        g_ref = jax.grad(
+            lambda e, p, W, bias: rnnt_loss_fused_joint(
+                e, p, W, bias, labels, il, ll, reduction="sum",
+                implementation="xla"),
+            argnums=(0, 1, 2, 3),
+        )(e, p, W, bias)
+        g_dp = jax.grad(
+            lambda e, p, W, bias: data_parallel_fused_joint_loss(
+                e, p, W, bias, labels, il, ll, mesh, reduction="sum",
+                implementation="xla"),
+            argnums=(0, 1, 2, 3),
+        )(e, p, W, bias)
+        for name, a, b in zip(("de", "dp", "dW", "db"), g_dp, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5, err_msg=name)

@@ -104,6 +104,59 @@ def data_parallel_rnnt_loss(
     return _local(acts, labels, input_lengths, label_lengths)
 
 
+def data_parallel_fused_joint_loss(
+    e: jax.Array,
+    p: jax.Array,
+    W: jax.Array,
+    bias: jax.Array,
+    labels: jax.Array,
+    input_lengths: jax.Array,
+    label_lengths: jax.Array,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+    blank: int = 0,
+    reduction: str = "mean",
+    implementation: str = "auto",
+) -> jax.Array:
+    """Fused joint+loss with the batch sharded over ``mesh[axis]``.
+
+    e/p/labels/lengths shard on batch; W and bias are replicated (the
+    usual data-parallel layout for an output projection). Differentiable:
+    de/dp stay batch-sharded, and dW/db are automatically ``psum``-reduced
+    across shards by shard_map's transpose of replicated inputs — the
+    all-reduce rides ICI exactly like any data-parallel weight gradient.
+    """
+    from ..ops.fused_joint import rnnt_loss_fused_joint
+
+    if reduction not in ("none", "sum", "mean"):
+        raise ValueError(f"reduction must be none|sum|mean, got {reduction!r}")
+    n_shards = mesh.shape[axis]
+    B = e.shape[0]
+    if B % n_shards:
+        raise ValueError(f"batch {B} not divisible by mesh axis {axis!r} size {n_shards}")
+
+    in_specs = (P(axis), P(axis), P(), P(), P(axis), P(axis), P(axis))
+    out_specs = P(axis) if reduction == "none" else P()
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    def _local(e, p, W, bias, l, il, ll):
+        costs = rnnt_loss_fused_joint(
+            e, p, W, bias, l, il, ll, blank=blank, reduction="none",
+            implementation=implementation,
+        )
+        if reduction == "none":
+            return costs
+        total = jax.lax.psum(jnp.sum(costs), axis)
+        if reduction == "mean":
+            total = total / B
+        return total
+
+    return _local(e, p, W, bias, labels, input_lengths, label_lengths)
+
+
 def auto_sharded_rnnt_loss(
     acts, labels, input_lengths, label_lengths, mesh: Mesh,
     axis: str = DATA_AXIS, **kwargs
