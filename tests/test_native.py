@@ -227,3 +227,57 @@ class TestTorchBinding:
         np.testing.assert_allclose(
             acts.grad.numpy(), G.BIG_GRADS_ACTS / 2.0, atol=1e-5
         )
+
+
+class TestTorchSimplePruned:
+    def test_simple_autograd_matches_dense(self):
+        torch = pytest.importorskip("torch")
+        from warp_transducer_tpu.bindings.torch_binding import (
+            rnnt_loss, rnnt_loss_simple,
+        )
+
+        rng = np.random.RandomState(41)
+        B, T, U, V = 2, 7, 4, 6
+        am = torch.tensor(rng.randn(B, T, V), dtype=torch.float32,
+                          requires_grad=True)
+        lm = torch.tensor(rng.randn(B, U, V), dtype=torch.float32,
+                          requires_grad=True)
+        labels = torch.tensor(rng.randint(1, V, (B, U - 1)), dtype=torch.int32)
+        il = torch.tensor([7, 5], dtype=torch.int32)
+        ll = torch.tensor([3, 2], dtype=torch.int32)
+
+        loss = rnnt_loss_simple(am, lm, labels, il, ll, reduction="sum")
+        loss.backward()
+
+        acts = (am.detach()[:, :, None, :] + lm.detach()[:, None, :, :]
+                ).contiguous().requires_grad_(True)
+        ref = rnnt_loss(acts, labels, il, ll, reduction="sum")
+        ref.backward()
+        np.testing.assert_allclose(float(loss), float(ref), rtol=1e-5)
+        np.testing.assert_allclose(am.grad.numpy(),
+                                   acts.grad.sum(dim=2).numpy(), atol=1e-4)
+        np.testing.assert_allclose(lm.grad.numpy(),
+                                   acts.grad.sum(dim=1).numpy(), atol=1e-4)
+
+    def test_pruned_autograd_full_band_equals_dense(self):
+        torch = pytest.importorskip("torch")
+        from warp_transducer_tpu.bindings.torch_binding import (
+            rnnt_loss, rnnt_loss_pruned,
+        )
+
+        rng = np.random.RandomState(43)
+        B, T, U, V = 2, 6, 4, 5
+        acts_np = rng.randn(B, T, U, V).astype(np.float32)
+        labels = torch.tensor(rng.randint(1, V, (B, U - 1)), dtype=torch.int32)
+        il = torch.tensor([6, 4], dtype=torch.int32)
+        ll = torch.tensor([3, 2], dtype=torch.int32)
+        ranges = torch.zeros((B, T), dtype=torch.int32)
+
+        a1 = torch.tensor(acts_np, requires_grad=True)
+        loss_p = rnnt_loss_pruned(a1, ranges, labels, il, ll, reduction="mean")
+        loss_p.backward()
+        a2 = torch.tensor(acts_np, requires_grad=True)
+        loss_d = rnnt_loss(a2, labels, il, ll, reduction="mean")
+        loss_d.backward()
+        np.testing.assert_allclose(float(loss_p), float(loss_d), rtol=1e-5)
+        np.testing.assert_allclose(a1.grad.numpy(), a2.grad.numpy(), atol=1e-5)

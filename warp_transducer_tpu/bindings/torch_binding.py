@@ -16,7 +16,11 @@ try:
 except ImportError as e:  # pragma: no cover
     raise ImportError("torch is required for warp_transducer_tpu.bindings.torch_binding") from e
 
-from .native import rnnt_loss_native
+from .native import (
+    rnnt_loss_native,
+    rnnt_loss_pruned_native,
+    rnnt_loss_simple_native,
+)
 
 
 def _certify(acts, labels, act_lens, label_lens):
@@ -97,3 +101,82 @@ class RNNTLoss(torch.nn.Module):
             blank=self.blank, reduction=self.reduction,
             from_log_probs=self.from_log_probs,
         )
+
+
+def _reduce(costs, grads_list, reduction, B):
+    if reduction in ("sum", "mean"):
+        costs = costs.sum().unsqueeze(-1)
+        if reduction == "mean":
+            costs = costs / B
+            grads_list = [g / B if g.numel() else g for g in grads_list]
+    return costs, grads_list
+
+
+class _RNNTSimpleFunction(Function):
+    @staticmethod
+    def forward(ctx, am, lm, labels, act_lens, label_lens, blank, reduction):
+        needs_grad = am.requires_grad or lm.requires_grad
+        costs_np, gam_np, glm_np = rnnt_loss_simple_native(
+            am.detach().numpy(), lm.detach().numpy(), labels.numpy(),
+            act_lens.numpy(), label_lens.numpy(), blank=blank,
+            compute_grads=needs_grad,
+        )
+        costs = torch.from_numpy(np.asarray(costs_np)).to(am.dtype)
+        z = torch.zeros(0, dtype=am.dtype)
+        gam = torch.from_numpy(gam_np).to(am.dtype) if gam_np is not None else z
+        glm = torch.from_numpy(glm_np).to(lm.dtype) if glm_np is not None else z
+        costs, (gam, glm) = _reduce(costs, [gam, glm], reduction, am.size(0))
+        ctx.gam, ctx.glm = gam, glm
+        return costs
+
+    @staticmethod
+    def backward(ctx, grad_output):
+        ga = ctx.gam.mul(grad_output.view(-1, 1, 1).to(ctx.gam))
+        gl = ctx.glm.mul(grad_output.view(-1, 1, 1).to(ctx.glm))
+        return ga, gl, None, None, None, None, None
+
+
+def rnnt_loss_simple(am, lm, labels, act_lens, label_lens, blank=0,
+                     reduction="mean"):
+    """Factorised additive-joiner loss on CPU torch tensors: am (B, T, V) +
+    lm (B, U, V), never materialising (B, T, U, V) — torch twin of the JAX
+    ``rnnt_loss_simple`` over the native engine."""
+    if reduction not in ("none", "sum", "mean"):
+        raise ValueError(f"reduction must be none|sum|mean, got {reduction!r}")
+    return _RNNTSimpleFunction.apply(
+        am, lm, labels, act_lens, label_lens, blank, reduction
+    )
+
+
+class _RNNTPrunedFunction(Function):
+    @staticmethod
+    def forward(ctx, acts, ranges, labels, act_lens, label_lens, blank,
+                reduction):
+        costs_np, grads_np = rnnt_loss_pruned_native(
+            acts.detach().numpy(), ranges.numpy(), labels.numpy(),
+            act_lens.numpy(), label_lens.numpy(), blank=blank,
+            compute_grads=acts.requires_grad,
+        )
+        costs = torch.from_numpy(np.asarray(costs_np)).to(acts.dtype)
+        grads = (torch.from_numpy(grads_np).to(acts.dtype)
+                 if grads_np is not None else torch.zeros(0, dtype=acts.dtype))
+        costs, (grads,) = _reduce(costs, [grads], reduction, acts.size(0))
+        ctx.grads = grads
+        return costs
+
+    @staticmethod
+    def backward(ctx, grad_output):
+        g = grad_output.view(-1, 1, 1, 1).to(ctx.grads)
+        return ctx.grads.mul(g), None, None, None, None, None, None
+
+
+def rnnt_loss_pruned(acts, ranges, labels, act_lens, label_lens, blank=0,
+                     reduction="mean"):
+    """Banded (pruned) loss on CPU torch tensors: acts (B, T, S, V) on the
+    band, ranges (B, T) band starts — torch twin of the JAX
+    ``rnnt_loss_pruned`` over the native engine."""
+    if reduction not in ("none", "sum", "mean"):
+        raise ValueError(f"reduction must be none|sum|mean, got {reduction!r}")
+    return _RNNTPrunedFunction.apply(
+        acts, ranges, labels, act_lens, label_lens, blank, reduction
+    )
