@@ -348,3 +348,4 @@ class TestBandStreamKernel:
             implementation="pallas"))(band)
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                    rtol=1e-4, atol=1e-5)
+
