@@ -123,3 +123,34 @@ class TestNativeFallback:
             tf.constant(G.BIG_INPUT_LENGTHS), tf.constant(G.BIG_LABEL_LENGTHS),
         )
         np.testing.assert_allclose(costs.numpy(), G.BIG_COSTS.astype(np.float32), rtol=1e-5)
+
+
+class TestSimpleLoss:
+    def test_simple_matches_dense_with_grads(self):
+        """TF simple loss == TF dense loss on the expanded sum, and its
+        am/lm gradients equal the dense gradient's marginals."""
+        rng = np.random.RandomState(17)
+        B, T, U, V = 2, 6, 4, 7
+        am = tf.constant(rng.randn(B, T, V).astype(np.float32))
+        lm = tf.constant(rng.randn(B, U, V).astype(np.float32))
+        labels = tf.constant(rng.randint(1, V, (B, U - 1)).astype(np.int32))
+        il = tf.constant(np.array([6, 4], np.int32))
+        ll = tf.constant(np.array([3, 2], np.int32))
+
+        with tf.GradientTape() as tape:
+            tape.watch([am, lm])
+            costs = tf_binding.rnnt_loss_simple(am, lm, labels, il, ll)
+            total = tf.reduce_sum(costs)
+        gam, glm = tape.gradient(total, [am, lm])
+
+        acts = tf.constant(
+            am.numpy()[:, :, None, :] + lm.numpy()[:, None, :, :]
+        )
+        with tf.GradientTape() as tape2:
+            tape2.watch(acts)
+            ref = tf_binding.rnnt_loss(acts, labels, il, ll)
+            tref = tf.reduce_sum(ref)
+        gref = tape2.gradient(tref, acts)
+        np.testing.assert_allclose(costs.numpy(), ref.numpy(), rtol=1e-5)
+        np.testing.assert_allclose(gam.numpy(), gref.numpy().sum(2), atol=1e-4)
+        np.testing.assert_allclose(glm.numpy(), gref.numpy().sum(1), atol=1e-4)

@@ -93,6 +93,38 @@ def rnnt_loss(acts, labels, input_lengths, label_lengths, blank=0,
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _converted_simple(blank: int, platforms: tuple):
+    from jax.experimental import jax2tf
+
+    from ..ops.simple import rnnt_loss_simple as jax_simple
+
+    def fn(am, lm, labels, input_lengths, label_lengths):
+        return jax_simple(
+            am, lm, labels, input_lengths, label_lengths,
+            blank=blank, reduction="none", implementation="xla",
+        )
+
+    return jax2tf.convert(
+        fn, with_gradient=True, native_serialization_platforms=platforms
+    )
+
+
+def rnnt_loss_simple(am, lm, labels, input_lengths, label_lengths, blank=0,
+                     platforms=("cpu",)):
+    """Factorised additive-joiner loss for TF graphs: am (B, T, V) +
+    lm (B, U, V), never materialising (B, T, U, V); differentiable w.r.t.
+    both. Same jax2tf lowering as ``rnnt_loss``."""
+    tf = _tf()
+    fn = _converted_simple(int(blank), tuple(platforms))
+    return fn(
+        am, lm,
+        tf.cast(labels, tf.int32),
+        tf.cast(input_lengths, tf.int32),
+        tf.cast(label_lengths, tf.int32),
+    )
+
+
 def make_rnnt_loss_module(blank: int = 0, from_log_probs: bool = False,
                           platforms=("cpu",)):
     """A ``tf.Module`` wrapping the loss in a ``tf.function`` — ready for

@@ -42,7 +42,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .wavefront import _LANES, _SUBLANES, _round_up
 
 NEG = -1.0e30
-_V_TILE = 512
+# Tuning knobs (env-overridable for experiments; defaults are the measured
+# best at B=64, T=150, U=21, V=5000, H=256 on v5e).
+import os as _os
+
+_V_TILE = int(_os.environ.get("WTT_FUSED_VTILE", 512))
+_MIN_ROWS = int(_os.environ.get("WTT_FUSED_MINROWS", 256))
 _VMEM_BUDGET = 13 * 1024 * 1024
 
 
@@ -53,7 +58,7 @@ def _row_geometry(T: int, U: int):
     import math
 
     T_t = _LANES // math.gcd(U_pad, _LANES)  # smallest T_t with R % 128 == 0
-    while T_t * U_pad < 256:  # grow towards fuller MXU row blocks
+    while T_t * U_pad < _MIN_ROWS:  # grow towards fuller MXU row blocks
         T_t *= 2
     R = T_t * U_pad
     return T_t, U_pad, R
