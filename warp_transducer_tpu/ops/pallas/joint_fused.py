@@ -47,7 +47,9 @@ NEG = -1.0e30
 import os as _os
 
 _V_TILE = int(_os.environ.get("WTT_FUSED_VTILE", 512))
-_MIN_ROWS = int(_os.environ.get("WTT_FUSED_MINROWS", 256))
+# 512-row blocks measured 3% faster than 256 at the headline fused shape
+# (15.63 vs 16.16 ms); 1024 exceeds VMEM there.
+_MIN_ROWS = int(_os.environ.get("WTT_FUSED_MINROWS", 512))
 _VMEM_BUDGET = 13 * 1024 * 1024
 
 
