@@ -258,6 +258,27 @@ def _band_kernel(
     llb_ref[...] = llb
 
 
+def band_row_metadata(ranges, input_lengths, label_lengths, T_pad):
+    """Panel-layout integer metadata shared by the band kernels.
+
+    Returns (ranges_p, da_p, db_p) as (T_pad, B_pad) int32 and (tb, ub) as
+    (1, B_pad) int32; padded lanes get length 1 (their cells are invalid).
+    """
+    B, T = ranges.shape
+    B_pad = _round_up(B, _LANES)
+    r = ranges.astype(jnp.int32)
+    delta_a = jnp.diff(r, axis=1, prepend=r[:, :1])
+    delta_b = jnp.diff(r, axis=1, append=r[:, -1:])
+    pad_rows = lambda x: jnp.pad(
+        jnp.transpose(x, (1, 0)), ((0, T_pad - T), (0, B_pad - B))
+    )  # (B,T) -> (T_pad, B_pad), zero padding (rows beyond T are invalid)
+    tb = jnp.pad(input_lengths.astype(jnp.int32), (0, B_pad - B),
+                 constant_values=1)[None, :]
+    ub = jnp.pad(label_lengths.astype(jnp.int32) + 1, (0, B_pad - B),
+                 constant_values=1)[None, :]
+    return pad_rows(r), pad_rows(delta_a), pad_rows(delta_b), tb, ub
+
+
 @functools.partial(jax.jit, static_argnames=("s_band", "interpret"))
 def _band_stream(lpb, lpe, ranges, input_lengths, label_lengths, s_band,
                  interpret):
@@ -276,22 +297,41 @@ def _band_stream(lpb, lpe, ranges, input_lengths, label_lengths, s_band,
     lpb_p = to_panel(lpb)
     lpe_p = to_panel(lpe)
 
-    r = ranges.astype(jnp.int32)
-    delta_a = jnp.diff(r, axis=1, prepend=r[:, :1])
-    delta_b = jnp.diff(r, axis=1, append=r[:, -1:])
-    pad_rows = lambda x: jnp.pad(
-        jnp.transpose(x, (1, 0)), ((0, n_pad - T), (0, B_pad - B))
-    )  # (B,T) -> (n_pad, B_pad), zero padding (rows beyond T are invalid)
-    ranges_p = pad_rows(r)
-    da_p = pad_rows(delta_a)
-    db_p = pad_rows(delta_b)
+    ranges_p, da_p, db_p, tb, ub = band_row_metadata(
+        ranges, input_lengths, label_lengths, n_pad
+    )
 
-    tb = jnp.pad(input_lengths.astype(jnp.int32), (0, B_pad - B),
-                 constant_values=1)[None, :]
-    ub = jnp.pad(label_lengths.astype(jnp.int32) + 1, (0, B_pad - B),
-                 constant_values=1)[None, :]
+    alpha_p, beta_p, llf, llb = stream_panels(
+        lpb_p, lpe_p, ranges_p, da_p, db_p, tb, ub, S, interpret
+    )
+    unpanel = lambda x: jnp.transpose(x[:T, :S, :B], (2, 0, 1))  # (B,T,S)
+    return unpanel(alpha_p), unpanel(beta_p), llf[0, :B], llb[0, :B]
 
-    kernel = functools.partial(_band_kernel, n_pad=n_pad, ch=ch, s_band=S)
+
+def stream_panels(lpb_p, lpe_p, ranges_p, da_p, db_p, tb, ub, s_band,
+                  interpret):
+    """Run the streamed band sweep on prebuilt panels.
+
+    Inputs: lpb_p/lpe_p (T_pad, S_pad, B_pad) f32 NEG-padded panels,
+    metadata from ``band_row_metadata``. Returns (alpha_p, beta_p, llf,
+    llb) with the lattices still in panel layout (same T_pad) — the
+    all-panels pruned pipeline (``band_pipeline.py``) consumes them
+    without ever materialising a (B, T, S)-layout array.
+    """
+    T_pad, S_pad, B_pad = lpb_p.shape
+    ch = _pick_chunk(S_pad, B_pad, T_pad)
+    n_pad = _round_up(T_pad, ch)
+    if n_pad != T_pad:
+        pad = ((0, n_pad - T_pad), (0, 0), (0, 0))
+        lpb_p = jnp.pad(lpb_p, pad, constant_values=NEG)
+        lpe_p = jnp.pad(lpe_p, pad, constant_values=NEG)
+        rpad = ((0, n_pad - T_pad), (0, 0))
+        ranges_p = jnp.pad(ranges_p, rpad)
+        da_p = jnp.pad(da_p, rpad)
+        db_p = jnp.pad(db_p, rpad)
+
+    kernel = functools.partial(_band_kernel, n_pad=n_pad, ch=ch,
+                               s_band=s_band)
     buf = lambda: pltpu.VMEM((2, ch, S_pad, B_pad), jnp.float32)
     alpha_p, beta_p, llf, llb = pl.pallas_call(
         kernel,
@@ -325,9 +365,7 @@ def _band_stream(lpb, lpe, ranges, input_lengths, label_lengths, s_band,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(tb, ub, ranges_p, da_p, db_p, lpb_p, lpe_p)
-
-    unpanel = lambda x: jnp.transpose(x[:T, :S, :B], (2, 0, 1))  # (B,T,S)
-    return unpanel(alpha_p), unpanel(beta_p), llf[0, :B], llb[0, :B]
+    return alpha_p[:T_pad], beta_p[:T_pad], llf, llb
 
 
 def band_forward_backward(lpb, lpe, ranges, input_lengths, label_lengths,

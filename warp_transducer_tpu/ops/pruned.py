@@ -355,8 +355,34 @@ def _pruned_costs(acts, ranges, labels, input_lengths, label_lengths, blank,
     return costs
 
 
+def _band_labels(labels, ranges, S):
+    """(lab_band, has_lab): per-cell label ids and their validity."""
+    B, T = ranges.shape
+    U_minus_1 = labels.shape[1]
+    labels_i = labels.astype(jnp.int32)
+    u_idx = ranges[:, :, None] + jnp.arange(S, dtype=jnp.int32)  # (B,T,S)
+    lab_band = jax.vmap(lambda lb, ix: lb[ix])(
+        labels_i, jnp.clip(u_idx, 0, max(U_minus_1 - 1, 0))
+    ) if U_minus_1 > 0 else jnp.zeros((B, T, S), jnp.int32)
+    return lab_band, u_idx < U_minus_1
+
+
 def _pruned_fwd(acts, ranges, labels, input_lengths, label_lengths, blank,
                 implementation):
+    if implementation == "pallas":
+        # all-panels pipeline: no (B, T, S)-layout intermediate ever exists
+        from .pallas import band_pipeline
+
+        interpret = jax.default_backend() != "tpu"
+        lab_band, has_lab = _band_labels(labels, ranges, acts.shape[2])
+        llf, panels = band_pipeline.pruned_forward(
+            acts, lab_band, has_lab, ranges.astype(jnp.int32),
+            input_lengths, label_lengths, blank, interpret,
+        )
+        costs = (-llf).astype(acts.dtype)
+        return costs, (acts, panels, ranges, labels,
+                       input_lengths, label_lengths)
+
     lpb, lpe, denom, lab_band, has_lab = _band_prep(acts, labels, ranges, blank)
     lat = _band_lattice(lpb, lpe, ranges, input_lengths, label_lengths,
                         implementation=implementation)
@@ -367,16 +393,29 @@ def _pruned_fwd(acts, ranges, labels, input_lengths, label_lengths, blank,
 
 
 def _pruned_bwd(blank, implementation, residuals, g):
+    def int_zeros(*shapes):
+        return tuple(np.zeros(s, dtype=jax.dtypes.float0) for s in shapes)
+
+    if implementation == "pallas":
+        from .pallas import band_pipeline
+
+        (acts, panels, ranges, labels,
+         input_lengths, label_lengths) = residuals
+        interpret = jax.default_backend() != "tpu"
+        d_acts = band_pipeline.pruned_backward(acts, panels, g, blank,
+                                               interpret)
+        return (d_acts,) + int_zeros(
+            ranges.shape, labels.shape, input_lengths.shape,
+            label_lengths.shape
+        )
+
     (acts, ranges, labels, input_lengths, label_lengths,
      lpb, lpe, denom, lab_band, has_lab, lat) = residuals
     d_acts = _band_grad(acts, denom, lpb, lpe, lat, ranges, lab_band, has_lab,
                         input_lengths, label_lengths, blank, g)
-
-    def int_zero(x):
-        return np.zeros(x.shape, dtype=jax.dtypes.float0)
-
-    return (d_acts, int_zero(ranges), int_zero(labels),
-            int_zero(input_lengths), int_zero(label_lengths))
+    return (d_acts,) + int_zeros(
+        ranges.shape, labels.shape, input_lengths.shape, label_lengths.shape
+    )
 
 
 _pruned_costs.defvjp(_pruned_fwd, _pruned_bwd)
