@@ -166,7 +166,11 @@ def _grad_kernel(x_ref, lab_ref, lpb_ref, lpe_ref, den_ref,
     g = jnp.zeros((B, Tc, SV), f32)
     for s in range(S):
         in_seg = (lane >= s * v) & (lane < (s + 1) * v)
-        tr = lambda p: jnp.transpose(p[:, s, :], (1, 0))[:B, :, None]
+        # NB: transpose-then-basic-index with a None (`[:B, :, None]`)
+        # emits lax.gather, which Mosaic can't lower; lax.slice +
+        # expand_dims stays on the slice path.
+        tr = lambda p: jnp.expand_dims(jax.lax.slice(
+            jnp.transpose(p[:, s, :], (1, 0)), (0, 0), (B, Tc)), 2)
         seg = tr(coef) * jnp.exp(x + tr(denom))
         seg = seg - jnp.where(lane % v == blank, tr(cb), 0.0)
         lab_bt = jnp.transpose(lab_ref[:, s, :], (1, 0))[:B]  # (B, Tc)
