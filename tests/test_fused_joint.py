@@ -110,6 +110,78 @@ def test_bf16_weights_close():
                                np.asarray(ref, np.float32), rtol=3e-2)
 
 
+class TestChunked:
+    """V-chunked drivers (W too big for VMEM): forced multi-chunk runs at
+    small sizes must match the unfused pipeline exactly.
+
+    Shapes here are unique to this class: the chunk knobs are monkeypatched
+    module globals read at trace time, so sharing shapes with other tests
+    would reuse poisoned jit caches.
+    """
+
+    @pytest.fixture(autouse=True)
+    def _force_chunks(self, monkeypatch):
+        from warp_transducer_tpu.ops.pallas import joint_fused
+        monkeypatch.setattr(joint_fused, "_V_TILE", 128)
+        monkeypatch.setattr(joint_fused, "_N_CHUNKS_OVERRIDE", 2)
+
+    def test_costs_and_grads_match(self):
+        B, T, U, V, H = 2, 6, 4, 300, 16  # V spans both 256-col chunks
+        e, p, W, bias, labels, il, ll = _problem(9, B, T, U, V, H, True)
+
+        def f_fused(e, p, W, bias):
+            return rnnt_loss_fused_joint(e, p, W, bias, labels, il, ll,
+                                         reduction="sum",
+                                         implementation="xla")
+
+        def f_ref(e, p, W, bias):
+            return _unfused(e, p, W, bias, labels, il, ll, reduction="sum")
+
+        np.testing.assert_allclose(
+            float(f_fused(e, p, W, bias)), float(f_ref(e, p, W, bias)),
+            rtol=1e-5)
+        gf = jax.grad(f_fused, argnums=(0, 1, 2, 3))(e, p, W, bias)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2, 3))(e, p, W, bias)
+        for name, a, b in zip(("de", "dp", "dW", "db"), gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4, err_msg=name)
+
+    def test_blank_in_second_chunk(self):
+        B, T, U, V, H = 2, 5, 3, 290, 8
+        e, p, W, bias, labels, il, ll = _problem(10, B, T, U, V, H, True)
+        blank = 280  # lives in chunk 1, not chunk 0
+        labels = jnp.where(labels == blank, 1, labels)
+        ref = _unfused(e, p, W, bias, labels, il, ll, blank=blank)
+        out = rnnt_loss_fused_joint(e, p, W, bias, labels, il, ll,
+                                    blank=blank, reduction="none",
+                                    implementation="xla")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        gf = jax.grad(lambda *a: rnnt_loss_fused_joint(
+            *a, labels, il, ll, blank=blank, reduction="sum",
+            implementation="xla"), argnums=(0, 1, 2, 3))(e, p, W, bias)
+        gr = jax.grad(lambda *a: _unfused(
+            *a, labels, il, ll, blank=blank, reduction="sum"),
+            argnums=(0, 1, 2, 3))(e, p, W, bias)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+
+def test_n_chunks_shape_only():
+    """Chunk decision is shape-only (works on abstract values) and kicks in
+    for W beyond the VMEM budget."""
+    from warp_transducer_tpu.ops.pallas import joint_fused
+    small = [jax.ShapeDtypeStruct(s, jnp.float32)
+             for s in ((2, 8, 128), (2, 4, 128), (128, 512))]
+    assert joint_fused.fused_n_chunks(*small) == 1
+    big = [jax.ShapeDtypeStruct(s, jnp.float32)
+           for s in ((2, 8, 1024), (2, 4, 1024), (1024, 32000))]
+    n_f = joint_fused.fused_n_chunks(*big)
+    n_b = joint_fused.fused_n_chunks(*big, backward=True)
+    assert n_f > 1 and n_b >= n_f  # backward also holds the dW slice
+
+
 def test_validation():
     e, p, W, bias, labels, il, ll = _problem(8, 2, 4, 3, 6, 8)
     with pytest.raises(ValueError, match="expected"):

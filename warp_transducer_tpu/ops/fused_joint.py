@@ -53,7 +53,9 @@ def _fused_prep(e, p, W, bias, labels, blank, interpret):
 
     U = p.shape[1]
     lab_len = jnp.full((e.shape[0],), U - 1, jnp.int32)
-    denom, lpb, lpe = joint_fused.fused_prep(
+    # V-chunked when W (+ the kernel's working set) exceeds VMEM; the
+    # single-chunk case is exactly fused_prep.
+    denom, lpb, lpe = joint_fused.fused_prep_chunked(
         e, p, W, bias, labels, lab_len, blank=blank, interpret=interpret
     )
     return denom, lpb, lpe
@@ -97,7 +99,7 @@ def _fused_costs_bwd(blank, implementation, residuals, g):
     )
     U = p.shape[1]
     lab_len = jnp.full((e.shape[0],), U - 1, jnp.int32)
-    de, dp, dW, db = joint_fused.fused_grad(
+    de, dp, dW, db = joint_fused.fused_grad_chunked(
         e, p, W, bias, labels, lab_len, denom, coef, cb, ce,
         blank=blank, interpret=_interpret_default(),
     )

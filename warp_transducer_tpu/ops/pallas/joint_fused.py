@@ -78,9 +78,16 @@ def _estimate_vmem(R, H, Vt, V_pad, w_bytes):
 # ---------------------------------------------------------------------------
 
 def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, lab_ref,
-                 denom_ref, lpb_ref, lpe_ref,
-                 *, blank: int, n_vt: int, v_tile: int, t_t: int, u_pad: int,
-                 mm_dtype):
+                 *out_refs,
+                 blank: int, n_vt: int, v_tile: int, t_t: int, u_pad: int,
+                 mm_dtype, v_base: int = 0, partial: bool = False):
+    """One (batch, T-tile) row block.
+
+    Default outputs: (denom, lpb, lpe).  With ``partial=True`` the outputs
+    are the raw online-reduction state (max, sum-exp-rel-max, blank logit,
+    label logit) so a V-chunked caller can merge several invocations whose
+    W slices each fit VMEM; ``v_base`` is the global column id of this
+    kernel's first V column (blank/label ids stay global)."""
     f32 = jnp.float32
     neg = jnp.asarray(NEG, f32)
     R = t_t * u_pad
@@ -95,7 +102,7 @@ def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, lab_ref,
 
     m = jnp.full((R, 1), neg, f32)
     s = jnp.zeros((R, 1), f32)
-    blank_logit = jnp.zeros((R, 1), f32)
+    blank_logit = jnp.full((R, 1), neg, f32)
     lab_logit = jnp.full((R, 1), neg, f32)
 
     for k in range(n_vt):
@@ -110,14 +117,23 @@ def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, lab_ref,
             jnp.exp(logits - m_new), axis=1, keepdims=True
         )
         m = m_new
-        if k * v_tile <= blank < (k + 1) * v_tile:
-            bl = blank - k * v_tile
+        if k * v_tile <= blank - v_base < (k + 1) * v_tile:
+            bl = blank - v_base - k * v_tile
             blank_logit = logits[:, bl:bl + 1]
         col = jax.lax.broadcasted_iota(jnp.int32, (R, v_tile), 1)
-        sel = jnp.where(col == (lab - k * v_tile), logits, neg)
+        sel = jnp.where(col == (lab - v_base - k * v_tile), logits, neg)
         lab_logit = jnp.maximum(lab_logit,
                                 jnp.max(sel, axis=1, keepdims=True))
 
+    if partial:
+        m_ref, s_ref, bl_ref, le_ref = out_refs
+        m_ref[...] = m
+        s_ref[...] = s  # sum of exp(logit - m) over this chunk's columns
+        bl_ref[...] = blank_logit
+        le_ref[...] = lab_logit
+        return
+
+    denom_ref, lpb_ref, lpe_ref = out_refs
     denom = -(m + jnp.log(s))
     denom_ref[...] = denom
     lpb_ref[...] = blank_logit + denom
@@ -132,7 +148,7 @@ def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, lab_ref,
                  denom_ref, coef_ref, cb_ref, ce_ref,
                  de_ref, dp_ref, dw_ref, db_ref,
                  *, blank: int, n_vt: int, v_tile: int, t_t: int, u_pad: int,
-                 mm_dtype):
+                 mm_dtype, v_base: int = 0):
     f32 = jnp.float32
     R = t_t * u_pad
     H = e_ref.shape[2]
@@ -171,9 +187,9 @@ def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, lab_ref,
         pvt = jnp.exp(logits + denom)
         g = coef * pvt
         col = jax.lax.broadcasted_iota(jnp.int32, (R, v_tile), 1)
-        if k * v_tile <= blank < (k + 1) * v_tile:
-            g = g - jnp.where(col == (blank - k * v_tile), cb, 0.0)
-        g = g - jnp.where(col == (lab - k * v_tile), ce, 0.0)
+        if k * v_tile <= blank - v_base < (k + 1) * v_tile:
+            g = g - jnp.where(col == (blank - v_base - k * v_tile), cb, 0.0)
+        g = g - jnp.where(col == (lab - v_base - k * v_tile), ce, 0.0)
 
         dh = dh + jax.lax.dot_general(
             g.astype(mm_dtype), w_k.astype(mm_dtype),
@@ -241,13 +257,19 @@ def _flat_rows(x, B, T, U, T_pad, U_pad, fill=0.0):
     return x.reshape(-1, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("blank", "interpret"))
+@functools.partial(jax.jit, static_argnames=("blank", "interpret", "v_base",
+                                             "partial"))
 def fused_prep(e, p, W, bias, labels, label_lengths, blank=0,
-               interpret=False):
+               interpret=False, v_base=0, partial=False):
     """(denom, lpb, lpe) as (B, T, U) f32 — the joint tensor never exists.
 
     e: (B, T, H), p: (B, U, H) projected trunk activations; W: (H, V),
     bias: (V,) output-projection parameters; labels: (B, >=U-1) int32.
+
+    With ``partial=True`` (the V-chunked path: W here is one V slice whose
+    first global column is ``v_base``) returns the unmerged online state
+    (m, s, blank_logit, label_logit) instead; ``fused_prep_chunked`` merges
+    the chunks.
     """
     B, T, U, H, V, T_t, U_pad, R, T_pad, v_tile, V_pad, n_vt = (
         _common_geometry(e, p, W))
@@ -266,11 +288,13 @@ def fused_prep(e, p, W, bias, labels, label_lengths, blank=0,
 
     kernel = functools.partial(
         _prep_kernel, blank=blank, n_vt=n_vt, v_tile=v_tile,
-        t_t=T_t, u_pad=U_pad, mm_dtype=mm_dtype,
+        t_t=T_t, u_pad=U_pad, mm_dtype=mm_dtype, v_base=v_base,
+        partial=partial,
     )
     row_spec = pl.BlockSpec((R, 1), lambda b, i: (b * T_tiles + i, 0),
                             memory_space=pltpu.VMEM)
-    denom_r, lpb_r, lpe_r = pl.pallas_call(
+    n_out = 4 if partial else 3
+    outs = pl.pallas_call(
         kernel,
         grid=(B, T_tiles),
         in_specs=[
@@ -284,22 +308,20 @@ def fused_prep(e, p, W, bias, labels, label_lengths, blank=0,
                          memory_space=pltpu.VMEM),
             row_spec,
         ],
-        out_specs=(row_spec, row_spec, row_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((rows_total, 1), f32),
-            jax.ShapeDtypeStruct((rows_total, 1), f32),
-            jax.ShapeDtypeStruct((rows_total, 1), f32),
+        out_specs=(row_spec,) * n_out,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((rows_total, 1), f32) for _ in range(n_out)
         ),
         interpret=interpret,
     )(e_p, p_p, W_p, bias_p, lab_rows)
 
     unflat = lambda x: x.reshape(B, T_pad, U_pad)[:, :T, :U]
-    return unflat(denom_r), unflat(lpb_r), unflat(lpe_r)
+    return tuple(unflat(o) for o in outs)
 
 
-@functools.partial(jax.jit, static_argnames=("blank", "interpret"))
+@functools.partial(jax.jit, static_argnames=("blank", "interpret", "v_base"))
 def fused_grad(e, p, W, bias, labels, label_lengths, denom, coef, cb, ce,
-               blank=0, interpret=False):
+               blank=0, interpret=False, v_base=0):
     """(de, dp, dW, db) from the (B, T, U) coefficient fields.
 
     coef/cb/ce must already be valid-masked and cotangent-scaled (zero on
@@ -326,7 +348,7 @@ def fused_grad(e, p, W, bias, labels, label_lengths, denom, coef, cb, ce,
 
     kernel = functools.partial(
         _grad_kernel, blank=blank, n_vt=n_vt, v_tile=v_tile,
-        t_t=T_t, u_pad=U_pad, mm_dtype=mm_dtype,
+        t_t=T_t, u_pad=U_pad, mm_dtype=mm_dtype, v_base=v_base,
     )
     T_tiles_ = T_tiles
     row_spec = pl.BlockSpec((R, 1), lambda b, i: (b * T_tiles_ + i, 0),
@@ -370,3 +392,98 @@ def fused_grad(e, p, W, bias, labels, label_lengths, denom, coef, cb, ce,
 
     return (de[:, :T].astype(e.dtype), dp[:, :U].astype(p.dtype),
             dW[:, :V].astype(W.dtype), db[0, :V].astype(bias.dtype))
+
+
+# ---------------------------------------------------------------------------
+# V-chunked drivers: arbitrary H·V without the resident-W VMEM ceiling
+# ---------------------------------------------------------------------------
+#
+# When W (H, V) does not fit VMEM, split V into chunks whose W slice does
+# and run the resident kernels per chunk.  Forward chunks return the raw
+# online-softmax state (partial=True) and are merged with one cheap XLA
+# logsumexp combine over the (B, T, U)-sized partials; backward chunks each
+# own their dW/db slice outright and only de/dp need summing.  This costs
+# one extra tanh/row-block recompute and one e/p re-read per extra chunk —
+# noise beside the O(B·T·U·V·H) matmuls that dominate at such sizes — and
+# is exactly the work a hand-rolled W-streaming kernel would do, without a
+# second kernel to validate.  (The reference never faces this: its
+# gpu_rnnt.h holds everything in GB-scale HBM.)
+
+_N_CHUNKS_OVERRIDE = int(_os.environ.get("WTT_FUSED_FORCE_CHUNKS", 0))
+
+
+def fused_n_chunks(e, p, W, backward: bool = False) -> int:
+    """Number of V chunks needed for the resident-W kernels to fit VMEM."""
+    if _N_CHUNKS_OVERRIDE:
+        return _N_CHUNKS_OVERRIDE
+    B, T, U, H, V, T_t, U_pad, R, T_pad, v_tile, V_pad, n_vt = (
+        _common_geometry(e, p, W))
+    w_bytes = 2 if W.dtype == jnp.bfloat16 else 4
+    fixed = R * H * 4 * 2 + R * v_tile * 4 * 2
+    per_col = H * (w_bytes + (4 if backward else 0))  # W (+ dW accumulator)
+    if backward:
+        fixed += R * H * 4  # dh
+    cap = max(_VMEM_BUDGET - fixed, per_col * v_tile) // per_col
+    v_c = max(v_tile, (cap // v_tile) * v_tile)
+    return -(-V_pad // v_c)  # ceil
+
+
+def _chunk_slices(W, bias, n_c):
+    H, V = W.shape
+    v_tile = min(_V_TILE, _round_up(V, _LANES))
+    v_c = _round_up(-(-_round_up(V, v_tile) // n_c), v_tile)
+    V_tot = n_c * v_c
+    W_p = jnp.pad(W, ((0, 0), (0, V_tot - V)))
+    bias_p = jnp.pad(bias.astype(jnp.float32), (0, V_tot - V),
+                     constant_values=NEG)
+    cols = lambda x, c: jax.lax.slice_in_dim(x, c * v_c, (c + 1) * v_c,
+                                             axis=x.ndim - 1)
+    return W_p, bias_p, cols, v_c
+
+
+def fused_prep_chunked(e, p, W, bias, labels, label_lengths, blank=0,
+                       interpret=False):
+    """``fused_prep`` for W of any size: V-chunked with logsumexp merge."""
+    n_c = fused_n_chunks(e, p, W, backward=False)
+    if n_c <= 1:
+        return fused_prep(e, p, W, bias, labels, label_lengths,
+                          blank=blank, interpret=interpret)
+    W_p, bias_p, cols, v_c = _chunk_slices(W, bias, n_c)
+    ms, ss, bls, les = [], [], [], []
+    for c in range(n_c):
+        m, s, bl, le = fused_prep(
+            e, p, cols(W_p, c), cols(bias_p, c), labels, label_lengths,
+            blank=blank, interpret=interpret, v_base=c * v_c, partial=True,
+        )
+        ms.append(m); ss.append(s); bls.append(bl); les.append(le)
+    m = functools.reduce(jnp.maximum, ms)
+    s = sum(sc * jnp.exp(mc - m) for sc, mc in zip(ss, ms))
+    denom = -(m + jnp.log(s))
+    lpb = functools.reduce(jnp.maximum, bls) + denom
+    lpe = functools.reduce(jnp.maximum, les) + denom
+    return denom, lpb, lpe
+
+
+def fused_grad_chunked(e, p, W, bias, labels, label_lengths, denom, coef,
+                       cb, ce, blank=0, interpret=False):
+    """``fused_grad`` for W of any size: per-chunk dW/db, summed de/dp."""
+    n_c = fused_n_chunks(e, p, W, backward=True)
+    if n_c <= 1:
+        return fused_grad(e, p, W, bias, labels, label_lengths, denom,
+                          coef, cb, ce, blank=blank, interpret=interpret)
+    W_p, bias_p, cols, v_c = _chunk_slices(W, bias, n_c)
+    de = dp = None
+    dWs, dbs = [], []
+    for c in range(n_c):
+        dec, dpc, dWc, dbc = fused_grad(
+            e, p, cols(W_p, c), cols(bias_p, c), labels, label_lengths,
+            denom, coef, cb, ce, blank=blank, interpret=interpret,
+            v_base=c * v_c,
+        )
+        de = dec if de is None else de + dec
+        dp = dpc if dp is None else dp + dpc
+        dWs.append(dWc); dbs.append(dbc)
+    V = W.shape[1]
+    dW = jnp.concatenate(dWs, axis=1)[:, :V]
+    db = jnp.concatenate(dbs, axis=0)[:V]
+    return de, dp, dW, db
