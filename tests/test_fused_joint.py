@@ -146,6 +146,17 @@ class TestChunked:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4, err_msg=name)
 
+    def test_bf16_weights_chunked(self):
+        B, T, U, V, H = 2, 7, 3, 280, 16
+        e, p, W, bias, labels, il, ll = _problem(11, B, T, U, V, H,
+                                                 ragged=False,
+                                                 dtype=jnp.bfloat16)
+        ref = _unfused(e, p, W, bias, labels, il, ll)
+        out = rnnt_loss_fused_joint(e, p, W, bias, labels, il, ll,
+                                    reduction="none", implementation="xla")
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32), rtol=3e-2)
+
     def test_blank_in_second_chunk(self):
         B, T, U, V, H = 2, 5, 3, 290, 8
         e, p, W, bias, labels, il, ll = _problem(10, B, T, U, V, H, True)
