@@ -125,6 +125,35 @@ class TestNativeFallback:
         np.testing.assert_allclose(costs.numpy(), G.BIG_COSTS.astype(np.float32), rtol=1e-5)
 
 
+class TestPrunedLoss:
+    def test_full_band_matches_dense_with_grads(self):
+        """TF pruned loss with a band covering the whole lattice (S=U,
+        ranges=0) == TF dense loss, gradients included."""
+        rng = np.random.RandomState(23)
+        B, T, U, V = 2, 5, 3, 6
+        acts_np = rng.randn(B, T, U, V).astype(np.float32)
+        labels = tf.constant(rng.randint(1, V, (B, U - 1)).astype(np.int32))
+        il = tf.constant(np.array([5, 4], np.int32))
+        ll = tf.constant(np.array([2, 1], np.int32))
+        ranges = tf.constant(np.zeros((B, T), np.int32))
+
+        band = tf.constant(acts_np)  # (B, T, S=U, V)
+        with tf.GradientTape() as tape:
+            tape.watch(band)
+            costs = tf_binding.rnnt_loss_pruned(band, ranges, labels, il, ll)
+            total = tf.reduce_sum(costs)
+        gband = tape.gradient(total, band)
+
+        acts = tf.constant(acts_np)
+        with tf.GradientTape() as tape2:
+            tape2.watch(acts)
+            ref = tf_binding.rnnt_loss(acts, labels, il, ll)
+            tref = tf.reduce_sum(ref)
+        gref = tape2.gradient(tref, acts)
+        np.testing.assert_allclose(costs.numpy(), ref.numpy(), rtol=1e-5)
+        np.testing.assert_allclose(gband.numpy(), gref.numpy(), atol=1e-5)
+
+
 class TestSimpleLoss:
     def test_simple_matches_dense_with_grads(self):
         """TF simple loss == TF dense loss on the expanded sum, and its

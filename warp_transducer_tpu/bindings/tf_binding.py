@@ -125,6 +125,39 @@ def rnnt_loss_simple(am, lm, labels, input_lengths, label_lengths, blank=0,
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _converted_pruned(blank: int, platforms: tuple):
+    from jax.experimental import jax2tf
+
+    from ..ops.pruned import rnnt_loss_pruned as jax_pruned
+
+    def fn(acts, ranges, labels, input_lengths, label_lengths):
+        return jax_pruned(
+            acts, ranges, labels, input_lengths, label_lengths,
+            blank=blank, reduction="none", implementation="xla",
+        )
+
+    return jax2tf.convert(
+        fn, with_gradient=True, native_serialization_platforms=platforms
+    )
+
+
+def rnnt_loss_pruned(acts, ranges, labels, input_lengths, label_lengths,
+                     blank=0, platforms=("cpu",)):
+    """Banded (pruned) loss for TF graphs: acts (B, T, S, V) on the band
+    whose starts are ``ranges`` (B, T) from the JAX ``rnnt_prune_ranges``;
+    differentiable w.r.t. acts. Same jax2tf lowering as ``rnnt_loss``."""
+    tf = _tf()
+    fn = _converted_pruned(int(blank), tuple(platforms))
+    return fn(
+        acts,
+        tf.cast(ranges, tf.int32),
+        tf.cast(labels, tf.int32),
+        tf.cast(input_lengths, tf.int32),
+        tf.cast(label_lengths, tf.int32),
+    )
+
+
 def make_rnnt_loss_module(blank: int = 0, from_log_probs: bool = False,
                           platforms=("cpu",)):
     """A ``tf.Module`` wrapping the loss in a ``tf.function`` — ready for
