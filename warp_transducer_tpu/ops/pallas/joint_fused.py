@@ -71,13 +71,6 @@ def _row_geometry(T: int, U: int):
     return T_t, U_pad, R
 
 
-def _estimate_vmem(R, H, Vt, V_pad, w_bytes):
-    # W + dW(f32, bwd only counted by caller) + h rows + logits + misc
-    return (H * V_pad * w_bytes  # W resident
-            + R * H * 4 * 2      # h rows (f32) + dh/hpre
-            + R * Vt * 4 * 2)    # logits tile + g
-
-
 # ---------------------------------------------------------------------------
 # Forward: (e, p, W, bias, labels) -> (denom, lpb, lpe) row-flat
 # ---------------------------------------------------------------------------
@@ -235,17 +228,6 @@ def _common_geometry(e, p, W):
     V_pad = _round_up(V, v_tile)
     n_vt = V_pad // v_tile
     return B, T, U, H, V, T_t, U_pad, R, T_pad, v_tile, V_pad, n_vt
-
-
-def fused_vmem_ok(e, p, W, backward: bool = False) -> bool:
-    """Whether the resident-W kernels fit VMEM for these shapes."""
-    B, T, U, H, V, T_t, U_pad, R, T_pad, v_tile, V_pad, n_vt = (
-        _common_geometry(e, p, W))
-    w_bytes = 2 if W.dtype == jnp.bfloat16 else 4
-    est = _estimate_vmem(R, H, v_tile, V_pad, w_bytes)
-    if backward:
-        est += H * V_pad * 4 + R * H * 4  # dW accumulator + dh
-    return est < _VMEM_BUDGET
 
 
 def _labels_rows(labels, label_valid_len, B, T_pad, U, U_pad, T_t):
