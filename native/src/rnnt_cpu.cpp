@@ -547,7 +547,9 @@ wttStatus_t run_pruned(const T* acts, T* grads, const int* ranges,
 
 extern "C" {
 
-int wtt_get_version(void) { return 1; }
+// 2: wtt_rnnt_loss signatures gained a caller-workspace parameter and the
+// pruned engine was added — ABI-incompatible with version 1.
+int wtt_get_version(void) { return 2; }
 
 const char* wtt_get_status_string(wttStatus_t status) {
   switch (status) {

@@ -283,7 +283,7 @@ static bool pruned_test() {
 }
 
 int main() {
-  if (wtt_get_version() != 1) return 1;
+  if (wtt_get_version() != 2) return 1;
   bool ok = small_test();
   ok = random_test() && ok;
   ok = simple_test() && ok;

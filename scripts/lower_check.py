@@ -104,6 +104,19 @@ joint_fused.fused_grad.clear_cache()
 check("fused pipelined fwd+bwd", make_fused_vg(), e, p, W, bias)
 joint_fused._PIPELINE = 0
 
+# long labels: U_pad a multiple of 128 once forced T_t into {1,2,4},
+# which interpreter mode accepted and Mosaic rejects
+U_long = 122
+p_long = jnp.asarray(rng.randn(B, U_long, H) * 0.3, jnp.float32)
+lab_long = jnp.asarray(rng.randint(1, V2, (B, U_long - 1)), jnp.int32)
+ll_long = jnp.full((B,), U_long - 1, jnp.int32)
+check("fused long-labels fwd+bwd",
+      jax.value_and_grad(
+          lambda e, p, W, bias: rnnt_loss_fused_joint(
+              e, p, W, bias, lab_long, il, ll_long, reduction="sum"),
+          argnums=(0, 1, 2, 3)),
+      e, p_long, W, bias)
+
 # simple loss pallas engine (used by the factorised path)
 from warp_transducer_tpu.ops.simple import rnnt_loss_simple
 

@@ -179,6 +179,31 @@ class TestChunked:
                                        rtol=1e-4, atol=1e-4)
 
 
+def test_row_geometry_mosaic_legal():
+    """The e/de BlockSpecs are (1, T_t, H): Mosaic requires T_t to be
+    8-divisible (the gcd formula alone gives 1/2/4 whenever U_pad is a
+    multiple of 128, i.e. label lengths ~121+)."""
+    from warp_transducer_tpu.ops.pallas.joint_fused import _row_geometry
+    for U in (1, 3, 8, 9, 40, 120, 121, 127, 128, 129, 255, 256, 300,
+              511, 512, 513):
+        T_t, U_pad, R = _row_geometry(150, U)
+        assert U_pad % 8 == 0
+        assert R % 128 == 0
+        assert T_t % 8 == 0, (U, T_t)
+
+
+def test_long_labels_geometry_end_to_end():
+    """U_pad a multiple of 128 (the previously-broken geometry) must match
+    the unfused pipeline."""
+    B, T, U, V, H = 1, 9, 122, 11, 8
+    e, p, W, bias, labels, il, ll = _problem(12, B, T, U, V, H, ragged=False)
+    ref = _unfused(e, p, W, bias, labels, il, ll)
+    out = rnnt_loss_fused_joint(e, p, W, bias, labels, il, ll,
+                                reduction="none", implementation="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_n_chunks_shape_only():
     """Chunk decision is shape-only (works on abstract values) and kicks in
     for W beyond the VMEM budget."""

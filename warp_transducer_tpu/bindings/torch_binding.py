@@ -58,12 +58,7 @@ class _RNNTFunction(Function):
             if grads_np is not None
             else torch.zeros(0, dtype=acts.dtype)
         )
-        if reduction in ("sum", "mean"):
-            costs = costs.sum().unsqueeze(-1)
-            if reduction == "mean":
-                costs = costs / acts.size(0)
-                if grads.numel():
-                    grads = grads / acts.size(0)
+        costs, (grads,) = _reduce(costs, [grads], reduction, acts.size(0))
         ctx.grads = grads
         return costs
 

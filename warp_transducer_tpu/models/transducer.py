@@ -191,6 +191,11 @@ class Joint(nn.Module):
         c = self.cfg
         e = self.enc_proj(enc)
         p = self.pred_proj(pred)
+        if self.is_initializing():
+            # out_proj is bypassed here (its kernel feeds the fused op
+            # directly); touch it once so init through this method still
+            # creates its params
+            self.out_proj(jnp.zeros((1, c.joint_dim), c.dtype))
         W = self.out_proj.variables["params"]["kernel"]
         b = self.out_proj.variables["params"]["bias"]
         return rnnt_loss_fused_joint(

@@ -153,6 +153,16 @@ def rnnt_loss_fused_joint(
             f"hidden/vocab dims disagree: e {e.shape}, p {p.shape}, "
             f"W {W.shape}, bias {bias.shape}"
         )
+    if e.shape[0] != p.shape[0]:
+        raise ValueError(
+            f"batch dims disagree: e {e.shape} vs p {p.shape}"
+        )
+    U = p.shape[1]
+    if labels.ndim != 2 or labels.shape[0] != e.shape[0] \
+            or labels.shape[1] < U - 1:
+        raise ValueError(
+            f"labels must be (B, >={U - 1}) for U={U}; got {labels.shape}"
+        )
     impl = _pick_implementation(implementation)
     costs = _fused_costs(e, p, W, bias, labels.astype(jnp.int32),
                          input_lengths, label_lengths, int(blank), impl)

@@ -42,9 +42,6 @@ from jax.experimental.pallas import tpu as pltpu
 from .band_stream import NEG, band_row_metadata, stream_panels
 from .wavefront import _LANES, _SUBLANES, _round_up
 
-_CLAMP = -1e4  # must match ops/pruned.py
-
-
 def _pick_tc(B_pad: int, SV: int) -> int:
     # acts block (B, Tc, SV) f32; the grad kernel keeps ~4 same-size
     # temporaries live, so stay well under VMEM

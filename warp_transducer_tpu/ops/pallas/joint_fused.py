@@ -60,12 +60,22 @@ _VMEM_BUDGET = 13 * 1024 * 1024
 
 def _row_geometry(T: int, U: int):
     """Pick (T_t, U_pad, R): U_pad multiple of 8, R = T_t*U_pad multiple
-    of 128, R in a VPU/MXU-friendly range."""
+    of 128, R in a VPU/MXU-friendly range.
+
+    T_t must itself be a multiple of 8 (or cover all of T): the e/de
+    blocks are (1, T_t, H) over (B, T_pad, H) arrays, and Mosaic requires
+    the second-to-last block dim to be 8-divisible or equal the array dim.
+    The gcd formula alone gives T_t in {1, 2, 4} whenever U_pad is a
+    multiple of 128 (label lengths ~121+), which lowers fine in
+    interpreter mode and fails on TPU.
+    """
     U_pad = _round_up(U, _SUBLANES)
     import math
 
     T_t = _LANES // math.gcd(U_pad, _LANES)  # smallest T_t with R % 128 == 0
     while T_t * U_pad < _MIN_ROWS:  # grow towards fuller MXU row blocks
+        T_t *= 2
+    while T_t % _SUBLANES:  # powers of 2: one or two doublings
         T_t *= 2
     R = T_t * U_pad
     return T_t, U_pad, R
@@ -224,7 +234,10 @@ def _common_geometry(e, p, W):
     V = W.shape[1]
     T_t, U_pad, R = _row_geometry(T, U)
     T_pad = _round_up(T, T_t)
-    v_tile = min(_V_TILE, _round_up(V, _LANES))
+    # big row blocks (long labels force R = 8*U_pad) shrink the V tile so
+    # the two (R, v_tile) f32 logits-sized temporaries stay ~<=4 MB
+    v_cap = max(_LANES, (4 * 1024 * 1024 // (R * 8)) // _LANES * _LANES)
+    v_tile = min(_V_TILE, v_cap, _round_up(V, _LANES))
     V_pad = _round_up(V, v_tile)
     n_vt = V_pad // v_tile
     return B, T, U, H, V, T_t, U_pad, R, T_pad, v_tile, V_pad, n_vt
@@ -423,9 +436,11 @@ def fused_n_chunks(e, p, W, backward: bool = False) -> int:
     return -(-V_pad // v_c)  # ceil
 
 
-def _chunk_slices(W, bias, n_c):
+def _chunk_slices(e, p, W, bias, n_c):
     H, V = W.shape
-    v_tile = min(_V_TILE, _round_up(V, _LANES))
+    # chunk width must be a multiple of the inner calls' v_tile — use the
+    # same (R-adaptive) geometry they will compute
+    v_tile = _common_geometry(e, p, W)[9]
     v_c = _round_up(-(-_round_up(V, v_tile) // n_c), v_tile)
     V_tot = n_c * v_c
     W_p = jnp.pad(W, ((0, 0), (0, V_tot - V)))
@@ -443,7 +458,7 @@ def fused_prep_chunked(e, p, W, bias, labels, label_lengths, blank=0,
     if n_c <= 1:
         return fused_prep(e, p, W, bias, labels, label_lengths,
                           blank=blank, interpret=interpret)
-    W_p, bias_p, cols, v_c = _chunk_slices(W, bias, n_c)
+    W_p, bias_p, cols, v_c = _chunk_slices(e, p, W, bias, n_c)
     ms, ss, bls, les = [], [], [], []
     for c in range(n_c):
         m, s, bl, le = fused_prep(
@@ -466,7 +481,7 @@ def fused_grad_chunked(e, p, W, bias, labels, label_lengths, denom, coef,
     if n_c <= 1:
         return fused_grad(e, p, W, bias, labels, label_lengths, denom,
                           coef, cb, ce, blank=blank, interpret=interpret)
-    W_p, bias_p, cols, v_c = _chunk_slices(W, bias, n_c)
+    W_p, bias_p, cols, v_c = _chunk_slices(e, p, W, bias, n_c)
     de = dp = None
     dWs, dbs = [], []
     for c in range(n_c):

@@ -275,14 +275,9 @@ def _band_prep(acts, labels, ranges, blank):
     denom = -(m + jnp.log(jnp.sum(jnp.exp(x - m[..., None]), axis=-1)))
     lpb = x[..., blank] + denom
 
-    U_minus_1 = labels.shape[1]
-    labels_i = labels.astype(jnp.int32)
-    u_idx = ranges[:, :, None] + jnp.arange(S, dtype=jnp.int32)  # (B,T,S)
-    lab_band = jax.vmap(lambda lb, ix: lb[ix])(
-        labels_i, jnp.clip(u_idx, 0, max(U_minus_1 - 1, 0))
-    ) if U_minus_1 > 0 else jnp.zeros((B, T, S), jnp.int32)
-    has_lab = u_idx < U_minus_1  # emit defined only below U-1 (and below Ub-1,
-    # which the lattice mask enforces)
+    # emit defined only below U-1 (and below Ub-1, which the lattice mask
+    # enforces)
+    lab_band, has_lab = _band_labels(labels, ranges, S)
     v_iota = jnp.arange(V, dtype=jnp.int32)
     sel = v_iota[None, None, None, :] == lab_band[..., None]
     e = jnp.max(jnp.where(sel, x, NEG), axis=-1)

@@ -173,7 +173,12 @@ def auto_sharded_rnnt_loss(
     labels = shard(labels, P(axis, None))
     input_lengths = shard(input_lengths, P(axis))
     label_lengths = shard(label_lengths, P(axis))
-    out_spec = P(axis) if kwargs.get("reduction", "mean") == "none" else P()
+    # options.reduction overrides the kwarg inside rnnt_loss — resolve the
+    # same way here or a 'none' via options would get a replicated out-spec
+    reduction = kwargs.get("reduction", "mean")
+    if kwargs.get("options") is not None:
+        reduction = kwargs["options"].reduction
+    out_spec = P(axis) if reduction == "none" else P()
     f = jax.jit(
         functools.partial(_rnnt.rnnt_loss, **kwargs),
         out_shardings=NamedSharding(mesh, out_spec),
