@@ -35,28 +35,30 @@ def _unfused(e, p, W, bias, labels, il, ll, blank=0, reduction="none"):
                      implementation="xla")
 
 
+@pytest.mark.parametrize("impl", ["pallas", "xla"])
 @pytest.mark.parametrize("seed,B,T,U,V,H,ragged", [
     (0, 2, 6, 4, 9, 16, False),
     (1, 3, 7, 5, 11, 8, True),
     (2, 2, 9, 3, 150, 16, True),  # multi-V-tile path at padded V
 ])
-def test_costs_match_unfused(seed, B, T, U, V, H, ragged):
+def test_costs_match_unfused(seed, B, T, U, V, H, ragged, impl):
     e, p, W, bias, labels, il, ll = _problem(seed, B, T, U, V, H, ragged)
     ref = _unfused(e, p, W, bias, labels, il, ll)
     out = rnnt_loss_fused_joint(e, p, W, bias, labels, il, ll,
-                                reduction="none", implementation="xla")
+                                reduction="none", implementation=impl)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("impl", ["pallas", "xla"])
 @pytest.mark.parametrize("seed,ragged", [(3, False), (4, True)])
-def test_gradients_match_unfused(seed, ragged):
+def test_gradients_match_unfused(seed, ragged, impl):
     B, T, U, V, H = 2, 6, 4, 10, 16
     e, p, W, bias, labels, il, ll = _problem(seed, B, T, U, V, H, ragged)
 
     def f_fused(e, p, W, bias):
         return rnnt_loss_fused_joint(e, p, W, bias, labels, il, ll,
-                                     reduction="sum", implementation="xla")
+                                     reduction="sum", implementation=impl)
 
     def f_ref(e, p, W, bias):
         return _unfused(e, p, W, bias, labels, il, ll, reduction="sum")
@@ -75,12 +77,12 @@ def test_nonzero_blank():
     labels = jnp.where(labels == blank, 1, labels)
     ref = _unfused(e, p, W, bias, labels, il, ll, blank=blank)
     out = rnnt_loss_fused_joint(e, p, W, bias, labels, il, ll, blank=blank,
-                                reduction="none", implementation="xla")
+                                reduction="none", implementation="pallas")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
     g = jax.grad(lambda *a: rnnt_loss_fused_joint(
         *a, labels, il, ll, blank=blank, reduction="sum",
-        implementation="xla"), argnums=(0, 1, 2, 3))(e, p, W, bias)
+        implementation="pallas"), argnums=(0, 1, 2, 3))(e, p, W, bias)
     gr = jax.grad(lambda *a: _unfused(
         *a, labels, il, ll, blank=blank, reduction="sum"),
         argnums=(0, 1, 2, 3))(e, p, W, bias)
@@ -93,9 +95,9 @@ def test_mean_reduction_scales():
     B, T, U, V, H = 2, 4, 3, 6, 8
     e, p, W, bias, labels, il, ll = _problem(6, B, T, U, V, H, ragged=False)
     s = rnnt_loss_fused_joint(e, p, W, bias, labels, il, ll, reduction="sum",
-                              implementation="xla")
+                              implementation="pallas")
     m = rnnt_loss_fused_joint(e, p, W, bias, labels, il, ll, reduction="mean",
-                              implementation="xla")
+                              implementation="pallas")
     np.testing.assert_allclose(float(m), float(s) / B, rtol=1e-6)
 
 
@@ -105,7 +107,7 @@ def test_bf16_weights_close():
                                              dtype=jnp.bfloat16)
     ref = _unfused(e, p, W, bias, labels, il, ll)
     out = rnnt_loss_fused_joint(e, p, W, bias, labels, il, ll,
-                                reduction="none", implementation="xla")
+                                reduction="none", implementation="pallas")
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32), rtol=3e-2)
 
@@ -132,7 +134,7 @@ class TestChunked:
         def f_fused(e, p, W, bias):
             return rnnt_loss_fused_joint(e, p, W, bias, labels, il, ll,
                                          reduction="sum",
-                                         implementation="xla")
+                                         implementation="pallas")
 
         def f_ref(e, p, W, bias):
             return _unfused(e, p, W, bias, labels, il, ll, reduction="sum")
@@ -153,7 +155,7 @@ class TestChunked:
                                                  dtype=jnp.bfloat16)
         ref = _unfused(e, p, W, bias, labels, il, ll)
         out = rnnt_loss_fused_joint(e, p, W, bias, labels, il, ll,
-                                    reduction="none", implementation="xla")
+                                    reduction="none", implementation="pallas")
         np.testing.assert_allclose(np.asarray(out, np.float32),
                                    np.asarray(ref, np.float32), rtol=3e-2)
 
@@ -165,18 +167,50 @@ class TestChunked:
         ref = _unfused(e, p, W, bias, labels, il, ll, blank=blank)
         out = rnnt_loss_fused_joint(e, p, W, bias, labels, il, ll,
                                     blank=blank, reduction="none",
-                                    implementation="xla")
+                                    implementation="pallas")
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
         gf = jax.grad(lambda *a: rnnt_loss_fused_joint(
             *a, labels, il, ll, blank=blank, reduction="sum",
-            implementation="xla"), argnums=(0, 1, 2, 3))(e, p, W, bias)
+            implementation="pallas"), argnums=(0, 1, 2, 3))(e, p, W, bias)
         gr = jax.grad(lambda *a: _unfused(
             *a, labels, il, ll, blank=blank, reduction="sum"),
             argnums=(0, 1, 2, 3))(e, p, W, bias)
         for a, b in zip(gf, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4)
+
+
+class TestXlaTChunked:
+    """The XLA engine's T-chunked map/scan (forced to Tc=1, i.e. one chunk
+    per frame) must match the unfused pipeline exactly — including the
+    zero-contribution of padded chunk rows."""
+
+    @pytest.fixture(autouse=True)
+    def _tiny_chunks(self, monkeypatch):
+        from warp_transducer_tpu.ops import fused_joint
+        monkeypatch.setattr(fused_joint, "_XLA_CHUNK_MB", 0)
+
+    def test_costs_and_grads_match(self):
+        B, T, U, V, H = 2, 11, 4, 13, 8  # shapes unique to this class
+        e, p, W, bias, labels, il, ll = _problem(13, B, T, U, V, H, True)
+
+        def f_fused(e, p, W, bias):
+            return rnnt_loss_fused_joint(e, p, W, bias, labels, il, ll,
+                                         reduction="sum",
+                                         implementation="xla")
+
+        def f_ref(e, p, W, bias):
+            return _unfused(e, p, W, bias, labels, il, ll, reduction="sum")
+
+        np.testing.assert_allclose(
+            float(f_fused(e, p, W, bias)), float(f_ref(e, p, W, bias)),
+            rtol=1e-5)
+        gf = jax.grad(f_fused, argnums=(0, 1, 2, 3))(e, p, W, bias)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2, 3))(e, p, W, bias)
+        for name, a, b in zip(("de", "dp", "dW", "db"), gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4, err_msg=name)
 
 
 def test_row_geometry_mosaic_legal():
@@ -199,7 +233,7 @@ def test_long_labels_geometry_end_to_end():
     e, p, W, bias, labels, il, ll = _problem(12, B, T, U, V, H, ragged=False)
     ref = _unfused(e, p, W, bias, labels, il, ll)
     out = rnnt_loss_fused_joint(e, p, W, bias, labels, il, ll,
-                                reduction="none", implementation="xla")
+                                reduction="none", implementation="pallas")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 

@@ -154,6 +154,41 @@ class TestPrunedLoss:
         np.testing.assert_allclose(gband.numpy(), gref.numpy(), atol=1e-5)
 
 
+class TestFusedJointLoss:
+    def test_fused_matches_dense_with_grads(self):
+        """TF fused joint+loss == TF dense loss on the materialised
+        tanh(e ⊕ p) @ W + bias, gradients included (all four inputs)."""
+        rng = np.random.RandomState(29)
+        B, T, U, V, H = 2, 5, 3, 9, 8
+        e_np = (rng.randn(B, T, H) * 0.5).astype(np.float32)
+        p_np = (rng.randn(B, U, H) * 0.5).astype(np.float32)
+        W_np = (rng.randn(H, V) / np.sqrt(H)).astype(np.float32)
+        b_np = (rng.randn(V) * 0.1).astype(np.float32)
+        labels = tf.constant(rng.randint(1, V, (B, U - 1)).astype(np.int32))
+        il = tf.constant(np.array([5, 4], np.int32))
+        ll = tf.constant(np.array([2, 1], np.int32))
+
+        e, p, W, b = (tf.constant(x) for x in (e_np, p_np, W_np, b_np))
+        with tf.GradientTape() as tape:
+            tape.watch([e, p, W, b])
+            costs = tf_binding.rnnt_loss_fused_joint(e, p, W, b, labels,
+                                                     il, ll)
+            total = tf.reduce_sum(costs)
+        gf = tape.gradient(total, [e, p, W, b])
+
+        with tf.GradientTape() as tape2:
+            tape2.watch([e, p, W, b])
+            h = tf.tanh(e[:, :, None, :] + p[:, None, :, :])
+            acts = tf.einsum("btuh,hv->btuv", h, W) + b
+            ref = tf_binding.rnnt_loss(acts, labels, il, ll)
+            tref = tf.reduce_sum(ref)
+        gr = tape2.gradient(tref, [e, p, W, b])
+        np.testing.assert_allclose(costs.numpy(), ref.numpy(), rtol=1e-5)
+        for name, a, r in zip(("de", "dp", "dW", "db"), gf, gr):
+            np.testing.assert_allclose(a.numpy(), r.numpy(),
+                                       rtol=1e-4, atol=1e-4, err_msg=name)
+
+
 class TestSimpleLoss:
     def test_simple_matches_dense_with_grads(self):
         """TF simple loss == TF dense loss on the expanded sum, and its

@@ -158,6 +158,41 @@ def rnnt_loss_pruned(acts, ranges, labels, input_lengths, label_lengths,
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _converted_fused(blank: int, platforms: tuple):
+    from jax.experimental import jax2tf
+
+    from ..ops.fused_joint import rnnt_loss_fused_joint as jax_fused
+
+    def fn(e, p, W, bias, labels, input_lengths, label_lengths):
+        # implementation='xla': the T-chunked portable engine — the Pallas
+        # kernels would pin the StableHLO payload to TPU
+        return jax_fused(
+            e, p, W, bias, labels, input_lengths, label_lengths,
+            blank=blank, reduction="none", implementation="xla",
+        )
+
+    return jax2tf.convert(
+        fn, with_gradient=True, native_serialization_platforms=platforms
+    )
+
+
+def rnnt_loss_fused_joint(e, p, W, bias, labels, input_lengths,
+                          label_lengths, blank=0, platforms=("cpu",)):
+    """Joint-fused loss for TF graphs: e (B, T, H) and p (B, U, H) projected
+    trunk activations plus the output projection (W (H, V), bias (V,)) —
+    the (B, T, U, V) logits are never materialised (a T-chunked lowering;
+    see ``ops/fused_joint.py``). Differentiable w.r.t. e, p, W and bias."""
+    tf = _tf()
+    fn = _converted_fused(int(blank), tuple(platforms))
+    return fn(
+        e, p, W, bias,
+        tf.cast(labels, tf.int32),
+        tf.cast(input_lengths, tf.int32),
+        tf.cast(label_lengths, tf.int32),
+    )
+
+
 def make_rnnt_loss_module(blank: int = 0, from_log_probs: bool = False,
                           platforms=("cpu",)):
     """A ``tf.Module`` wrapping the loss in a ``tf.function`` — ready for

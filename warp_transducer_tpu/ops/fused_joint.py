@@ -23,14 +23,18 @@ recursion itself runs on the (B, T, U) caches exactly as in ``rnnt_loss``.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .gradients import _beta_shifts, _valid_cells
 from .rnnt import _pick_implementation, _run_lattice
 from . import prep as _prep
+
+NEG = -1.0e30
 
 
 def _joint_coefs(lpb, lpe, alphas, betas, ll, input_lengths, label_lengths,
@@ -48,7 +52,9 @@ def _joint_coefs(lpb, lpe, alphas, betas, ll, input_lengths, label_lengths,
     return coef * s, cb * s, ce * s
 
 
-def _fused_prep(e, p, W, bias, labels, blank, interpret):
+def _fused_prep(e, p, W, bias, labels, blank, implementation):
+    if implementation == "xla":
+        return _fused_prep_xla(e, p, W, bias, labels, blank)
     from .pallas import joint_fused
 
     U = p.shape[1]
@@ -56,7 +62,8 @@ def _fused_prep(e, p, W, bias, labels, blank, interpret):
     # V-chunked when W (+ the kernel's working set) exceeds VMEM; the
     # single-chunk case is exactly fused_prep.
     denom, lpb, lpe = joint_fused.fused_prep_chunked(
-        e, p, W, bias, labels, lab_len, blank=blank, interpret=interpret
+        e, p, W, bias, labels, lab_len, blank=blank,
+        interpret=_interpret_default(),
     )
     return denom, lpb, lpe
 
@@ -65,11 +72,142 @@ def _interpret_default():
     return jax.default_backend() != "tpu"
 
 
+# ---------------------------------------------------------------------------
+# Portable XLA engine (implementation='xla'): the same fusion expressed as a
+# T-chunked lax.map/lax.scan — only O(B·Tc·U·(V+2H)) lives at once.  This is
+# the fast path off-TPU (the Pallas kernels fall back to the interpreter
+# there), the engine the TF binding serialises (a Pallas custom call would
+# pin the StableHLO payload to one backend), and an independent oracle for
+# the kernels.
+# ---------------------------------------------------------------------------
+
+_XLA_CHUNK_MB = int(_os.environ.get("WTT_FUSED_XLA_CHUNK_MB", 256))
+
+
+def _xla_t_chunk(B, T, U, H, V):
+    per_t = B * U * (V + 2 * H) * 4
+    return max(1, min(T, (_XLA_CHUNK_MB << 20) // max(per_t, 1)))
+
+
+def _lab_full(labels, U):
+    """(B, U) int32: labels[u] for u < U-1, else -1 (no emit defined)."""
+    B = labels.shape[0]
+    lab = jnp.full((B, U), -1, jnp.int32)
+    if U > 1:
+        lab = lax.dynamic_update_slice(
+            lab, labels[:, : U - 1].astype(jnp.int32), (0, 0)
+        )
+    return lab
+
+
+def _chunk_t(x, nc, Tc):
+    """(B, T_pad, ...) -> (nc, B, Tc, ...) leading-axis chunks."""
+    B = x.shape[0]
+    return jnp.moveaxis(x.reshape((B, nc, Tc) + x.shape[2:]), 1, 0)
+
+
+def _unchunk_t(x, T):
+    """(nc, B, Tc, ...) -> (B, T, ...)."""
+    x = jnp.moveaxis(x, 0, 1)
+    return x.reshape((x.shape[0], -1) + x.shape[3:])[:, :T]
+
+
+def _pad_t(x, T_pad, fill=0.0):
+    T = x.shape[1]
+    if T_pad == T:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[1] = (0, T_pad - T)
+    return jnp.pad(x, pad, constant_values=fill)
+
+
+def _fused_prep_xla(e, p, W, bias, labels, blank):
+    B, T, H = e.shape
+    U = p.shape[1]
+    V = W.shape[1]
+    f32 = jnp.float32
+    mm = jnp.bfloat16 if W.dtype == jnp.bfloat16 else f32
+    Tc = _xla_t_chunk(B, T, U, H, V)
+    nc = -(-T // Tc)
+    ec = _chunk_t(_pad_t(e, nc * Tc), nc, Tc)
+    p32 = p.astype(f32)
+    W_mm = W.astype(mm)
+    bias32 = bias.astype(f32)
+    # lab == -1 matches no column -> masked max stays NEG -> lpe ~ NEG
+    sel = _lab_full(labels, U)[..., None] == jnp.arange(V, dtype=jnp.int32)
+
+    def one(ec_i):
+        h = jnp.tanh(ec_i.astype(f32)[:, :, None, :] + p32[:, None, :, :])
+        logits = lax.dot_general(
+            h.astype(mm), W_mm, (((3,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) + bias32
+        m = jnp.max(logits, axis=-1)
+        denom = -(m + jnp.log(
+            jnp.sum(jnp.exp(logits - m[..., None]), axis=-1)
+        ))
+        lpb = logits[..., blank] + denom
+        le = jnp.max(jnp.where(sel[:, None], logits, NEG), axis=-1)
+        return denom, lpb, le + denom
+
+    denom, lpb, lpe = lax.map(one, ec)
+    return tuple(_unchunk_t(x, T) for x in (denom, lpb, lpe))
+
+
+def _fused_grad_xla(e, p, W, bias, labels, denom, coef, cb, ce, blank):
+    B, T, H = e.shape
+    U = p.shape[1]
+    V = W.shape[1]
+    f32 = jnp.float32
+    mm = jnp.bfloat16 if W.dtype == jnp.bfloat16 else f32
+    Tc = _xla_t_chunk(B, T, U, H, V)
+    nc = -(-T // Tc)
+    T_pad = nc * Tc
+    chunk = lambda x: _chunk_t(_pad_t(x.astype(f32), T_pad), nc, Tc)
+    # padded-T rows: coef/cb/ce are zero there, so g vanishes and they
+    # contribute nothing to any accumulator
+    xs = (_chunk_t(_pad_t(e, T_pad), nc, Tc), chunk(denom), chunk(coef),
+          chunk(cb), chunk(ce))
+    p32 = p.astype(f32)
+    W_mm = W.astype(mm)
+    bias32 = bias.astype(f32)
+    sel = _lab_full(labels, U)[..., None] == jnp.arange(V, dtype=jnp.int32)
+
+    def step(carry, x):
+        dp_a, dW_a, db_a = carry
+        ec_i, den_i, coef_i, cb_i, ce_i = x
+        h = jnp.tanh(ec_i.astype(f32)[:, :, None, :] + p32[:, None, :, :])
+        hm = h.astype(mm)
+        logits = lax.dot_general(
+            hm, W_mm, (((3,), (0,)), ((), ())), preferred_element_type=f32
+        ) + bias32
+        g = coef_i[..., None] * jnp.exp(logits + den_i[..., None])
+        g = g.at[..., blank].add(-cb_i)
+        g = g - jnp.where(sel[:, None], ce_i[..., None], 0.0)
+        g_mm = g.astype(mm)
+        dh = lax.dot_general(
+            g_mm, W_mm, (((3,), (1,)), ((), ())), preferred_element_type=f32
+        ) * (1.0 - h * h)
+        dp_a = dp_a + jnp.sum(dh, axis=1)
+        dW_a = dW_a + lax.dot_general(
+            hm.reshape(-1, H), g_mm.reshape(-1, V),
+            (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+        db_a = db_a + jnp.sum(g, axis=(0, 1, 2))
+        return (dp_a, dW_a, db_a), jnp.sum(dh, axis=2)
+
+    init = (jnp.zeros((B, U, H), f32), jnp.zeros((H, V), f32),
+            jnp.zeros((V,), f32))
+    (dp, dW, db), de = lax.scan(step, init, xs)
+    return (_unchunk_t(de, T).astype(e.dtype), dp.astype(p.dtype),
+            dW.astype(W.dtype), db.astype(bias.dtype))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _fused_costs(e, p, W, bias, labels, input_lengths, label_lengths,
                  blank, implementation):
     denom, lpb, lpe = _fused_prep(e, p, W, bias, labels, blank,
-                                  _interpret_default())
+                                  implementation)
     res = _run_lattice(implementation, _prep.PreparedInputs(lpb, lpe, denom),
                        input_lengths, label_lengths, compute_betas=False)
     return (-res.ll_forward).astype(e.dtype)
@@ -78,7 +216,7 @@ def _fused_costs(e, p, W, bias, labels, input_lengths, label_lengths,
 def _fused_costs_fwd(e, p, W, bias, labels, input_lengths, label_lengths,
                      blank, implementation):
     denom, lpb, lpe = _fused_prep(e, p, W, bias, labels, blank,
-                                  _interpret_default())
+                                  implementation)
     res = _run_lattice(implementation, _prep.PreparedInputs(lpb, lpe, denom),
                        input_lengths, label_lengths)
     costs = (-res.ll_forward).astype(e.dtype)
@@ -88,8 +226,6 @@ def _fused_costs_fwd(e, p, W, bias, labels, input_lengths, label_lengths,
 
 
 def _fused_costs_bwd(blank, implementation, residuals, g):
-    from .pallas import joint_fused
-
     (e, p, W, bias, labels, input_lengths, label_lengths,
      denom, lpb, lpe, alphas, betas, ll) = residuals
     coef, cb, ce = _joint_coefs(
@@ -97,12 +233,19 @@ def _fused_costs_bwd(blank, implementation, residuals, g):
         ll.astype(jnp.float32), input_lengths, label_lengths,
         g.astype(jnp.float32),
     )
-    U = p.shape[1]
-    lab_len = jnp.full((e.shape[0],), U - 1, jnp.int32)
-    de, dp, dW, db = joint_fused.fused_grad_chunked(
-        e, p, W, bias, labels, lab_len, denom, coef, cb, ce,
-        blank=blank, interpret=_interpret_default(),
-    )
+    if implementation == "xla":
+        de, dp, dW, db = _fused_grad_xla(
+            e, p, W, bias, labels, denom, coef, cb, ce, blank
+        )
+    else:
+        from .pallas import joint_fused
+
+        U = p.shape[1]
+        lab_len = jnp.full((e.shape[0],), U - 1, jnp.int32)
+        de, dp, dW, db = joint_fused.fused_grad_chunked(
+            e, p, W, bias, labels, lab_len, denom, coef, cb, ce,
+            blank=blank, interpret=_interpret_default(),
+        )
 
     def int_zero(x):
         return np.zeros(x.shape, dtype=jax.dtypes.float0)
@@ -134,7 +277,11 @@ def rnnt_loss_fused_joint(
       W: (H, V) output-projection kernel; bias: (V,).
       labels / input_lengths / label_lengths / blank / reduction: as in
         ``rnnt_loss``.
-      implementation: lattice engine for the (B, T, U) recursion.
+      implementation: 'auto' | 'pallas' | 'xla'. 'pallas' runs the fused
+        Pallas kernels (the TPU fast path) and the Pallas lattice; 'xla'
+        is the portable engine — a T-chunked ``lax.map``/``lax.scan`` that
+        keeps only O(B·Tc·U·V) live (fast off-TPU, and what the TF binding
+        serialises). 'auto' picks 'pallas' on TPU.
 
     Equals ``rnnt_loss(tanh(e ⊕ p) @ W + bias, ...)`` without ever
     materialising the (B, T, U, V) logits or their gradient in HBM.
