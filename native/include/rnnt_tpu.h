@@ -131,6 +131,36 @@ wttStatus_t wtt_rnnt_loss_simple_fp64(const double* am, const double* lm,
                                       int maxT, int maxU,
                                       double* costs, wttOptions options);
 
+/* Joint-fused RNN-T loss (the JAX twin is rnnt_loss_fused_joint; see
+ * warp_transducer_tpu/ops/fused_joint.py): given the projected trunk
+ * activations e (B, maxT, H) and p (B, maxU, H) plus the output projection
+ * W (H, V), bias (V), computes the dense loss of
+ *   logits[b,t,u] = tanh(e[b,t] + p[b,u]) @ W + bias
+ * WITHOUT ever materialising the (B, maxT, maxU, V) tensor: each cell's
+ * logits row is produced on the fly (O(H·V) scratch), reduced to the
+ * lattice caches, and in the gradient pass recomputed and contracted
+ * directly into grad_e / grad_p / grad_W / grad_bias.
+ *
+ * grads: pass all four output pointers, or all NULL (score-only); a mixed
+ * set is an error. grad_W/grad_bias are summed over the whole minibatch.
+ * options.from_log_probs must be 0 (the joint produces raw logits).
+ * workspace: >= wtt_get_workspace_size(maxT, maxU, minibatch) bytes or
+ * NULL (the fused engine needs the same 5 lattice arrays plus O(H+V)
+ * per-thread scratch it allocates itself). */
+wttStatus_t wtt_rnnt_loss_fused_joint(
+    const float* e, const float* p, const float* W, const float* bias,
+    float* grad_e, float* grad_p, float* grad_W, float* grad_bias,
+    const int* labels, const int* label_lengths, const int* input_lengths,
+    int hidden_size, int alphabet_size, int minibatch, int maxT, int maxU,
+    float* costs, void* workspace, wttOptions options);
+
+wttStatus_t wtt_rnnt_loss_fused_joint_fp64(
+    const double* e, const double* p, const double* W, const double* bias,
+    double* grad_e, double* grad_p, double* grad_W, double* grad_bias,
+    const int* labels, const int* label_lengths, const int* input_lengths,
+    int hidden_size, int alphabet_size, int minibatch, int maxT, int maxU,
+    double* costs, void* workspace, wttOptions options);
+
 #ifdef __cplusplus
 }
 #endif

@@ -282,6 +282,112 @@ static bool pruned_test() {
   return true;
 }
 
+// fused joint engine vs the dense engine on the materialised
+// tanh(e + p) @ W + bias, costs and all four gradients (dW/db checked by
+// chain rule through the materialisation).
+static bool fused_test() {
+  const int B = 2, T = 6, U = 4, V = 7, H = 5;
+  std::mt19937 gen(31);
+  std::uniform_real_distribution<double> dist(-1.0, 1.0);
+  std::vector<double> e(static_cast<size_t>(B) * T * H),
+      p(static_cast<size_t>(B) * U * H), W(static_cast<size_t>(H) * V),
+      bias(V);
+  for (auto& x : e) x = dist(gen);
+  for (auto& x : p) x = dist(gen);
+  for (auto& x : W) x = dist(gen) / std::sqrt(double(H));
+  for (auto& x : bias) x = dist(gen) * 0.1;
+  std::vector<int> labels(B * (U - 1));
+  std::uniform_int_distribution<int> ldist(1, V - 1);
+  for (auto& l : labels) l = ldist(gen);
+  std::vector<int> label_lengths = {3, 2};
+  std::vector<int> input_lengths = {6, 4};
+  wttOptions opt{};
+
+  // materialise acts and tanh(h) for the reference path
+  std::vector<double> acts(static_cast<size_t>(B) * T * U * V);
+  std::vector<double> hbuf(static_cast<size_t>(B) * T * U * H);
+  for (int b = 0; b < B; ++b)
+    for (int t = 0; t < T; ++t)
+      for (int u = 0; u < U; ++u) {
+        const size_t cell = (static_cast<size_t>(b) * T + t) * U + u;
+        double* hc = &hbuf[cell * H];
+        for (int i = 0; i < H; ++i)
+          hc[i] = std::tanh(e[(static_cast<size_t>(b) * T + t) * H + i] +
+                            p[(static_cast<size_t>(b) * U + u) * H + i]);
+        for (int v = 0; v < V; ++v) {
+          double s = bias[v];
+          for (int i = 0; i < H; ++i) s += hc[i] * W[static_cast<size_t>(i) * V + v];
+          acts[cell * V + v] = s;
+        }
+      }
+
+  std::vector<double> cd(B), gd(acts.size());
+  if (wtt_rnnt_loss_fp64(acts.data(), gd.data(), labels.data(),
+                         label_lengths.data(), input_lengths.data(), V, B, T,
+                         U, cd.data(), nullptr, opt) != WTT_STATUS_SUCCESS)
+    return false;
+
+  std::vector<double> cf(B), de(e.size()), dp(p.size()), dW(W.size()), db(V);
+  if (wtt_rnnt_loss_fused_joint_fp64(
+          e.data(), p.data(), W.data(), bias.data(), de.data(), dp.data(),
+          dW.data(), db.data(), labels.data(), label_lengths.data(),
+          input_lengths.data(), H, V, B, T, U, cf.data(), nullptr,
+          opt) != WTT_STATUS_SUCCESS)
+    return false;
+
+  for (int b = 0; b < B; ++b)
+    if (!close(cf[b], cd[b], 1e-8)) {
+      std::printf("fused_test cost[%d]: %f vs dense %f\n", b, cf[b], cd[b]);
+      return false;
+    }
+
+  // chain rule through the materialisation: reference de/dp/dW/db from gd
+  std::vector<double> de_r(e.size(), 0), dp_r(p.size(), 0), dW_r(W.size(), 0),
+      db_r(V, 0);
+  for (int b = 0; b < B; ++b)
+    for (int t = 0; t < T; ++t)
+      for (int u = 0; u < U; ++u) {
+        const size_t cell = (static_cast<size_t>(b) * T + t) * U + u;
+        const double* g = &gd[cell * V];
+        const double* hc = &hbuf[cell * H];
+        for (int v = 0; v < V; ++v) db_r[v] += g[v];
+        for (int i = 0; i < H; ++i) {
+          double acc = 0;
+          for (int v = 0; v < V; ++v) {
+            acc += W[static_cast<size_t>(i) * V + v] * g[v];
+            dW_r[static_cast<size_t>(i) * V + v] += hc[i] * g[v];
+          }
+          const double dh = acc * (1.0 - hc[i] * hc[i]);
+          de_r[(static_cast<size_t>(b) * T + t) * H + i] += dh;
+          dp_r[(static_cast<size_t>(b) * U + u) * H + i] += dh;
+        }
+      }
+  auto cmp = [&](const std::vector<double>& a, const std::vector<double>& r,
+                 const char* name) {
+    for (size_t i = 0; i < a.size(); ++i)
+      if (!close(a[i], r[i], 1e-8)) {
+        std::printf("fused_test %s[%zu]: %g vs %g\n", name, i, a[i], r[i]);
+        return false;
+      }
+    return true;
+  };
+  if (!cmp(de, de_r, "de") || !cmp(dp, dp_r, "dp") || !cmp(dW, dW_r, "dW") ||
+      !cmp(db, db_r, "db"))
+    return false;
+
+  // mixed grad pointers must be rejected
+  if (wtt_rnnt_loss_fused_joint_fp64(
+          e.data(), p.data(), W.data(), bias.data(), de.data(), nullptr,
+          nullptr, nullptr, labels.data(), label_lengths.data(),
+          input_lengths.data(), H, V, B, T, U, cf.data(), nullptr,
+          opt) != WTT_STATUS_BAD_ARGUMENT)
+    return false;
+
+  std::printf("fused_test: fused == dense via chain rule (%f, %f)\n", cf[0],
+              cf[1]);
+  return true;
+}
+
 int main() {
   if (wtt_get_version() != 2) return 1;
   bool ok = small_test();
@@ -289,6 +395,7 @@ int main() {
   ok = simple_test() && ok;
   ok = workspace_test() && ok;
   ok = pruned_test() && ok;
+  ok = fused_test() && ok;
   std::printf(ok ? "native tests pass\n" : "native tests FAIL\n");
   return ok ? 0 : 1;
 }

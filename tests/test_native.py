@@ -259,6 +259,51 @@ class TestTorchSimplePruned:
         np.testing.assert_allclose(lm.grad.numpy(),
                                    acts.grad.sum(dim=1).numpy(), atol=1e-4)
 
+    def test_fused_joint_autograd_matches_dense(self):
+        torch = pytest.importorskip("torch")
+        from warp_transducer_tpu.bindings.torch_binding import (
+            rnnt_loss, rnnt_loss_fused_joint,
+        )
+
+        rng = np.random.RandomState(47)
+        B, T, U, V, H = 2, 6, 4, 7, 5
+        e = torch.tensor(rng.randn(B, T, H) * 0.5, dtype=torch.float32,
+                         requires_grad=True)
+        p = torch.tensor(rng.randn(B, U, H) * 0.5, dtype=torch.float32,
+                         requires_grad=True)
+        W = torch.tensor(rng.randn(H, V) / np.sqrt(H), dtype=torch.float32,
+                         requires_grad=True)
+        b = torch.tensor(rng.randn(V) * 0.1, dtype=torch.float32,
+                         requires_grad=True)
+        labels = torch.tensor(rng.randint(1, V, (B, U - 1)), dtype=torch.int32)
+        il = torch.tensor([6, 4], dtype=torch.int32)
+        ll = torch.tensor([3, 2], dtype=torch.int32)
+
+        loss = rnnt_loss_fused_joint(e, p, W, b, labels, il, ll,
+                                     reduction="mean")
+        loss.backward()
+
+        # reference: materialise the joint, run the dense binding, let
+        # torch autograd do the contraction
+        e2 = e.detach().clone().requires_grad_(True)
+        p2 = p.detach().clone().requires_grad_(True)
+        W2 = W.detach().clone().requires_grad_(True)
+        b2 = b.detach().clone().requires_grad_(True)
+        acts = torch.tanh(e2[:, :, None, :] + p2[:, None, :, :])
+        acts = torch.einsum("btuh,hv->btuv", acts, W2) + b2
+        ref = rnnt_loss(acts.contiguous(), labels, il, ll, reduction="mean")
+        ref.backward()
+
+        np.testing.assert_allclose(float(loss), float(ref), rtol=1e-5)
+        for name, a, r in (("de", e, e2), ("dp", p, p2), ("dW", W, W2),
+                           ("db", b, b2)):
+            np.testing.assert_allclose(a.grad.numpy(), r.grad.numpy(),
+                                       atol=1e-4, err_msg=name)
+
+        with pytest.raises(ValueError, match="sum\\|mean"):
+            rnnt_loss_fused_joint(e, p, W, b, labels, il, ll,
+                                  reduction="none")
+
     def test_pruned_autograd_full_band_equals_dense(self):
         torch = pytest.importorskip("torch")
         from warp_transducer_tpu.bindings.torch_binding import (

@@ -111,6 +111,20 @@ def _load():
             fp(np.int32, flags="C_CONTIGUOUS"), I, I, I, I,
             fp(ft, flags="C_CONTIGUOUS"), _Options,
         ]
+    for name, ft in (("wtt_rnnt_loss_fused_joint", np.float32),
+                     ("wtt_rnnt_loss_fused_joint_fp64", np.float64)):
+        f = getattr(lib, name)
+        f.restype = ctypes.c_int
+        f.argtypes = [
+            fp(ft, flags="C_CONTIGUOUS"), fp(ft, flags="C_CONTIGUOUS"),
+            fp(ft, flags="C_CONTIGUOUS"), fp(ft, flags="C_CONTIGUOUS"),
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            fp(np.int32, flags="C_CONTIGUOUS"),
+            fp(np.int32, flags="C_CONTIGUOUS"),
+            fp(np.int32, flags="C_CONTIGUOUS"), I, I, I, I, I,
+            fp(ft, flags="C_CONTIGUOUS"), ctypes.c_void_p, _Options,
+        ]
     _lib = lib
     return lib
 
@@ -240,6 +254,85 @@ def rnnt_loss_pruned_native(
             f"native pruned rnnt loss failed: {_STATUS_STRINGS.get(status, status)}"
         )
     return costs, grads
+
+
+def rnnt_loss_fused_joint_native(
+    e: np.ndarray,
+    p: np.ndarray,
+    W: np.ndarray,
+    bias: np.ndarray,
+    labels: np.ndarray,
+    input_lengths: np.ndarray,
+    label_lengths: np.ndarray,
+    blank: int = 0,
+    num_threads: int = 0,
+    compute_grads: bool = True,
+    workspace: Optional[np.ndarray] = None,
+):
+    """Joint-fused loss with the native CPU engine: the (B, T, U, V) joint
+    of ``tanh(e ⊕ p) @ W + bias`` is never materialised (O(H·V) scratch per
+    cell row). ``e``: (B, T, H), ``p``: (B, U, H), ``W``: (H, V), ``bias``:
+    (V,), all float32 or all float64. Returns
+    ``(costs, (grad_e, grad_p, grad_W, grad_bias))`` — the tuple is None
+    when ``compute_grads`` is False. Matches
+    ``warp_transducer_tpu.rnnt_loss_fused_joint``.
+    """
+    lib = _load()
+    e = np.ascontiguousarray(e)
+    p = np.ascontiguousarray(p)
+    W = np.ascontiguousarray(W, dtype=e.dtype)
+    bias = np.ascontiguousarray(bias, dtype=e.dtype)
+    if e.dtype not in (np.float32, np.float64):
+        raise TypeError(f"e must be float32/float64, got {e.dtype}")
+    if e.ndim != 3 or p.ndim != 3 or W.ndim != 2 or bias.ndim != 1:
+        raise ValueError(
+            f"expected e (B,T,H), p (B,U,H), W (H,V), bias (V,); got "
+            f"{e.shape}, {p.shape}, {W.shape}, {bias.shape}"
+        )
+    if p.dtype != e.dtype or p.shape[0] != e.shape[0] \
+            or p.shape[2] != e.shape[2] or W.shape[0] != e.shape[2] \
+            or bias.shape[0] != W.shape[1]:
+        raise ValueError(
+            f"e/p/W/bias mismatch: {e.shape}, {p.shape}, {W.shape}, "
+            f"{bias.shape}"
+        )
+    B, T, H = e.shape
+    U = p.shape[1]
+    V = W.shape[1]
+    labels = np.ascontiguousarray(labels, dtype=np.int32)
+    if labels.shape != (B, U - 1):
+        fixed = np.zeros((B, U - 1), np.int32)
+        L = min(labels.shape[1], U - 1)
+        fixed[:, :L] = labels[:, :L]
+        labels = fixed
+    il = np.ascontiguousarray(input_lengths, dtype=np.int32)
+    ll = np.ascontiguousarray(label_lengths, dtype=np.int32)
+
+    costs = np.zeros((B,), e.dtype)
+    if compute_grads:
+        gs = (np.zeros_like(e), np.zeros_like(p), np.zeros_like(W),
+              np.zeros_like(bias))
+        gps = tuple(g.ctypes.data_as(ctypes.c_void_p) for g in gs)
+    else:
+        gs = None
+        gps = (None,) * 4
+    opts = _Options(blank, num_threads, 0)
+    if workspace is not None:
+        workspace = np.ascontiguousarray(workspace)
+        wptr = workspace.ctypes.data_as(ctypes.c_void_p)
+    else:
+        wptr = None
+
+    fn = (lib.wtt_rnnt_loss_fused_joint if e.dtype == np.float32
+          else lib.wtt_rnnt_loss_fused_joint_fp64)
+    status = fn(e, p, W, bias, *gps, labels, ll, il, H, V, B, T, U, costs,
+                wptr, opts)
+    if status != 0:
+        raise RuntimeError(
+            f"native fused joint loss failed: "
+            f"{_STATUS_STRINGS.get(status, status)}"
+        )
+    return costs, gs
 
 
 def rnnt_loss_simple_native(

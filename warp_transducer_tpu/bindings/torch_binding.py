@@ -17,6 +17,7 @@ except ImportError as e:  # pragma: no cover
     raise ImportError("torch is required for warp_transducer_tpu.bindings.torch_binding") from e
 
 from .native import (
+    rnnt_loss_fused_joint_native,
     rnnt_loss_native,
     rnnt_loss_pruned_native,
     rnnt_loss_simple_native,
@@ -140,6 +141,52 @@ def rnnt_loss_simple(am, lm, labels, act_lens, label_lens, blank=0,
         raise ValueError(f"reduction must be none|sum|mean, got {reduction!r}")
     return _RNNTSimpleFunction.apply(
         am, lm, labels, act_lens, label_lens, blank, reduction
+    )
+
+
+class _RNNTFusedFunction(Function):
+    @staticmethod
+    def forward(ctx, e, p, W, bias, labels, act_lens, label_lens, blank,
+                reduction):
+        needs_grad = any(t.requires_grad for t in (e, p, W, bias))
+        costs_np, gs = rnnt_loss_fused_joint_native(
+            e.detach().numpy(), p.detach().numpy(), W.detach().numpy(),
+            bias.detach().numpy(), labels.numpy(), act_lens.numpy(),
+            label_lens.numpy(), blank=blank, compute_grads=needs_grad,
+        )
+        costs = torch.from_numpy(np.asarray(costs_np)).to(e.dtype)
+        z = torch.zeros(0, dtype=e.dtype)
+        gts = ([torch.from_numpy(np.asarray(g)).to(e.dtype) for g in gs]
+               if gs is not None else [z] * 4)
+        costs, gts = _reduce(costs, gts, reduction, e.size(0))
+        ctx.gts = gts
+        return costs
+
+    @staticmethod
+    def backward(ctx, grad_output):
+        # sum/mean only: one scalar cotangent scales all four gradients
+        s = grad_output.sum().to(ctx.gts[0].dtype)
+        return tuple(g * s for g in ctx.gts) + (None,) * 5
+
+
+def rnnt_loss_fused_joint(e, p, W, bias, labels, act_lens, label_lens,
+                          blank=0, reduction="mean"):
+    """Joint-fused loss on CPU torch tensors: e (B, T, H), p (B, U, H)
+    projected trunk activations, W (H, V)/bias (V,) output projection — the
+    (B, T, U, V) logits are never materialised (torch twin of the JAX
+    ``rnnt_loss_fused_joint`` over the native engine). Differentiable
+    w.r.t. all four inputs.
+
+    Only ``reduction='sum'|'mean'``: dW/db come back minibatch-summed from
+    the native engine, so per-utterance cotangents (``'none'``) cannot be
+    applied exactly."""
+    if reduction not in ("sum", "mean"):
+        raise ValueError(
+            "fused joint supports reduction sum|mean only (dW/db are "
+            f"minibatch-summed), got {reduction!r}"
+        )
+    return _RNNTFusedFunction.apply(
+        e, p, W, bias, labels, act_lens, label_lens, blank, reduction
     )
 
 
