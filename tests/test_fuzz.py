@@ -1,0 +1,154 @@
+"""Seeded differential fuzzing: random shapes (including the degenerate
+edges T=1, U=1, B=1, V=2, nonzero blank, fully ragged lengths) swept
+through every loss family and checked against the float64 numpy oracle —
+the breadth complement to the targeted golden/numerics suites.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from warp_transducer_tpu import (
+    rnnt_loss,
+    rnnt_loss_fused_joint,
+    rnnt_loss_pruned,
+    rnnt_loss_simple,
+)
+from warp_transducer_tpu.utils import numpy_oracle
+
+
+def _case(seed):
+    """Random problem; degenerate dims forced for the first few seeds."""
+    rng = np.random.RandomState(seed)
+    B = int(rng.randint(1, 5))
+    T = int(rng.randint(1, 13))
+    U = int(rng.randint(1, 7))
+    V = int(rng.randint(2, 21))
+    if seed == 0:
+        T = 1
+    elif seed == 1:
+        U = 1
+    elif seed == 2:
+        B, V = 1, 2
+    blank = 0 if rng.rand() < 0.5 else V - 1
+    acts = rng.randn(B, T, U, V).astype(np.float32)
+    # labels never collide with blank (the loss treats blank transitions
+    # separately; a label equal to blank is a degenerate grammar)
+    lab_pool = np.setdiff1d(np.arange(V), [blank])
+    labels = rng.choice(lab_pool, size=(B, max(U - 1, 0))).astype(np.int32)
+    il = rng.randint(1, T + 1, (B,)).astype(np.int32)
+    ll = rng.randint(0, U, (B,)).astype(np.int32)
+    il[0], ll[0] = T, U - 1  # always one full-size utterance
+    return B, T, U, V, blank, acts, labels, il, ll
+
+
+SEEDS = list(range(10))
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_dense_costs_and_grads_vs_oracle(seed, implementation):
+    B, T, U, V, blank, acts, labels, il, ll = _case(seed)
+    ref_c, ref_g = numpy_oracle.rnnt_batch(acts, labels, il, ll, blank=blank)
+
+    costs = rnnt_loss(jnp.asarray(acts), jnp.asarray(labels),
+                      jnp.asarray(il), jnp.asarray(ll), blank=blank,
+                      reduction="none", implementation=implementation)
+    np.testing.assert_allclose(np.asarray(costs), ref_c, rtol=1e-4,
+                               atol=1e-4)
+
+    grads = jax.grad(lambda a: rnnt_loss(
+        a, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll),
+        blank=blank, reduction="sum", implementation=implementation,
+    ))(jnp.asarray(acts))
+    np.testing.assert_allclose(np.asarray(grads), ref_g, rtol=1e-3,
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", SEEDS[:4])
+def test_log_probs_convention_vs_oracle(seed):
+    B, T, U, V, blank, acts, labels, il, ll = _case(seed)
+    lp = numpy_oracle.log_softmax(acts.astype(np.float64)).astype(np.float32)
+    ref_c, ref_g = numpy_oracle.rnnt_batch(lp, labels, il, ll, blank=blank,
+                                           from_log_probs=True)
+    costs = rnnt_loss(jnp.asarray(lp), jnp.asarray(labels), jnp.asarray(il),
+                      jnp.asarray(ll), blank=blank, reduction="none",
+                      log_probs_input=True, implementation="xla")
+    np.testing.assert_allclose(np.asarray(costs), ref_c, rtol=1e-4,
+                               atol=1e-4)
+    grads = jax.grad(lambda a: rnnt_loss(
+        a, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll),
+        blank=blank, reduction="sum", log_probs_input=True,
+        implementation="xla",
+    ))(jnp.asarray(lp))
+    np.testing.assert_allclose(np.asarray(grads), ref_g, rtol=1e-3,
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", SEEDS[:6])
+def test_fused_joint_vs_oracle(seed):
+    B, T, U, V, blank, _, labels, il, ll = _case(seed)
+    rng = np.random.RandomState(1000 + seed)
+    H = int(rng.randint(2, 10))
+    e = (rng.randn(B, T, H) * 0.5).astype(np.float32)
+    p = (rng.randn(B, U, H) * 0.5).astype(np.float32)
+    W = (rng.randn(H, V) / np.sqrt(H)).astype(np.float32)
+    b = (rng.randn(V) * 0.1).astype(np.float32)
+    acts = np.tanh(e[:, :, None, :] + p[:, None, :, :]) @ W + b
+    ref_c, _ = numpy_oracle.rnnt_batch(acts, labels, il, ll, blank=blank)
+
+    for impl in ("xla", "pallas"):
+        costs = rnnt_loss_fused_joint(
+            jnp.asarray(e), jnp.asarray(p), jnp.asarray(W), jnp.asarray(b),
+            jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll),
+            blank=blank, reduction="none", implementation=impl)
+        np.testing.assert_allclose(np.asarray(costs), ref_c, rtol=1e-4,
+                                   atol=1e-4, err_msg=impl)
+
+
+@pytest.mark.parametrize("seed", SEEDS[:6])
+def test_simple_vs_oracle(seed):
+    B, T, U, V, blank, _, labels, il, ll = _case(seed)
+    rng = np.random.RandomState(2000 + seed)
+    am = rng.randn(B, T, V).astype(np.float32)
+    lm = rng.randn(B, U, V).astype(np.float32)
+    acts = am[:, :, None, :] + lm[:, None, :, :]
+    ref_c, _ = numpy_oracle.rnnt_batch(acts, labels, il, ll, blank=blank)
+    costs = rnnt_loss_simple(jnp.asarray(am), jnp.asarray(lm),
+                             jnp.asarray(labels), jnp.asarray(il),
+                             jnp.asarray(ll), blank=blank, reduction="none",
+                             implementation="xla")
+    np.testing.assert_allclose(np.asarray(costs), ref_c, rtol=1e-4,
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", SEEDS[:6])
+def test_pruned_full_band_vs_oracle(seed):
+    B, T, U, V, blank, acts, labels, il, ll = _case(seed)
+    # ranges = 0 with S = U covers every utterance's whole lattice
+    ref_c, ref_g = numpy_oracle.rnnt_batch(acts, labels, il, ll, blank=blank)
+    ranges = np.zeros((B, T), np.int32)
+    costs = rnnt_loss_pruned(jnp.asarray(acts), jnp.asarray(ranges),
+                             jnp.asarray(labels), jnp.asarray(il),
+                             jnp.asarray(ll), blank=blank, reduction="none",
+                             implementation="xla")
+    np.testing.assert_allclose(np.asarray(costs), ref_c, rtol=1e-4,
+                               atol=1e-4)
+    grads = jax.grad(lambda a: rnnt_loss_pruned(
+        a, jnp.asarray(ranges), jnp.asarray(labels), jnp.asarray(il),
+        jnp.asarray(ll), blank=blank, reduction="sum",
+        implementation="xla"))(jnp.asarray(acts))
+    np.testing.assert_allclose(np.asarray(grads), ref_g, rtol=1e-3,
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", SEEDS[:4])
+def test_native_vs_oracle(seed):
+    from warp_transducer_tpu.bindings import native
+
+    if not native.available():
+        pytest.skip("native backend not built")
+    B, T, U, V, blank, acts, labels, il, ll = _case(seed)
+    ref_c, ref_g = numpy_oracle.rnnt_batch(acts, labels, il, ll, blank=blank)
+    costs, grads = native.rnnt_loss_native(acts, labels, il, ll, blank=blank)
+    np.testing.assert_allclose(costs, ref_c, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(grads, ref_g, rtol=1e-3, atol=1e-4)
