@@ -1,0 +1,106 @@
+"""Serialized TPU round-up: run every pending hardware check in sequence.
+
+The axon tunnel allows exactly ONE TPU client at a time (a second client
+kills both), so each item runs as its own subprocess, strictly serially,
+with a timeout. Output is teed to stdout and appended to
+/tmp/tpu_roundup.log so a dropped session can see how far it got.
+
+Items (in priority order):
+  1. tunnel probe            — cheap jax.devices() check; abort early if down
+  2. pytest tests/ on TPU    — the kernels leave interpreter mode (smoke set)
+  3. tpu_band_panels_check   — all-panels pruned pipeline parity + timing
+  4. tpu_band_prod           — pruned loss at the production jit boundary
+  5. tpu_fused_chunked_check — V-chunked fused joint parity + timing
+  6. tpu_pipeline_ab         — WTT_FUSED_PIPELINE A/B at the headline shape
+  7. bench.py --all          — the full baseline sweep
+  8. bench.py --extras       — factorised/pruned incl. the north-star config
+  9. bench.py --fused        — fused joint headline rows (bf16 + f32)
+
+Usage: python scripts/tpu_roundup.py [--from N] [--only N[,M...]]
+"""
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+REPO = "/root/repo"
+LOG = "/tmp/tpu_roundup.log"
+PY = sys.executable
+
+ITEMS = [
+    ("tunnel probe",
+     [PY, "-c", "import jax; print(jax.devices())"], 180),
+    ("pytest smoke on TPU",
+     [PY, "-m", "pytest", "tests/test_golden.py", "tests/test_prep_fused.py",
+      "tests/test_stream_kernel.py", "tests/test_fused_joint.py",
+      "tests/test_pruned.py", "-x", "-q", "--no-header"], 3600),
+    ("band panels check",
+     [PY, "scripts/tpu_band_panels_check.py"], 3600),
+    ("band production-boundary timing",
+     [PY, "scripts/tpu_band_prod.py"], 3600),
+    ("fused chunked check",
+     [PY, "scripts/tpu_fused_chunked_check.py"], 3600),
+    ("pipeline A/B",
+     [PY, "scripts/tpu_pipeline_ab.py"], 7200),
+    ("bench --all",
+     [PY, "bench.py", "--all"], 7200),
+    ("bench --extras",
+     [PY, "bench.py", "--extras"], 7200),
+    ("bench --fused bf16",
+     [PY, "bench.py", "64", "150", "20", "5000", "--fused", "--dtype", "bf16"], 1800),
+    ("bench --fused f32",
+     [PY, "bench.py", "64", "150", "20", "5000", "--fused", "--dtype", "f32"], 1800),
+]
+
+
+def log(msg):
+    line = f"[{time.strftime('%H:%M:%S')}] {msg}"
+    print(line, flush=True)
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--from", dest="start", type=int, default=1)
+    ap.add_argument("--only", type=str, default=None)
+    args = ap.parse_args()
+    only = set(int(x) for x in args.only.split(",")) if args.only else None
+
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+    # TPU tests: do NOT force the CPU platform conftest would pick via
+    # pytest -p; tests read JAX_PLATFORMS, so clear any cpu pin.
+    env.pop("JAX_PLATFORMS", None)
+
+    for i, (name, cmd, tmo) in enumerate(ITEMS, start=1):
+        if i < args.start or (only is not None and i not in only):
+            continue
+        # pytest must run on TPU here: conftest honors WTT_TEST_TPU=1.
+        item_env = dict(env)
+        if "pytest" in " ".join(cmd):
+            item_env["WTT_TEST_TPU"] = "1"
+        log(f"=== item {i}: {name} :: {' '.join(cmd)}")
+        t0 = time.time()
+        try:
+            r = subprocess.run(cmd, cwd=REPO, env=item_env, timeout=tmo,
+                               capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            log(f"item {i} TIMEOUT after {tmo}s")
+            if i == 1:
+                log("tunnel down — aborting round-up")
+                return 1
+            continue
+        dt = time.time() - t0
+        tail = "\n".join((r.stdout + r.stderr).splitlines()[-15:])
+        log(f"item {i} exit={r.returncode} in {dt:.0f}s\n{tail}")
+        if i == 1 and r.returncode != 0:
+            log("tunnel down — aborting round-up")
+            return 1
+    log("round-up complete")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

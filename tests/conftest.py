@@ -12,11 +12,18 @@ have imported jax before pytest loads this file.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
-    os.environ["XLA_FLAGS"] = (
-        "--xla_force_host_platform_device_count=8 " + os.environ.get("XLA_FLAGS", "")
-    )
+# WTT_TEST_TPU=1 runs the suite against the real chip (scripts/tpu_roundup.py
+# item 2): the Pallas kernels leave interpreter mode. fp64-parametrised tests
+# are auto-skipped there (no f64 on TPU) — see pytest_collection_modifyitems.
+_TPU_MODE = os.environ.get("WTT_TEST_TPU") == "1"
+
+if not _TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (
+            "--xla_force_host_platform_device_count=8 "
+            + os.environ.get("XLA_FLAGS", "")
+        )
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
@@ -24,8 +31,9 @@ if _REPO_ROOT not in sys.path:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)  # fp64 paths; code is dtype-explicit
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)  # fp64 paths; code is dtype-explicit
 
 import pytest  # noqa: E402
 
@@ -48,8 +56,13 @@ def pytest_configure(config):
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if "pallas_slow" not in item.keywords:
+        if _TPU_MODE and any(
+            tag in item.nodeid for tag in ("float64", "fp64", "f64")
+        ):
+            item.add_marker(pytest.mark.skip(reason="no fp64 on TPU"))
             continue
+        if _TPU_MODE or "pallas_slow" not in item.keywords:
+            continue  # pallas runs natively on TPU — no interpreter skip
         callspec = getattr(item, "callspec", None)
         if callspec is not None and callspec.params.get("implementation") == "pallas":
             item.add_marker(pytest.mark.skip(reason="pallas interpreter too slow on CPU"))

@@ -38,9 +38,11 @@ NEG = -1.0e30
 
 
 def _joint_coefs(lpb, lpe, alphas, betas, ll, input_lengths, label_lengths,
-                 scale):
+                 scale, fastemit_lambda=0.0):
     """The three valid-masked, cotangent-scaled (B,T,U) coefficient fields
-    of the dense gradient (cf. gradients.grad_wrt_acts)."""
+    of the dense gradient (cf. gradients.grad_wrt_acts).
+    ``fastemit_lambda`` scales the emit coefficient by (1 + λ) and folds
+    + λ·ce into the softmax coefficient (FastEmit, arXiv:2010.11148)."""
     valid = _valid_cells(lpb.shape, input_lengths, label_lengths)
     bshift_t, bshift_u = _beta_shifts(betas, alphas, input_lengths,
                                       label_lengths)
@@ -48,6 +50,10 @@ def _joint_coefs(lpb, lpe, alphas, betas, ll, input_lengths, label_lengths,
     coef = jnp.where(valid, jnp.exp(a_ll + betas), 0.0)
     cb = jnp.where(valid, jnp.exp(a_ll + lpb + bshift_t), 0.0)
     ce = jnp.where(valid, jnp.exp(a_ll + lpe + bshift_u), 0.0)
+    if fastemit_lambda:
+        lam = jnp.asarray(fastemit_lambda, coef.dtype)
+        coef = coef + lam * ce
+        ce = ce * (1.0 + lam)
     s = scale.astype(coef.dtype)[:, None, None]
     return coef * s, cb * s, ce * s
 
@@ -203,9 +209,9 @@ def _fused_grad_xla(e, p, W, bias, labels, denom, coef, cb, ce, blank):
             dW.astype(W.dtype), db.astype(bias.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def _fused_costs(e, p, W, bias, labels, input_lengths, label_lengths,
-                 blank, implementation):
+                 blank, implementation, fastemit_lambda):
     denom, lpb, lpe = _fused_prep(e, p, W, bias, labels, blank,
                                   implementation)
     res = _run_lattice(implementation, _prep.PreparedInputs(lpb, lpe, denom),
@@ -214,7 +220,7 @@ def _fused_costs(e, p, W, bias, labels, input_lengths, label_lengths,
 
 
 def _fused_costs_fwd(e, p, W, bias, labels, input_lengths, label_lengths,
-                     blank, implementation):
+                     blank, implementation, fastemit_lambda=0.0):
     denom, lpb, lpe = _fused_prep(e, p, W, bias, labels, blank,
                                   implementation)
     res = _run_lattice(implementation, _prep.PreparedInputs(lpb, lpe, denom),
@@ -225,13 +231,13 @@ def _fused_costs_fwd(e, p, W, bias, labels, input_lengths, label_lengths,
     return costs, residuals
 
 
-def _fused_costs_bwd(blank, implementation, residuals, g):
+def _fused_costs_bwd(blank, implementation, fastemit_lambda, residuals, g):
     (e, p, W, bias, labels, input_lengths, label_lengths,
      denom, lpb, lpe, alphas, betas, ll) = residuals
     coef, cb, ce = _joint_coefs(
         lpb, lpe, alphas.astype(jnp.float32), betas.astype(jnp.float32),
         ll.astype(jnp.float32), input_lengths, label_lengths,
-        g.astype(jnp.float32),
+        g.astype(jnp.float32), fastemit_lambda=fastemit_lambda,
     )
     if implementation == "xla":
         de, dp, dW, db = _fused_grad_xla(
@@ -268,6 +274,7 @@ def rnnt_loss_fused_joint(
     blank: int = 0,
     reduction: str = "mean",
     implementation: str = "auto",
+    fastemit_lambda: float = 0.0,
 ) -> jax.Array:
     """RNN-T loss with the joint projection fused in.
 
@@ -282,6 +289,8 @@ def rnnt_loss_fused_joint(
         is the portable engine — a T-chunked ``lax.map``/``lax.scan`` that
         keeps only O(B·Tc·U·V) live (fast off-TPU, and what the TF binding
         serialises). 'auto' picks 'pallas' on TPU.
+      fastemit_lambda: FastEmit strength λ (arXiv:2010.11148): scales the
+        emit-arc gradient by (1 + λ); the loss value is unchanged.
 
     Equals ``rnnt_loss(tanh(e ⊕ p) @ W + bias, ...)`` without ever
     materialising the (B, T, U, V) logits or their gradient in HBM.
@@ -310,9 +319,12 @@ def rnnt_loss_fused_joint(
         raise ValueError(
             f"labels must be (B, >={U - 1}) for U={U}; got {labels.shape}"
         )
+    if fastemit_lambda < 0:
+        raise ValueError(f"fastemit_lambda must be >= 0, got {fastemit_lambda}")
     impl = _pick_implementation(implementation)
     costs = _fused_costs(e, p, W, bias, labels.astype(jnp.int32),
-                         input_lengths, label_lengths, int(blank), impl)
+                         input_lengths, label_lengths, int(blank), impl,
+                         float(fastemit_lambda))
     if reduction == "sum":
         return jnp.sum(costs)
     if reduction == "mean":

@@ -60,6 +60,7 @@ def _valid_cells(shape, input_lengths, label_lengths):
 def grad_wrt_acts(
     acts, denom, lpb, lpe, alphas, betas, ll, labels_u,
     input_lengths, label_lengths, blank, out_dtype=None, scale=None,
+    fastemit_lambda=0.0,
 ):
     """Dense d(cost)/d(acts), cost = -ll, log-softmax fused.
 
@@ -70,6 +71,10 @@ def grad_wrt_acts(
     ``scale`` ((B,) or None) folds an upstream cotangent into the small
     (B, T, U) coefficients so the big (B, T, U, V) pass needs no extra
     multiply — this is how the lazy backward rescales at zero cost.
+
+    ``fastemit_lambda`` applies FastEmit (arXiv:2010.11148) at the same
+    zero cost: the emit coefficient ce is scaled by (1 + λ) and the
+    softmax coefficient — which is exactly cb + ce — picks up + λ·ce.
     """
     B, T, U, V = acts.shape
     dtype = alphas.dtype
@@ -81,6 +86,10 @@ def grad_wrt_acts(
     coef = jnp.where(valid, jnp.exp(a_ll + betas), 0.0).astype(dtype)
     cb = jnp.where(valid, jnp.exp(a_ll + lpb + bshift_t), 0.0)
     ce = jnp.where(valid, jnp.exp(a_ll + lpe + bshift_u), 0.0)
+    if fastemit_lambda:
+        lam = jnp.asarray(fastemit_lambda, dtype)
+        coef = coef + lam * ce
+        ce = ce * (1.0 + lam)
     if scale is not None:
         s = scale.astype(dtype)[:, None, None]
         coef, cb, ce = coef * s, cb * s, ce * s
@@ -102,12 +111,14 @@ def grad_wrt_acts(
 def grad_wrt_log_probs(
     lpb, lpe, alphas, betas, ll, labels_u,
     input_lengths, label_lengths, blank, shape_v, out_dtype, scale=None,
+    fastemit_lambda=0.0,
 ):
     """Sparse d(cost)/d(log_probs): non-zero at blank and label entries only.
 
     Mirrors cpu_rnnt.h:253-267 including its write order: the label entry is
     written after the blank entry, so a label equal to ``blank`` overwrites.
     ``scale`` folds an upstream cotangent in, as in ``grad_wrt_acts``.
+    ``fastemit_lambda`` scales the emit entries by (1 + λ) (FastEmit).
     """
     B, T, U = lpb.shape
     V = shape_v
@@ -117,6 +128,8 @@ def grad_wrt_log_probs(
     a_ll = alphas - ll[:, None, None]
     gb = jnp.where(valid, -jnp.exp(a_ll + lpb + bshift_t), 0.0)
     ge = jnp.where(valid, -jnp.exp(a_ll + lpe + bshift_u), 0.0)
+    if fastemit_lambda:
+        ge = ge * (1.0 + jnp.asarray(fastemit_lambda, ge.dtype))
     if scale is not None:
         s = scale.astype(gb.dtype)[:, None, None]
         gb, ge = gb * s, ge * s

@@ -112,7 +112,7 @@ def _grad_kernel(x_ref, lab_ref, lpb_ref, lpe_ref, den_ref,
                  alpha_ref, beta_ref, beta_next_ref,
                  r_ref, dnext_ref, tb_ref, ub_ref, ll_ref, scale_ref,
                  g_ref, *, s_band: int, v: int, blank: int, t_c: int,
-                 out_dtype):
+                 out_dtype, fastemit_lambda: float = 0.0):
     f32 = jnp.float32
     neg = jnp.asarray(NEG, f32)
     B, Tc, SV = x_ref.shape
@@ -155,6 +155,10 @@ def _grad_kernel(x_ref, lab_ref, lpb_ref, lpe_ref, den_ref,
     cb = jnp.where(valid, jnp.exp(a_ll + lpb + b_dn) * sc, 0.0)
     has_lab = lab_ref[...] >= 0
     ce = jnp.where(valid & has_lab, jnp.exp(a_ll + lpe + b_up) * sc, 0.0)
+    if fastemit_lambda:
+        lam = jnp.asarray(fastemit_lambda, f32)
+        coef = coef + lam * ce  # coef == cb + ce, so this is FastEmit's
+        ce = ce * (1.0 + lam)   # (1+λ)-scaled emit arc (arXiv:2010.11148)
     denom = den_ref[...]
 
     # ---- one pass over the activations ----------------------------------
@@ -228,10 +232,11 @@ def prep_panels(acts, lab_panel, blank=0, interpret=False):
     return lpb_p, lpe_p, den_p
 
 
-@functools.partial(jax.jit, static_argnames=("blank", "interpret"))
+@functools.partial(jax.jit, static_argnames=("blank", "interpret",
+                                              "fastemit_lambda"))
 def grad_panels(acts, lab_panel, lpb_p, lpe_p, den_p, alpha_p, beta_p,
                 ranges_p, db_p, tb, ub, llf, scale, blank=0,
-                interpret=False):
+                interpret=False, fastemit_lambda=0.0):
     """(B, T, S, V) gradient in one read+write pass over the activations;
     the coefficient fields are computed in-kernel from the lattice panels."""
     B, T, S, V = acts.shape
@@ -246,7 +251,8 @@ def grad_panels(acts, lab_panel, lpb_p, lpe_p, den_p, alpha_p, beta_p,
     scale_p = jnp.pad(scale.astype(jnp.float32), (0, B_pad - B))[None, :]
 
     kernel = functools.partial(_grad_kernel, s_band=S, v=V, blank=blank,
-                               t_c=Tc, out_dtype=acts.dtype)
+                               t_c=Tc, out_dtype=acts.dtype,
+                               fastemit_lambda=float(fastemit_lambda))
     panel_spec = pl.BlockSpec((Tc, S_pad, B_pad), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((Tc, B_pad), lambda i: (i, 0),
@@ -297,10 +303,10 @@ def pruned_forward(acts, lab_band, has_lab, ranges, input_lengths,
     return llf[0, :B], res
 
 
-def pruned_backward(acts, res, scale, blank, interpret):
+def pruned_backward(acts, res, scale, blank, interpret, fastemit_lambda=0.0):
     return grad_panels(
         acts, res["lab_panel"], res["lpb_p"], res["lpe_p"], res["den_p"],
         res["alpha_p"], res["beta_p"], res["ranges_p"], res["db_p"],
         res["tb"], res["ub"], res["llf"], scale, blank=blank,
-        interpret=interpret,
+        interpret=interpret, fastemit_lambda=float(fastemit_lambda),
     )

@@ -286,8 +286,11 @@ def _band_prep(acts, labels, ranges, blank):
 
 
 def _band_grad(acts, denom, lpb, lpe, lat, ranges, lab_band, has_lab,
-               input_lengths, label_lengths, blank, scale):
-    """Dense gradient on the band (one fused elementwise pass)."""
+               input_lengths, label_lengths, blank, scale,
+               fastemit_lambda=0.0):
+    """Dense gradient on the band (one fused elementwise pass).
+    ``fastemit_lambda`` scales the emit coefficient by (1 + λ) and folds
+    + λ·ce into the softmax coefficient (FastEmit, arXiv:2010.11148)."""
     B, T, S, V = acts.shape
     f32 = jnp.float32
     Tb = input_lengths.astype(jnp.int32)
@@ -322,6 +325,10 @@ def _band_grad(acts, denom, lpb, lpe, lat, ranges, lab_band, has_lab,
     coef = jnp.where(valid, jnp.exp(a_ll + betas), 0.0)
     cb = jnp.where(valid, jnp.exp(a_ll + lpb + bshift_t), 0.0)
     ce = jnp.where(valid & has_lab, jnp.exp(a_ll + lpe + bshift_u), 0.0)
+    if fastemit_lambda:
+        lam = jnp.asarray(fastemit_lambda, coef.dtype)
+        coef = coef + lam * ce
+        ce = ce * (1.0 + lam)
     # infeasible utterances (no path inside the band): ll is the NEG
     # sentinel and the a_ll cancellation is garbage — zero their gradient
     feasible = ll > NEG / 2
@@ -342,11 +349,12 @@ def _band_grad(acts, denom, lpb, lpe, lat, ranges, lab_band, has_lab,
     return g.astype(acts.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _pruned_costs(acts, ranges, labels, input_lengths, label_lengths, blank,
-                  implementation):
+                  implementation, fastemit_lambda):
     costs, _ = _pruned_fwd(acts, ranges, labels, input_lengths,
-                           label_lengths, blank, implementation)
+                           label_lengths, blank, implementation,
+                           fastemit_lambda)
     return costs
 
 
@@ -363,7 +371,7 @@ def _band_labels(labels, ranges, S):
 
 
 def _pruned_fwd(acts, ranges, labels, input_lengths, label_lengths, blank,
-                implementation):
+                implementation, fastemit_lambda=0.0):
     if implementation == "pallas":
         # all-panels pipeline: no (B, T, S)-layout intermediate ever exists
         from .pallas import band_pipeline
@@ -387,7 +395,7 @@ def _pruned_fwd(acts, ranges, labels, input_lengths, label_lengths, blank,
     return costs, residuals
 
 
-def _pruned_bwd(blank, implementation, residuals, g):
+def _pruned_bwd(blank, implementation, fastemit_lambda, residuals, g):
     def int_zeros(*shapes):
         return tuple(np.zeros(s, dtype=jax.dtypes.float0) for s in shapes)
 
@@ -398,7 +406,8 @@ def _pruned_bwd(blank, implementation, residuals, g):
          input_lengths, label_lengths) = residuals
         interpret = jax.default_backend() != "tpu"
         d_acts = band_pipeline.pruned_backward(acts, panels, g, blank,
-                                               interpret)
+                                               interpret,
+                                               fastemit_lambda=fastemit_lambda)
         return (d_acts,) + int_zeros(
             ranges.shape, labels.shape, input_lengths.shape,
             label_lengths.shape
@@ -407,7 +416,8 @@ def _pruned_bwd(blank, implementation, residuals, g):
     (acts, ranges, labels, input_lengths, label_lengths,
      lpb, lpe, denom, lab_band, has_lab, lat) = residuals
     d_acts = _band_grad(acts, denom, lpb, lpe, lat, ranges, lab_band, has_lab,
-                        input_lengths, label_lengths, blank, g)
+                        input_lengths, label_lengths, blank, g,
+                        fastemit_lambda=fastemit_lambda)
     return (d_acts,) + int_zeros(
         ranges.shape, labels.shape, input_lengths.shape, label_lengths.shape
     )
@@ -425,6 +435,7 @@ def rnnt_loss_pruned(
     blank: int = 0,
     reduction: str = "mean",
     implementation: str = "auto",
+    fastemit_lambda: float = 0.0,
 ) -> jax.Array:
     """Transducer loss restricted to a pruned band of the lattice.
 
@@ -437,6 +448,8 @@ def rnnt_loss_pruned(
       implementation: 'auto' | 'xla' | 'pallas' — the band recursion
         engine ('pallas' = single-invocation streamed kernel, the long-T
         fast path; 'auto' picks it on TPU).
+      fastemit_lambda: FastEmit strength λ (arXiv:2010.11148): scales the
+        emit-arc gradient by (1 + λ); the loss value is unchanged.
 
     Returns the negative log-likelihood over band-internal paths; equals
     ``rnnt_loss`` exactly when the band covers the whole lattice.
@@ -450,9 +463,12 @@ def rnnt_loss_pruned(
         raise ValueError(
             f"ranges must be (B, T) = {acts.shape[:2]}; got {ranges.shape}"
         )
+    if fastemit_lambda < 0:
+        raise ValueError(f"fastemit_lambda must be >= 0, got {fastemit_lambda}")
     impl = _pick_implementation(implementation)
     costs = _pruned_costs(acts, ranges.astype(jnp.int32), labels,
-                          input_lengths, label_lengths, int(blank), impl)
+                          input_lengths, label_lengths, int(blank), impl,
+                          float(fastemit_lambda))
     if reduction == "sum":
         return jnp.sum(costs)
     if reduction == "mean":

@@ -140,7 +140,7 @@ def _run_lattice(implementation, prepped, input_lengths, label_lengths, compute_
     )
 
 
-def _forward(acts, labels, input_lengths, label_lengths, blank, log_probs_input, implementation):
+def _forward(acts, labels, input_lengths, label_lengths, blank, log_probs_input, implementation, fastemit_lambda=0.0):
     """Compute (costs, grads). The heart of the library."""
     B, T, U, V = acts.shape
     cdtype = _compute_dtype(acts.dtype)
@@ -154,19 +154,20 @@ def _forward(acts, labels, input_lengths, label_lengths, blank, log_probs_input,
         grads = _gradients.grad_wrt_log_probs(
             prepped.lpb, prepped.lpe, res.alphas, res.betas, res.ll_forward,
             labels_u, input_lengths, label_lengths, blank, V, acts.dtype,
+            fastemit_lambda=fastemit_lambda,
         )
     else:
         grads = _gradients.grad_wrt_acts(
             acts, prepped.denom, prepped.lpb, prepped.lpe, res.alphas, res.betas,
             res.ll_forward, labels_u, input_lengths, label_lengths, blank,
-            out_dtype=acts.dtype,
+            out_dtype=acts.dtype, fastemit_lambda=fastemit_lambda,
         )
     costs = (-res.ll_forward).astype(acts.dtype)
     return costs, grads
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _rnnt_costs(acts, labels, input_lengths, label_lengths, blank, log_probs_input, implementation, check_tol):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _rnnt_costs(acts, labels, input_lengths, label_lengths, blank, log_probs_input, implementation, check_tol, fastemit_lambda):
     # Primal-only path: no gradient work at all (scoring under plain jit).
     # The optional self-check needs betas, so it forces the full sweep.
     B, T, U, V = acts.shape
@@ -178,7 +179,7 @@ def _rnnt_costs(acts, labels, input_lengths, label_lengths, blank, log_probs_inp
     return (-res.ll_forward).astype(acts.dtype)
 
 
-def _rnnt_costs_fwd(acts, labels, input_lengths, label_lengths, blank, log_probs_input, implementation, check_tol):
+def _rnnt_costs_fwd(acts, labels, input_lengths, label_lengths, blank, log_probs_input, implementation, check_tol, fastemit_lambda):
     """Forward: lattice only. The dense O(B·T·U·V) gradient pass runs in the
     BACKWARD, with the upstream cotangent folded into its small (B, T, U)
     coefficients — unlike the reference (which computes the gradient during
@@ -200,7 +201,7 @@ def _rnnt_costs_fwd(acts, labels, input_lengths, label_lengths, blank, log_probs
     return costs, residuals
 
 
-def _rnnt_costs_bwd(blank, log_probs_input, implementation, check_tol, residuals, g):
+def _rnnt_costs_bwd(blank, log_probs_input, implementation, check_tol, fastemit_lambda, residuals, g):
     (acts, lpb, lpe, denom, alphas, betas, ll,
      labels, input_lengths, label_lengths) = residuals
     B, T, U, V = acts.shape
@@ -212,11 +213,13 @@ def _rnnt_costs_bwd(blank, log_probs_input, implementation, check_tol, residuals
         d_acts = _gradients.grad_wrt_log_probs(
             lpb, lpe, alphas, betas, ll, labels_u,
             input_lengths, label_lengths, blank, V, acts.dtype, scale=scale,
+            fastemit_lambda=fastemit_lambda,
         )
     else:
         d_acts = _gradients.grad_wrt_acts(
             acts, denom, lpb, lpe, alphas, betas, ll, labels_u,
             input_lengths, label_lengths, blank, out_dtype=acts.dtype, scale=scale,
+            fastemit_lambda=fastemit_lambda,
         )
 
     def int_zero(x):
@@ -237,6 +240,7 @@ def rnnt_loss(
     reduction: str = "mean",
     log_probs_input: bool = False,
     implementation: str = "auto",
+    fastemit_lambda: float = 0.0,
     options=None,
 ) -> jax.Array:
     """RNN-Transducer loss.
@@ -260,6 +264,11 @@ def rnnt_loss(
         V < 512 are upcast to f32 (bf16 measured slower there — no HBM
         relief, extra converts); at large V the native dtype is kept and
         halves the big-tensor traffic.
+      fastemit_lambda: FastEmit regularization strength λ (Yu et al.,
+        arXiv:2010.11148). Affects only the GRADIENT: the emit-arc
+        posterior is scaled by (1 + λ), biasing training toward earlier
+        emissions for lower streaming latency. The returned loss value is
+        the unmodified negative log-likelihood. 0 (default) disables.
       options: optional ``RNNTOptions``; when given its fields take
         precedence over the individual kwargs, and its
         ``fwd_bwd_check_tol`` arms the forward/backward likelihood
@@ -276,15 +285,19 @@ def rnnt_loss(
         log_probs_input = options.log_probs_input
         implementation = options.implementation
         check_tol = options.fwd_bwd_check_tol
+        fastemit_lambda = options.fastemit_lambda
     _certify_inputs(acts, labels, input_lengths, label_lengths)
     if reduction not in ("none", "sum", "mean"):
         raise ValueError(f"reduction must be none|sum|mean, got {reduction!r}")
+    if fastemit_lambda < 0:
+        raise ValueError(f"fastemit_lambda must be >= 0, got {fastemit_lambda}")
     acts = _steer_dtype(acts, implementation)
     impl = _pick_implementation(implementation)
     costs = _rnnt_costs(
         acts, labels, input_lengths, label_lengths, int(blank),
         bool(log_probs_input), impl,
         None if check_tol is None else float(check_tol),
+        float(fastemit_lambda),
     )
     if reduction == "sum":
         return jnp.sum(costs)
@@ -295,14 +308,15 @@ def rnnt_loss(
 
 def rnnt_loss_and_grad(
     acts, labels, input_lengths, label_lengths, blank=0,
-    log_probs_input=False, implementation="auto",
+    log_probs_input=False, implementation="auto", fastemit_lambda=0.0,
 ):
     """Return (costs[B], grads[B,T,U,V]) in one call — the ``cost_and_grad``
     entry point of the C API (/root/reference/include/rnnt.h:104-113)."""
     _certify_inputs(acts, labels, input_lengths, label_lengths)
     impl = _pick_implementation(implementation)
     return _forward(
-        acts, labels, input_lengths, label_lengths, int(blank), bool(log_probs_input), impl
+        acts, labels, input_lengths, label_lengths, int(blank),
+        bool(log_probs_input), impl, fastemit_lambda=float(fastemit_lambda),
     )
 
 
@@ -367,13 +381,14 @@ class RNNTLoss:
 
     def __init__(self, blank: int = 0, reduction: str = "mean",
                  log_probs_input: bool = False, implementation: str = "auto",
-                 options=None):
+                 fastemit_lambda: float = 0.0, options=None):
         if options is None:
             from ..utils.options import RNNTOptions
 
             options = RNNTOptions(
                 blank=blank, reduction=reduction,
                 log_probs_input=log_probs_input, implementation=implementation,
+                fastemit_lambda=fastemit_lambda,
             )
         self.options = options
         self.blank = options.blank

@@ -74,21 +74,28 @@ def _factorised_lattice_inputs(am, lm, labels_u, blank, precision):
     return lpb, lpe, S, A, Bm, onehot
 
 
-def _coefs(lpb, lpe, alphas, betas, ll, input_lengths, label_lengths, scale):
-    """The three (B,T,U) gradient coefficient fields (cf. gradients.py)."""
+def _coefs(lpb, lpe, alphas, betas, ll, input_lengths, label_lengths, scale,
+           fastemit_lambda=0.0):
+    """The three (B,T,U) gradient coefficient fields (cf. gradients.py).
+    ``fastemit_lambda`` scales the emit coefficient by (1 + λ) and folds
+    + λ·ce into the softmax coefficient (FastEmit, arXiv:2010.11148)."""
     valid = _valid_cells(lpb.shape, input_lengths, label_lengths)
     bshift_t, bshift_u = _beta_shifts(betas, alphas, input_lengths, label_lengths)
     a_ll = alphas - ll[:, None, None]
     coef = jnp.where(valid, jnp.exp(a_ll + betas), 0.0)
     cb = jnp.where(valid, jnp.exp(a_ll + lpb + bshift_t), 0.0)
     ce = jnp.where(valid, jnp.exp(a_ll + lpe + bshift_u), 0.0)
+    if fastemit_lambda:
+        lam = jnp.asarray(fastemit_lambda, coef.dtype)
+        coef = coef + lam * ce
+        ce = ce * (1.0 + lam)
     s = scale[:, None, None]
     return coef * s, cb * s, ce * s
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _simple_costs(am, lm, labels, input_lengths, label_lengths,
-                  blank, implementation, precision):
+                  blank, implementation, precision, fastemit_lambda):
     # primal-only path (scoring under plain jit): alphas only, no betas
     U = lm.shape[1]
     labels_u = _prep._pad_labels(labels.astype(jnp.int32), U)
@@ -102,7 +109,7 @@ def _simple_costs(am, lm, labels, input_lengths, label_lengths,
 
 
 def _simple_fwd(am, lm, labels, input_lengths, label_lengths,
-                blank, implementation, precision):
+                blank, implementation, precision, fastemit_lambda=0.0):
     U = lm.shape[1]
     labels_u = _prep._pad_labels(labels.astype(jnp.int32), U)
     labels_u = jnp.pad(labels_u, ((0, 0), (0, 1)), constant_values=0)  # (B, U)
@@ -117,7 +124,8 @@ def _simple_fwd(am, lm, labels, input_lengths, label_lengths,
     return costs, residuals
 
 
-def _simple_bwd(blank, implementation, precision, residuals, g):
+def _simple_bwd(blank, implementation, precision, fastemit_lambda,
+                residuals, g):
     (am, lm, labels, input_lengths, label_lengths,
      lpb, lpe, S, alphas, betas, ll) = residuals
     B, T, V = am.shape
@@ -139,7 +147,7 @@ def _simple_bwd(blank, implementation, precision, residuals, g):
 
     coef, cb, ce = _coefs(lpb, lpe, alphas.astype(f32), betas.astype(f32),
                           ll.astype(f32), input_lengths, label_lengths,
-                          g.astype(f32))
+                          g.astype(f32), fastemit_lambda=fastemit_lambda)
     W = coef / S  # (B, T, U)
 
     dam = A * jnp.einsum("btu,buv->btv", W, Bm, precision=precision)
@@ -161,18 +169,20 @@ def _simple_bwd(blank, implementation, precision, residuals, g):
 _simple_costs.defvjp(_simple_fwd, _simple_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _simple_costs_with_ranges(am, lm, labels, input_lengths, label_lengths,
-                              blank, implementation, precision, s_range):
+                              blank, implementation, precision, s_range,
+                              fastemit_lambda):
     (costs, ranges), _ = _simple_ranges_fwd(
         am, lm, labels, input_lengths, label_lengths,
-        blank, implementation, precision, s_range,
+        blank, implementation, precision, s_range, fastemit_lambda,
     )
     return costs, ranges
 
 
 def _simple_ranges_fwd(am, lm, labels, input_lengths, label_lengths,
-                       blank, implementation, precision, s_range):
+                       blank, implementation, precision, s_range,
+                       fastemit_lambda=0.0):
     costs, residuals = _simple_fwd(am, lm, labels, input_lengths,
                                    label_lengths, blank, implementation,
                                    precision)
@@ -188,9 +198,10 @@ def _simple_ranges_fwd(am, lm, labels, input_lengths, label_lengths,
 
 
 def _simple_ranges_bwd(blank, implementation, precision, s_range,
-                       residuals, g):
+                       fastemit_lambda, residuals, g):
     g_costs, _g_ranges = g  # ranges are int32: float0 cotangent, ignored
-    return _simple_bwd(blank, implementation, precision, residuals, g_costs)
+    return _simple_bwd(blank, implementation, precision, fastemit_lambda,
+                       residuals, g_costs)
 
 
 _simple_costs_with_ranges.defvjp(_simple_ranges_fwd, _simple_ranges_bwd)
@@ -207,6 +218,7 @@ def rnnt_loss_simple(
     implementation: str = "auto",
     precision=jax.lax.Precision.HIGHEST,
     prune_range: int | None = None,
+    fastemit_lambda: float = 0.0,
 ) -> jax.Array:
     """RNN-T loss for the additive joiner, without the (B,T,U,V) tensor.
 
@@ -221,6 +233,8 @@ def rnnt_loss_simple(
       prune_range: when set, ALSO return the (B, T) pruning band starts
         (``rnnt_prune_ranges`` semantics) computed from the same lattice —
         return value becomes ``(loss, ranges)``.
+      fastemit_lambda: FastEmit strength λ (arXiv:2010.11148): scales the
+        emit-arc gradient by (1 + λ); the loss value is unchanged.
 
     Exactly equals ``rnnt_loss(am[:,:,None,:] + lm[:,None,:,:], ...)`` —
     same lattice, same math — but with O((T+U)·V) instead of O(T·U·V)
@@ -239,15 +253,19 @@ def rnnt_loss_simple(
         raise ValueError(
             f"labels length {labels.shape[1]} < U-1 = {lm.shape[1] - 1}"
         )
+    if fastemit_lambda < 0:
+        raise ValueError(f"fastemit_lambda must be >= 0, got {fastemit_lambda}")
     impl = _pick_implementation(implementation)
     if prune_range is not None:
         costs, ranges = _simple_costs_with_ranges(
             am, lm, labels, input_lengths, label_lengths,
             int(blank), impl, precision, int(prune_range),
+            float(fastemit_lambda),
         )
     else:
         costs = _simple_costs(am, lm, labels, input_lengths, label_lengths,
-                              int(blank), impl, precision)
+                              int(blank), impl, precision,
+                              float(fastemit_lambda))
     if reduction == "sum":
         loss = jnp.sum(costs)
     elif reduction == "mean":

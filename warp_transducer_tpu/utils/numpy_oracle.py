@@ -84,49 +84,65 @@ def rnnt_single(log_probs: np.ndarray, labels: np.ndarray, blank: int = 0):
     return dict(alphas=alphas, betas=betas, ll_fwd=ll_fwd, ll_bwd=ll_bwd, lpb=lpb, lpe=lpe)
 
 
-def grad_wrt_log_probs(log_probs, labels, blank=0):
+def grad_wrt_log_probs(log_probs, labels, blank=0, fastemit_lambda=0.0):
     """Sparse gradient of cost = -ll w.r.t. the log-prob inputs.
 
     Matches the reference CPU convention (cpu_rnnt.h:253-267): only the blank
-    column and label entries receive gradient.
+    column and label entries receive gradient. ``fastemit_lambda`` applies the
+    FastEmit regularization (Yu et al., arXiv:2010.11148): the emit-arc
+    gradient is scaled by (1 + λ), the blank arc is untouched.
     """
     T, U, V = log_probs.shape
     st = rnnt_single(log_probs, labels, blank)
     a, b, ll = st["alphas"], st["betas"], st["ll_fwd"]
     lpb, lpe = st["lpb"], st["lpe"]
+    lam1 = 1.0 + float(fastemit_lambda)
     g = np.zeros((T, U, V), dtype=np.float64)
     for t in range(T):
         for u in range(U):
             if t < T - 1:
                 g[t, u, blank] = -np.exp(lpb[t, u] + a[t, u] + b[t + 1, u] - ll)
             if u < U - 1:
-                g[t, u, labels[u]] = -np.exp(lpe[t, u] + a[t, u] + b[t, u + 1] - ll)
+                g[t, u, labels[u]] = -lam1 * np.exp(
+                    lpe[t, u] + a[t, u] + b[t, u + 1] - ll
+                )
     g[T - 1, U - 1, blank] = -np.exp(lpb[T - 1, U - 1] + a[T - 1, U - 1] - ll)
     return -st["ll_fwd"], g
 
 
-def grad_wrt_acts(acts, labels, blank=0):
+def grad_wrt_acts(acts, labels, blank=0, fastemit_lambda=0.0):
     """Dense gradient of cost = -ll w.r.t. raw activations (fused log-softmax).
 
     Matches the reference GPU convention (gpu_rnnt_kernel.h:143-179).
+    ``fastemit_lambda`` applies FastEmit (arXiv:2010.11148): the emit-arc
+    posterior ce is scaled by (1 + λ) both in the sparse label term and in
+    the per-cell softmax coefficient (which is exactly cb + ce), so the
+    modified gradient stays a proper softmax-minus-targets form.
     """
     T, U, V = acts.shape
+    lam = float(fastemit_lambda)
     lp = log_softmax(acts)
     st = rnnt_single(lp, labels, blank)
     a, b, ll = st["alphas"], st["betas"], st["ll_fwd"]
     probs = np.exp(lp)
-    g = np.exp(a[:, :, None] + b[:, :, None] - ll) * probs
+    ce = np.zeros((T, U), dtype=np.float64)
+    for t in range(T):
+        for u in range(U - 1):
+            ce[t, u] = np.exp(a[t, u] + lp[t, u, labels[u]] + b[t, u + 1] - ll)
+    w = np.exp(a + b - ll) + lam * ce
+    g = w[:, :, None] * probs
     for t in range(T):
         for u in range(U):
             if t < T - 1:
                 g[t, u, blank] -= np.exp(a[t, u] + lp[t, u, blank] + b[t + 1, u] - ll)
             if u < U - 1:
-                g[t, u, labels[u]] -= np.exp(a[t, u] + lp[t, u, labels[u]] + b[t, u + 1] - ll)
+                g[t, u, labels[u]] -= (1.0 + lam) * ce[t, u]
     g[T - 1, U - 1, blank] -= np.exp(a[T - 1, U - 1] + lp[T - 1, U - 1, blank] - ll)
     return -st["ll_fwd"], g
 
 
-def rnnt_batch(acts, labels, input_lengths, label_lengths, blank=0, from_log_probs=False):
+def rnnt_batch(acts, labels, input_lengths, label_lengths, blank=0,
+               from_log_probs=False, fastemit_lambda=0.0):
     """Batched oracle over padded (B, T, U, V) inputs.
 
     Returns (costs[B], grads[B,T,U,V]) with grads following the convention
@@ -143,9 +159,11 @@ def rnnt_batch(acts, labels, input_lengths, label_lengths, blank=0, from_log_pro
         sub = acts[i, :t, :u, :]
         lab = np.asarray(labels[i][: u - 1], dtype=np.int64)
         if from_log_probs:
-            c, g = grad_wrt_log_probs(sub, lab, blank)
+            c, g = grad_wrt_log_probs(sub, lab, blank,
+                                      fastemit_lambda=fastemit_lambda)
         else:
-            c, g = grad_wrt_acts(sub, lab, blank)
+            c, g = grad_wrt_acts(sub, lab, blank,
+                                 fastemit_lambda=fastemit_lambda)
         costs[i] = c
         grads[i, :t, :u, :] = g
     return costs, grads

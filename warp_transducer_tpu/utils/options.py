@@ -20,3 +20,6 @@ class RNNTOptions:
     # Optional numerical self-check: warn when |ll_fwd - ll_bwd| exceeds this
     # (mirrors the CPU backend's mismatch warning, cpu_rnnt.h:167-169).
     fwd_bwd_check_tol: float | None = None
+    # FastEmit regularization strength λ (arXiv:2010.11148): scales the
+    # emit-arc gradient by (1 + λ); the loss value is unchanged. 0 = off.
+    fastemit_lambda: float = 0.0
