@@ -36,6 +36,9 @@ typedef struct {
                           (reference CPU convention); 0: raw acts,
                           fused log-softmax, dense grads (reference
                           GPU convention)                          */
+  float fastemit_lambda; /* FastEmit strength (arXiv:2010.11148):
+                            scales the emit-arc gradient by (1+lambda);
+                            the loss value is unchanged. 0 = off.    */
 } wttOptions;
 
 int wtt_get_version(void);

@@ -41,9 +41,9 @@ template <typename Real>
 class Lattice {
  public:
   Lattice(int T_, int U_, int V_, int maxU, int blank, bool from_log_probs,
-          Real* scratch = nullptr)
+          Real* scratch = nullptr, Real fastemit_lambda = Real(0))
       : T(T_), U(U_), V(V_), maxU_(maxU), blank_(blank),
-        from_log_probs_(from_log_probs) {
+        from_log_probs_(from_log_probs), lam_(fastemit_lambda) {
     const size_t n = static_cast<size_t>(T_) * U_;
     if (!scratch) {
       own_.resize(5 * n);
@@ -117,17 +117,20 @@ class Lattice {
         const Real bu = (u < U - 1) ? beta_[idx(t, u + 1)] : kNegInf<Real>;
         const Real gb = std::exp(a + lpb_[cell] + bt - ll);
         const Real ge = (u < U - 1) ? std::exp(a + lpe_[cell] + bu - ll) : Real(0);
+        // FastEmit (arXiv:2010.11148): emit arc scaled by (1+lambda);
+        // the dense softmax coefficient is exactly gb + ge, so it picks
+        // up + lambda*ge.
         if (from_log_probs_) {
           grow[blank_] = -gb;
-          if (u < U - 1) grow[labels[u]] = -ge;  // may overwrite blank
+          if (u < U - 1) grow[labels[u]] = -(Real(1) + lam_) * ge;
         } else {
           const Real* row = acts + (static_cast<size_t>(t) * maxU_ + u) * V;
-          const Real coef = std::exp(a + beta_[cell] - ll);
+          const Real coef = std::exp(a + beta_[cell] - ll) + lam_ * ge;
           const Real d = denom_[cell];
           for (int v = 0; v < V; ++v)
             grow[v] = coef * std::exp(row[v] + d);
           grow[blank_] -= gb;
-          if (u < U - 1) grow[labels[u]] -= ge;
+          if (u < U - 1) grow[labels[u]] -= (Real(1) + lam_) * ge;
         }
       }
     }
@@ -144,6 +147,7 @@ class Lattice {
   size_t idx(int t, int u) const { return static_cast<size_t>(t) * U + u; }
   int T, U, V, maxU_, blank_;
   bool from_log_probs_;
+  Real lam_ = Real(0);
   Real *lpb_, *lpe_, *denom_, *alpha_, *beta_;
   std::vector<Real> own_;
 };
@@ -154,7 +158,8 @@ class Lattice {
 template <typename Real>
 void run_simple_utterance(const Real* am, const Real* lm, Real* gam,
                           Real* glm, const int* labels, int T, int U, int V,
-                          int blank, Real* cost) {
+                          int blank, Real* cost,
+                          Real fastemit_lambda = Real(0)) {
   const Real kFloor = static_cast<Real>(1e-30);
   std::vector<Real> A(static_cast<size_t>(T) * V), Bm(static_cast<size_t>(U) * V);
   std::vector<Real> Ma(T), Ml(U);
@@ -214,13 +219,17 @@ void run_simple_utterance(const Real* am, const Real* lm, Real* gam,
   for (int t = 0; t < T; ++t)
     for (int u = 0; u < U; ++u) {
       const size_t cell = static_cast<size_t>(t) * U + u;
-      W[cell] = std::exp(alpha[cell] + beta[cell] - ll) / S[cell];
       const Real bt = (t < T - 1) ? beta[cell + U]
                                   : ((u == U - 1) ? Real(0) : kNegInf<Real>);
       const Real bu = (u < U - 1) ? beta[cell + 1] : kNegInf<Real>;
       cb[cell] = std::exp(alpha[cell] + lpb[cell] + bt - ll);
       ce[cell] = (u < U - 1) ? std::exp(alpha[cell] + lpe[cell] + bu - ll)
                              : Real(0);
+      // FastEmit: softmax coefficient picks up + lambda*ce, emit arc
+      // is scaled by (1+lambda)
+      W[cell] = (std::exp(alpha[cell] + beta[cell] - ll) +
+                 fastemit_lambda * ce[cell]) / S[cell];
+      ce[cell] *= Real(1) + fastemit_lambda;
     }
 
   // d cost/d am = A ⊙ (W·Bm) − blank/emit corrections   (GEMM T×U·U×V)
@@ -268,7 +277,8 @@ wttStatus_t run_simple(const T* am, const T* lm, T* gam, T* glm,
   if ((gam == nullptr) != (glm == nullptr)) return WTT_STATUS_BAD_ARGUMENT;
   if (V <= 0 || B <= 0 || maxT <= 0 || maxU <= 0 ||
       options.blank_label < 0 || options.blank_label >= V ||
-      options.from_log_probs != 0)
+      options.from_log_probs != 0 ||
+      !(options.fastemit_lambda >= 0.0f))
     return WTT_STATUS_BAD_ARGUMENT;
   for (int b = 0; b < B; ++b) {
     if (input_lengths[b] < 1 || input_lengths[b] > maxT) return WTT_STATUS_BAD_ARGUMENT;
@@ -298,7 +308,8 @@ wttStatus_t run_simple(const T* am, const T* lm, T* gam, T* glm,
         am + b * am_block, lm + b * lm_block,
         gam ? gam + b * am_block : nullptr, glm ? glm + b * lm_block : nullptr,
         labels + static_cast<size_t>(b) * (maxU - 1), Tb, Ub, V,
-        options.blank_label, &cost);
+        options.blank_label, &cost,
+        static_cast<T>(options.fastemit_lambda));
     if (!std::isfinite(cost)) ok = false;
     costs[b] = cost;
   }
@@ -313,7 +324,8 @@ wttStatus_t run(const T* acts, T* grads, const int* labels,
   if (!acts || !labels || !label_lengths || !input_lengths || !costs)
     return WTT_STATUS_BAD_ARGUMENT;
   if (V <= 0 || B <= 0 || maxT <= 0 || maxU <= 0 ||
-      options.blank_label < 0 || options.blank_label >= V)
+      options.blank_label < 0 || options.blank_label >= V ||
+      !(options.fastemit_lambda >= 0.0f))
     return WTT_STATUS_BAD_ARGUMENT;
   for (int b = 0; b < B; ++b) {
     if (input_lengths[b] < 1 || input_lengths[b] > maxT) return WTT_STATUS_BAD_ARGUMENT;
@@ -342,7 +354,8 @@ wttStatus_t run(const T* acts, T* grads, const int* labels,
     const int* lab_b = labels + static_cast<size_t>(b) * (maxU - 1);
     Lattice<T> lat(Tb, Ub, V, maxU, options.blank_label,
                    options.from_log_probs != 0,
-                   ws ? ws + b * ws_per_mb : nullptr);
+                   ws ? ws + b * ws_per_mb : nullptr,
+                   static_cast<T>(options.fastemit_lambda));
     lat.setup(a_b, lab_b);
     const T ll = lat.forward();
     if (!std::isfinite(ll)) ok = false;
@@ -366,7 +379,8 @@ template <typename Real>
 void run_pruned_utterance(const Real* acts /* (T, S, V) rows */, Real* grads,
                           const int* ranges, const int* labels, int Tb,
                           int Ub, int S, int V, int blank, Real* cost,
-                          Real* scratch /* 5*Tb*S */) {
+                          Real* scratch /* 5*Tb*S */,
+                          Real fastemit_lambda = Real(0)) {
   const size_t n = static_cast<size_t>(Tb) * S;
   std::vector<Real> own;
   if (!scratch) {
@@ -474,15 +488,17 @@ void run_pruned_utterance(const Real* acts /* (T, S, V) rows */, Real* grads,
       // emit-transition continuation: beta(t, u+1) (must be inside band)
       Real bu = kNegInf<Real>;
       if (u + 1 < Ub && s + 1 < S) bu = beta[idx(t, s + 1)];
-      const Real coef = std::exp(a + beta[cell] - ll);
       const Real gb = std::exp(a + lpb[cell] + bt - ll);
       const Real ge = (u < Ub - 1) ? std::exp(a + lpe[cell] + bu - ll) : Real(0);
+      // FastEmit: + lambda*ge in the softmax coefficient, (1+lambda) on
+      // the emit arc
+      const Real coef = std::exp(a + beta[cell] - ll) + fastemit_lambda * ge;
       const Real* row = acts + cell * V;
       Real* grow = grads + cell * V;
       const Real d = denom[cell];
       for (int v = 0; v < V; ++v) grow[v] = coef * std::exp(row[v] + d);
       grow[blank] -= gb;
-      if (u < Ub - 1) grow[labels[u]] -= ge;
+      if (u < Ub - 1) grow[labels[u]] -= (Real(1) + fastemit_lambda) * ge;
     }
   }
 }
@@ -497,7 +513,8 @@ wttStatus_t run_pruned(const T* acts, T* grads, const int* ranges,
     return WTT_STATUS_BAD_ARGUMENT;
   if (V <= 0 || B <= 0 || maxT <= 0 || S < 2 || maxL < 0 ||
       options.blank_label < 0 || options.blank_label >= V ||
-      options.from_log_probs != 0)
+      options.from_log_probs != 0 ||
+      !(options.fastemit_lambda >= 0.0f))
     return WTT_STATUS_BAD_ARGUMENT;
   for (int b = 0; b < B; ++b) {
     const int Tb = input_lengths[b];
@@ -536,7 +553,8 @@ wttStatus_t run_pruned(const T* acts, T* grads, const int* ranges,
         ranges + static_cast<size_t>(b) * maxT,
         labels + static_cast<size_t>(b) * maxL,
         Tb, Ub, S, V, options.blank_label, &cost,
-        ws ? ws + b * ws_per_mb : nullptr);
+        ws ? ws + b * ws_per_mb : nullptr,
+        static_cast<T>(options.fastemit_lambda));
     if (!std::isfinite(cost)) ok = false;
     costs[b] = cost;
   }
@@ -555,7 +573,8 @@ template <typename Real>
 void run_fused_utterance(const Real* e, const Real* p, const Real* W,
                          const Real* bias, Real* de, Real* dp, Real* dW,
                          Real* db, const int* labels, int Tb, int Ub, int H,
-                         int V, int blank, Real* cost, Real* scratch) {
+                         int V, int blank, Real* cost, Real* scratch,
+                         Real fastemit_lambda = Real(0)) {
   Lattice<Real> lat(Tb, Ub, V, Ub, blank, /*from_log_probs=*/true, scratch);
   Real* lpb = lat.lpb();
   Real* lpe = lat.lpe();
@@ -606,14 +625,16 @@ void run_fused_utterance(const Real* e, const Real* p, const Real* W,
       const Real bt = (t < Tb - 1) ? beta[idx(t + 1, u)]
                                    : ((u == Ub - 1) ? Real(0) : kNegInf<Real>);
       const Real bu = (u < Ub - 1) ? beta[idx(t, u + 1)] : kNegInf<Real>;
-      const Real coef = std::exp(a + beta[cell] - ll);
       const Real gb = std::exp(a + lpb[cell] + bt - ll);
       const Real ge = (u < Ub - 1) ? std::exp(a + lpe[cell] + bu - ll)
                                    : Real(0);
+      // FastEmit: + lambda*ge in the softmax coefficient, (1+lambda) on
+      // the emit arc
+      const Real coef = std::exp(a + beta[cell] - ll) + fastemit_lambda * ge;
       const Real d = denom[cell];
       for (int v = 0; v < V; ++v) g[v] = coef * std::exp(logits[v] + d);
       g[blank] -= gb;
-      if (u < Ub - 1) g[labels[u]] -= ge;
+      if (u < Ub - 1) g[labels[u]] -= (Real(1) + fastemit_lambda) * ge;
 
       for (int i = 0; i < H; ++i) {
         const Real* wrow = W + static_cast<size_t>(i) * V;
@@ -651,7 +672,8 @@ wttStatus_t run_fused(const T* e, const T* p, const T* W, const T* bias,
   if (n_grads != 0 && n_grads != 4) return WTT_STATUS_BAD_ARGUMENT;
   if (H <= 0 || V <= 0 || B <= 0 || maxT <= 0 || maxU <= 0 ||
       options.blank_label < 0 || options.blank_label >= V ||
-      options.from_log_probs != 0)
+      options.from_log_probs != 0 ||
+      !(options.fastemit_lambda >= 0.0f))
     return WTT_STATUS_BAD_ARGUMENT;
   for (int b = 0; b < B; ++b) {
     if (input_lengths[b] < 1 || input_lengths[b] > maxT)
@@ -696,7 +718,8 @@ wttStatus_t run_fused(const T* e, const T* p, const T* W, const T* bias,
         de ? de + b * e_block : nullptr, dp ? dp + b * p_block : nullptr,
         de ? dW_loc.data() : nullptr, de ? db_loc.data() : nullptr,
         labels + static_cast<size_t>(b) * (maxU - 1), Tb, Ub, H, V,
-        options.blank_label, &cost, ws ? ws + b * ws_per_mb : nullptr);
+        options.blank_label, &cost, ws ? ws + b * ws_per_mb : nullptr,
+        static_cast<T>(options.fastemit_lambda));
     if (!std::isfinite(cost)) ok = false;
     costs[b] = cost;
     if (de) {

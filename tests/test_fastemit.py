@@ -208,3 +208,140 @@ def test_fused_joint_fastemit(impl):
     np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_o), atol=2e-5)
     np.testing.assert_allclose(np.asarray(dW), np.asarray(dW_o), atol=2e-5)
     np.testing.assert_allclose(np.asarray(db), np.asarray(db_o), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Native backend + bindings
+# ---------------------------------------------------------------------------
+
+def _native_available():
+    from warp_transducer_tpu.bindings import native
+    return native.available()
+
+
+@pytest.mark.skipif(not _native_available(), reason="native lib not built")
+@pytest.mark.parametrize("from_log_probs", [False, True])
+def test_native_dense_fastemit_matches_oracle(from_log_probs):
+    from warp_transducer_tpu.bindings.native import rnnt_loss_native
+
+    acts, labels, il, ll = _problem(seed=8)
+    a_in = (oracle.log_softmax(acts).astype(np.float32)
+            if from_log_probs else acts)
+    c_o, g_o = oracle.rnnt_batch(a_in, labels, il, ll, blank=0,
+                                 from_log_probs=from_log_probs,
+                                 fastemit_lambda=LAM)
+    costs, grads = rnnt_loss_native(a_in, labels, il, ll, blank=0,
+                                    from_log_probs=from_log_probs,
+                                    fastemit_lambda=LAM)
+    np.testing.assert_allclose(costs, c_o, rtol=1e-5)
+    np.testing.assert_allclose(grads, g_o, atol=1e-5)
+
+
+@pytest.mark.skipif(not _native_available(), reason="native lib not built")
+def test_native_negative_lambda_rejected():
+    from warp_transducer_tpu.bindings.native import rnnt_loss_native
+
+    acts, labels, il, ll = _problem(seed=9)
+    with pytest.raises(RuntimeError):
+        rnnt_loss_native(acts, labels, il, ll, fastemit_lambda=-0.5)
+
+
+@pytest.mark.skipif(not _native_available(), reason="native lib not built")
+def test_native_simple_pruned_fused_fastemit_match_jax():
+    """The native engines' FastEmit gradients must match the (oracle-verified)
+    JAX engines on the same inputs."""
+    from warp_transducer_tpu import (
+        rnnt_loss_fused_joint, rnnt_loss_pruned, rnnt_loss_simple,
+    )
+    from warp_transducer_tpu.bindings.native import (
+        rnnt_loss_fused_joint_native, rnnt_loss_pruned_native,
+        rnnt_loss_simple_native,
+    )
+
+    rng = np.random.RandomState(10)
+    B, T, U, V, H, S = 2, 5, 4, 6, 8, 3
+    labels = rng.randint(1, V, (B, U - 1)).astype(np.int32)
+    il = np.array([T, T - 1], np.int32)
+    ll = np.array([U - 1, U - 2], np.int32)
+    jargs = (jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll))
+
+    # simple
+    am = rng.randn(B, T, V).astype(np.float32)
+    lm = rng.randn(B, U, V).astype(np.float32)
+    _, gam_n, glm_n = rnnt_loss_simple_native(am, lm, labels, il, ll,
+                                              fastemit_lambda=LAM)
+    dam_j, dlm_j = jax.grad(
+        lambda a, m: rnnt_loss_simple(a, m, *jargs, reduction="sum",
+                                      fastemit_lambda=LAM),
+        argnums=(0, 1))(jnp.asarray(am), jnp.asarray(lm))
+    np.testing.assert_allclose(gam_n, np.asarray(dam_j), atol=1e-5)
+    np.testing.assert_allclose(glm_n, np.asarray(dlm_j), atol=1e-5)
+
+    # pruned (random contract-obeying band)
+    acts_b = rng.randn(B, T, S, V).astype(np.float32)
+    steps = rng.randint(0, S, size=(B, T)).astype(np.int32)
+    steps[:, 0] = 0
+    hi = np.maximum((ll + 1) - S, 0)[:, None]
+    ranges = np.minimum(np.cumsum(steps, axis=1), hi).astype(np.int32)
+    ranges[np.arange(B), np.maximum(il - 1, 0)] = hi[:, 0]
+    for b in range(B):  # repair the jump-limit after the terminal raise
+        for t in range(il[b] - 1, 0, -1):
+            ranges[b, t - 1] = max(ranges[b, t - 1], ranges[b, t] - (S - 1))
+        ranges[b, il[b]:] = ranges[b, il[b] - 1]
+    ranges[:, 0] = 0
+    _, gp_n = rnnt_loss_pruned_native(acts_b, ranges, labels, il, ll,
+                                      fastemit_lambda=LAM)
+    gp_j = jax.grad(
+        lambda a: rnnt_loss_pruned(a, jnp.asarray(ranges), *jargs,
+                                   reduction="sum", implementation="xla",
+                                   fastemit_lambda=LAM))(jnp.asarray(acts_b))
+    np.testing.assert_allclose(gp_n, np.asarray(gp_j), atol=1e-5)
+
+    # fused joint
+    e = rng.randn(B, T, H).astype(np.float32)
+    p = rng.randn(B, U, H).astype(np.float32)
+    W = (rng.randn(H, V) / np.sqrt(H)).astype(np.float32)
+    b_ = rng.randn(V).astype(np.float32)
+    _, (de_n, dp_n, dW_n, db_n) = rnnt_loss_fused_joint_native(
+        e, p, W, b_, labels, il, ll, fastemit_lambda=LAM)
+    de_j, dp_j, dW_j, db_j = jax.grad(
+        lambda *a: rnnt_loss_fused_joint(*a, *jargs, reduction="sum",
+                                         implementation="xla",
+                                         fastemit_lambda=LAM),
+        argnums=(0, 1, 2, 3))(*map(jnp.asarray, (e, p, W, b_)))
+    np.testing.assert_allclose(de_n, np.asarray(de_j), atol=1e-5)
+    np.testing.assert_allclose(dp_n, np.asarray(dp_j), atol=1e-5)
+    np.testing.assert_allclose(dW_n, np.asarray(dW_j), atol=1e-4)
+    np.testing.assert_allclose(db_n, np.asarray(db_j), atol=1e-4)
+
+
+def test_torch_binding_fastemit_matches_oracle():
+    torch = pytest.importorskip("torch")
+    if not _native_available():
+        pytest.skip("native lib not built")
+    from warp_transducer_tpu.bindings.torch_binding import rnnt_loss as trnnt
+
+    acts, labels, il, ll = _problem(seed=11)
+    _, g_o = oracle.rnnt_batch(acts, labels, il, ll, blank=0,
+                               fastemit_lambda=LAM)
+    at = torch.tensor(acts, requires_grad=True)
+    loss = trnnt(at, torch.tensor(labels), torch.tensor(il),
+                 torch.tensor(ll), reduction="sum", fastemit_lambda=LAM)
+    loss.backward()
+    np.testing.assert_allclose(at.grad.numpy(), g_o, atol=1e-5)
+
+
+def test_tf_binding_fastemit_matches_oracle():
+    tf = pytest.importorskip("tensorflow")
+    from warp_transducer_tpu.bindings.tf_binding import rnnt_loss as tf_rnnt
+
+    acts, labels, il, ll = _problem(seed=12)
+    _, g_o = oracle.rnnt_batch(acts, labels, il, ll, blank=0,
+                               fastemit_lambda=LAM)
+    at = tf.constant(acts)
+    with tf.GradientTape() as tape:
+        tape.watch(at)
+        costs = tf_rnnt(at, labels, il, ll, fastemit_lambda=LAM)
+        total = tf.reduce_sum(costs)
+    g = tape.gradient(total, at)
+    np.testing.assert_allclose(g.numpy(), g_o, atol=1e-5)

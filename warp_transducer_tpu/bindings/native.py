@@ -34,6 +34,7 @@ class _Options(ctypes.Structure):
         ("blank_label", ctypes.c_int),
         ("num_threads", ctypes.c_int),
         ("from_log_probs", ctypes.c_int),
+        ("fastemit_lambda", ctypes.c_float),
     ]
 
 
@@ -139,6 +140,7 @@ def rnnt_loss_native(
     num_threads: int = 0,
     compute_grads: bool = True,
     workspace: Optional[np.ndarray] = None,
+    fastemit_lambda: float = 0.0,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Compute (costs, grads) with the native CPU engine.
 
@@ -168,7 +170,8 @@ def rnnt_loss_native(
     costs = np.zeros((B,), acts.dtype)
     grads = np.zeros_like(acts) if compute_grads else None
     gptr = grads.ctypes.data_as(ctypes.c_void_p) if compute_grads else None
-    opts = _Options(blank, num_threads, int(from_log_probs))
+    opts = _Options(blank, num_threads, int(from_log_probs),
+                    float(fastemit_lambda))
     if workspace is not None:
         workspace = np.ascontiguousarray(workspace)
         wptr = workspace.ctypes.data_as(ctypes.c_void_p)
@@ -210,6 +213,7 @@ def rnnt_loss_pruned_native(
     num_threads: int = 0,
     compute_grads: bool = True,
     workspace: Optional[np.ndarray] = None,
+    fastemit_lambda: float = 0.0,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Banded (pruned) RNN-T loss with the native CPU engine.
 
@@ -238,7 +242,7 @@ def rnnt_loss_pruned_native(
     costs = np.zeros((B,), acts.dtype)
     grads = np.zeros_like(acts) if compute_grads else None
     gptr = grads.ctypes.data_as(ctypes.c_void_p) if compute_grads else None
-    opts = _Options(blank, num_threads, 0)
+    opts = _Options(blank, num_threads, 0, float(fastemit_lambda))
     if workspace is not None:
         workspace = np.ascontiguousarray(workspace)
         wptr = workspace.ctypes.data_as(ctypes.c_void_p)
@@ -268,6 +272,7 @@ def rnnt_loss_fused_joint_native(
     num_threads: int = 0,
     compute_grads: bool = True,
     workspace: Optional[np.ndarray] = None,
+    fastemit_lambda: float = 0.0,
 ):
     """Joint-fused loss with the native CPU engine: the (B, T, U, V) joint
     of ``tanh(e ⊕ p) @ W + bias`` is never materialised (O(H·V) scratch per
@@ -316,7 +321,7 @@ def rnnt_loss_fused_joint_native(
     else:
         gs = None
         gps = (None,) * 4
-    opts = _Options(blank, num_threads, 0)
+    opts = _Options(blank, num_threads, 0, float(fastemit_lambda))
     if workspace is not None:
         workspace = np.ascontiguousarray(workspace)
         wptr = workspace.ctypes.data_as(ctypes.c_void_p)
@@ -344,6 +349,7 @@ def rnnt_loss_simple_native(
     blank: int = 0,
     num_threads: int = 0,
     compute_grads: bool = True,
+    fastemit_lambda: float = 0.0,
 ) -> Tuple[np.ndarray, Optional[np.ndarray], Optional[np.ndarray]]:
     """Factorised additive-joiner loss with the native CPU engine.
 
@@ -377,7 +383,7 @@ def rnnt_loss_simple_native(
     glm = np.zeros_like(lm) if compute_grads else None
     gam_p = gam.ctypes.data_as(ctypes.c_void_p) if compute_grads else None
     glm_p = glm.ctypes.data_as(ctypes.c_void_p) if compute_grads else None
-    opts = _Options(blank, num_threads, 0)
+    opts = _Options(blank, num_threads, 0, float(fastemit_lambda))
 
     fn = (lib.wtt_rnnt_loss_simple if am.dtype == np.float32
           else lib.wtt_rnnt_loss_simple_fp64)

@@ -45,7 +45,8 @@ def _tf():
 
 @functools.lru_cache(maxsize=None)
 def _converted_loss(blank: int, log_probs_input: bool,
-                    platforms: tuple = ("cpu",)):
+                    platforms: tuple = ("cpu",),
+                    fastemit_lambda: float = 0.0):
     from jax.experimental import jax2tf
 
     from ..ops.rnnt import rnnt_loss as jax_rnnt_loss
@@ -58,7 +59,7 @@ def _converted_loss(blank: int, log_probs_input: bool,
         return jax_rnnt_loss(
             acts, labels, input_lengths, label_lengths,
             blank=blank, reduction="none", log_probs_input=log_probs_input,
-            implementation="xla",
+            implementation="xla", fastemit_lambda=fastemit_lambda,
         )
 
     return jax2tf.convert(
@@ -67,7 +68,8 @@ def _converted_loss(blank: int, log_probs_input: bool,
 
 
 def rnnt_loss(acts, labels, input_lengths, label_lengths, blank=0,
-              from_log_probs=False, platforms=("cpu",)):
+              from_log_probs=False, platforms=("cpu",),
+              fastemit_lambda=0.0):
     """RNN-T loss for TF graphs: per-utterance costs (B,), differentiable
     w.r.t. ``acts`` — the drop-in for ``warprnnt_tensorflow.rnnt_loss``
     (/root/reference/tensorflow_binding/warprnnt_tensorflow/__init__.py:9-34).
@@ -82,9 +84,12 @@ def rnnt_loss(acts, labels, input_lengths, label_lengths, blank=0,
         convention; sparse gradient).
       platforms: lowering targets baked into the StableHLO payload
         (default CPU; pass ("cpu", "tpu") for a module that runs on both).
+      fastemit_lambda: FastEmit strength λ (arXiv:2010.11148): scales the
+        emit-arc gradient by (1 + λ); the loss value is unchanged.
     """
     tf = _tf()
-    fn = _converted_loss(int(blank), bool(from_log_probs), tuple(platforms))
+    fn = _converted_loss(int(blank), bool(from_log_probs), tuple(platforms),
+                         float(fastemit_lambda))
     return fn(
         acts,
         tf.cast(labels, tf.int32),
@@ -94,7 +99,8 @@ def rnnt_loss(acts, labels, input_lengths, label_lengths, blank=0,
 
 
 @functools.lru_cache(maxsize=None)
-def _converted_simple(blank: int, platforms: tuple):
+def _converted_simple(blank: int, platforms: tuple,
+                      fastemit_lambda: float = 0.0):
     from jax.experimental import jax2tf
 
     from ..ops.simple import rnnt_loss_simple as jax_simple
@@ -103,6 +109,7 @@ def _converted_simple(blank: int, platforms: tuple):
         return jax_simple(
             am, lm, labels, input_lengths, label_lengths,
             blank=blank, reduction="none", implementation="xla",
+            fastemit_lambda=fastemit_lambda,
         )
 
     return jax2tf.convert(
@@ -111,12 +118,13 @@ def _converted_simple(blank: int, platforms: tuple):
 
 
 def rnnt_loss_simple(am, lm, labels, input_lengths, label_lengths, blank=0,
-                     platforms=("cpu",)):
+                     platforms=("cpu",), fastemit_lambda=0.0):
     """Factorised additive-joiner loss for TF graphs: am (B, T, V) +
     lm (B, U, V), never materialising (B, T, U, V); differentiable w.r.t.
     both. Same jax2tf lowering as ``rnnt_loss``."""
     tf = _tf()
-    fn = _converted_simple(int(blank), tuple(platforms))
+    fn = _converted_simple(int(blank), tuple(platforms),
+                           float(fastemit_lambda))
     return fn(
         am, lm,
         tf.cast(labels, tf.int32),
@@ -126,7 +134,8 @@ def rnnt_loss_simple(am, lm, labels, input_lengths, label_lengths, blank=0,
 
 
 @functools.lru_cache(maxsize=None)
-def _converted_pruned(blank: int, platforms: tuple):
+def _converted_pruned(blank: int, platforms: tuple,
+                      fastemit_lambda: float = 0.0):
     from jax.experimental import jax2tf
 
     from ..ops.pruned import rnnt_loss_pruned as jax_pruned
@@ -135,6 +144,7 @@ def _converted_pruned(blank: int, platforms: tuple):
         return jax_pruned(
             acts, ranges, labels, input_lengths, label_lengths,
             blank=blank, reduction="none", implementation="xla",
+            fastemit_lambda=fastemit_lambda,
         )
 
     return jax2tf.convert(
@@ -143,12 +153,13 @@ def _converted_pruned(blank: int, platforms: tuple):
 
 
 def rnnt_loss_pruned(acts, ranges, labels, input_lengths, label_lengths,
-                     blank=0, platforms=("cpu",)):
+                     blank=0, platforms=("cpu",), fastemit_lambda=0.0):
     """Banded (pruned) loss for TF graphs: acts (B, T, S, V) on the band
     whose starts are ``ranges`` (B, T) from the JAX ``rnnt_prune_ranges``;
     differentiable w.r.t. acts. Same jax2tf lowering as ``rnnt_loss``."""
     tf = _tf()
-    fn = _converted_pruned(int(blank), tuple(platforms))
+    fn = _converted_pruned(int(blank), tuple(platforms),
+                           float(fastemit_lambda))
     return fn(
         acts,
         tf.cast(ranges, tf.int32),
@@ -159,7 +170,8 @@ def rnnt_loss_pruned(acts, ranges, labels, input_lengths, label_lengths,
 
 
 @functools.lru_cache(maxsize=None)
-def _converted_fused(blank: int, platforms: tuple):
+def _converted_fused(blank: int, platforms: tuple,
+                     fastemit_lambda: float = 0.0):
     from jax.experimental import jax2tf
 
     from ..ops.fused_joint import rnnt_loss_fused_joint as jax_fused
@@ -170,6 +182,7 @@ def _converted_fused(blank: int, platforms: tuple):
         return jax_fused(
             e, p, W, bias, labels, input_lengths, label_lengths,
             blank=blank, reduction="none", implementation="xla",
+            fastemit_lambda=fastemit_lambda,
         )
 
     return jax2tf.convert(
@@ -178,13 +191,15 @@ def _converted_fused(blank: int, platforms: tuple):
 
 
 def rnnt_loss_fused_joint(e, p, W, bias, labels, input_lengths,
-                          label_lengths, blank=0, platforms=("cpu",)):
+                          label_lengths, blank=0, platforms=("cpu",),
+                          fastemit_lambda=0.0):
     """Joint-fused loss for TF graphs: e (B, T, H) and p (B, U, H) projected
     trunk activations plus the output projection (W (H, V), bias (V,)) —
     the (B, T, U, V) logits are never materialised (a T-chunked lowering;
     see ``ops/fused_joint.py``). Differentiable w.r.t. e, p, W and bias."""
     tf = _tf()
-    fn = _converted_fused(int(blank), tuple(platforms))
+    fn = _converted_fused(int(blank), tuple(platforms),
+                          float(fastemit_lambda))
     return fn(
         e, p, W, bias,
         tf.cast(labels, tf.int32),
