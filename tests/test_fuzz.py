@@ -31,6 +31,9 @@ def _case(seed):
     elif seed == 2:
         B, V = 1, 2
     blank = 0 if rng.rand() < 0.5 else V - 1
+    # random FastEmit strength on half the seeds (0 exercises the
+    # unregularized fast path)
+    lam = float(np.round(rng.uniform(0.05, 1.0), 3)) if rng.rand() < 0.5 else 0.0
     acts = rng.randn(B, T, U, V).astype(np.float32)
     # labels never collide with blank (the loss treats blank transitions
     # separately; a label equal to blank is a degenerate grammar)
@@ -39,7 +42,7 @@ def _case(seed):
     il = rng.randint(1, T + 1, (B,)).astype(np.int32)
     ll = rng.randint(0, U, (B,)).astype(np.int32)
     il[0], ll[0] = T, U - 1  # always one full-size utterance
-    return B, T, U, V, blank, acts, labels, il, ll
+    return B, T, U, V, blank, lam, acts, labels, il, ll
 
 
 SEEDS = list(range(10))
@@ -47,18 +50,21 @@ SEEDS = list(range(10))
 
 @pytest.mark.parametrize("seed", SEEDS)
 def test_dense_costs_and_grads_vs_oracle(seed, implementation):
-    B, T, U, V, blank, acts, labels, il, ll = _case(seed)
-    ref_c, ref_g = numpy_oracle.rnnt_batch(acts, labels, il, ll, blank=blank)
+    B, T, U, V, blank, lam, acts, labels, il, ll = _case(seed)
+    ref_c, ref_g = numpy_oracle.rnnt_batch(acts, labels, il, ll, blank=blank,
+                                           fastemit_lambda=lam)
 
     costs = rnnt_loss(jnp.asarray(acts), jnp.asarray(labels),
                       jnp.asarray(il), jnp.asarray(ll), blank=blank,
-                      reduction="none", implementation=implementation)
+                      reduction="none", implementation=implementation,
+                      fastemit_lambda=lam)
     np.testing.assert_allclose(np.asarray(costs), ref_c, rtol=1e-4,
                                atol=1e-4)
 
     grads = jax.grad(lambda a: rnnt_loss(
         a, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll),
         blank=blank, reduction="sum", implementation=implementation,
+        fastemit_lambda=lam,
     ))(jnp.asarray(acts))
     np.testing.assert_allclose(np.asarray(grads), ref_g, rtol=1e-3,
                                atol=1e-4)
@@ -66,19 +72,21 @@ def test_dense_costs_and_grads_vs_oracle(seed, implementation):
 
 @pytest.mark.parametrize("seed", SEEDS[:4])
 def test_log_probs_convention_vs_oracle(seed):
-    B, T, U, V, blank, acts, labels, il, ll = _case(seed)
+    B, T, U, V, blank, lam, acts, labels, il, ll = _case(seed)
     lp = numpy_oracle.log_softmax(acts.astype(np.float64)).astype(np.float32)
     ref_c, ref_g = numpy_oracle.rnnt_batch(lp, labels, il, ll, blank=blank,
-                                           from_log_probs=True)
+                                           from_log_probs=True,
+                                           fastemit_lambda=lam)
     costs = rnnt_loss(jnp.asarray(lp), jnp.asarray(labels), jnp.asarray(il),
                       jnp.asarray(ll), blank=blank, reduction="none",
-                      log_probs_input=True, implementation="xla")
+                      log_probs_input=True, implementation="xla",
+                      fastemit_lambda=lam)
     np.testing.assert_allclose(np.asarray(costs), ref_c, rtol=1e-4,
                                atol=1e-4)
     grads = jax.grad(lambda a: rnnt_loss(
         a, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll),
         blank=blank, reduction="sum", log_probs_input=True,
-        implementation="xla",
+        implementation="xla", fastemit_lambda=lam,
     ))(jnp.asarray(lp))
     np.testing.assert_allclose(np.asarray(grads), ref_g, rtol=1e-3,
                                atol=1e-4)
@@ -86,7 +94,7 @@ def test_log_probs_convention_vs_oracle(seed):
 
 @pytest.mark.parametrize("seed", SEEDS[:6])
 def test_fused_joint_vs_oracle(seed):
-    B, T, U, V, blank, _, labels, il, ll = _case(seed)
+    B, T, U, V, blank, lam, _, labels, il, ll = _case(seed)
     rng = np.random.RandomState(1000 + seed)
     H = int(rng.randint(2, 10))
     e = (rng.randn(B, T, H) * 0.5).astype(np.float32)
@@ -107,7 +115,7 @@ def test_fused_joint_vs_oracle(seed):
 
 @pytest.mark.parametrize("seed", SEEDS[:6])
 def test_simple_vs_oracle(seed):
-    B, T, U, V, blank, _, labels, il, ll = _case(seed)
+    B, T, U, V, blank, lam, _, labels, il, ll = _case(seed)
     rng = np.random.RandomState(2000 + seed)
     am = rng.randn(B, T, V).astype(np.float32)
     lm = rng.randn(B, U, V).astype(np.float32)
@@ -123,20 +131,21 @@ def test_simple_vs_oracle(seed):
 
 @pytest.mark.parametrize("seed", SEEDS[:6])
 def test_pruned_full_band_vs_oracle(seed):
-    B, T, U, V, blank, acts, labels, il, ll = _case(seed)
+    B, T, U, V, blank, lam, acts, labels, il, ll = _case(seed)
     # ranges = 0 with S = U covers every utterance's whole lattice
-    ref_c, ref_g = numpy_oracle.rnnt_batch(acts, labels, il, ll, blank=blank)
+    ref_c, ref_g = numpy_oracle.rnnt_batch(acts, labels, il, ll, blank=blank,
+                                           fastemit_lambda=lam)
     ranges = np.zeros((B, T), np.int32)
     costs = rnnt_loss_pruned(jnp.asarray(acts), jnp.asarray(ranges),
                              jnp.asarray(labels), jnp.asarray(il),
                              jnp.asarray(ll), blank=blank, reduction="none",
-                             implementation="xla")
+                             implementation="xla", fastemit_lambda=lam)
     np.testing.assert_allclose(np.asarray(costs), ref_c, rtol=1e-4,
                                atol=1e-4)
     grads = jax.grad(lambda a: rnnt_loss_pruned(
         a, jnp.asarray(ranges), jnp.asarray(labels), jnp.asarray(il),
         jnp.asarray(ll), blank=blank, reduction="sum",
-        implementation="xla"))(jnp.asarray(acts))
+        implementation="xla", fastemit_lambda=lam))(jnp.asarray(acts))
     np.testing.assert_allclose(np.asarray(grads), ref_g, rtol=1e-3,
                                atol=1e-4)
 
@@ -147,8 +156,10 @@ def test_native_vs_oracle(seed):
 
     if not native.available():
         pytest.skip("native backend not built")
-    B, T, U, V, blank, acts, labels, il, ll = _case(seed)
-    ref_c, ref_g = numpy_oracle.rnnt_batch(acts, labels, il, ll, blank=blank)
-    costs, grads = native.rnnt_loss_native(acts, labels, il, ll, blank=blank)
+    B, T, U, V, blank, lam, acts, labels, il, ll = _case(seed)
+    ref_c, ref_g = numpy_oracle.rnnt_batch(acts, labels, il, ll, blank=blank,
+                                           fastemit_lambda=lam)
+    costs, grads = native.rnnt_loss_native(acts, labels, il, ll, blank=blank,
+                                           fastemit_lambda=lam)
     np.testing.assert_allclose(costs, ref_c, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(grads, ref_g, rtol=1e-3, atol=1e-4)
