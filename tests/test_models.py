@@ -355,3 +355,49 @@ class TestBeamSearch:
                                         max_symbols=4, beam=2, expansions=2)
         assert bt.shape == (B, 2, 4)
         assert np.isfinite(np.asarray(bs)[:, 0]).all()
+
+
+class TestPrunedFusedTraining:
+    def test_pruned_fused_equals_materialised_band(self, tiny):
+        """model.pruned_fused_loss == rnnt_loss_pruned on the materialised
+        banded joint (same params, same ranges)."""
+        from warp_transducer_tpu.ops.pruned import (
+            gather_banded, rnnt_loss_pruned,
+        )
+        from warp_transducer_tpu.ops.simple import rnnt_loss_simple
+
+        cfg, model, params, batch = tiny
+        S = 3
+        feats, fl = batch["feats"], batch["feat_lengths"]
+        labels, ll = batch["labels"], batch["label_lengths"]
+        am, lm, enc, pred = model.apply(params, feats, fl, labels,
+                                        method=model.factorised_full)
+        _, ranges = rnnt_loss_simple(
+            am.astype(jnp.float32), lm.astype(jnp.float32), labels, fl, ll,
+            reduction="mean", implementation="xla", prune_range=S)
+
+        fused = model.apply(params, enc, pred, ranges, labels, fl, ll, S,
+                            implementation="xla",
+                            method=model.pruned_fused_loss)
+        acts_band = model.apply(params, enc, gather_banded(pred, ranges, S),
+                                method=model.banded_joint_from)
+        ref = rnnt_loss_pruned(acts_band.astype(jnp.float32), ranges, labels,
+                               fl, ll, reduction="mean",
+                               implementation="xla")
+        np.testing.assert_allclose(float(fused), float(ref), rtol=1e-5)
+
+    def test_pruned_fused_train_step_decreases_loss(self, tiny):
+        from warp_transducer_tpu.models.transducer import (
+            make_pruned_fused_train_step,
+        )
+
+        cfg, model, params, batch = tiny
+        opt = optax.adam(1e-2)
+        step = jax.jit(make_pruned_fused_train_step(
+            model, opt, s_range=3, blank=cfg.blank, implementation="xla"))
+        opt_state = opt.init(params)
+        losses = []
+        for _ in range(8):
+            params, opt_state, loss = step(params, opt_state, batch)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], losses

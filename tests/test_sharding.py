@@ -206,3 +206,56 @@ class TestFusedJointSharded:
         for name, a, b in zip(("de", "dp", "dW", "db"), g_dp, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+class TestPrunedFusedSharded:
+    """Data-parallel pruned fused joint: batch-sharded trunk + ranges,
+    replicated projection, dW/db psum-reduced."""
+
+    def _problem(self, seed=31, B=8, T=6, U=4, V=9, H=16, S=3):
+        rng = np.random.RandomState(seed)
+        e = jnp.asarray(rng.randn(B, T, H) * 0.5, jnp.float32)
+        p = jnp.asarray(rng.randn(B, U, H) * 0.5, jnp.float32)
+        W = jnp.asarray(rng.randn(H, V) / np.sqrt(H), jnp.float32)
+        bias = jnp.asarray(rng.randn(V) * 0.1, jnp.float32)
+        labels = jnp.asarray(rng.randint(1, V, (B, U - 1)), jnp.int32)
+        il = jnp.full((B,), T, jnp.int32)
+        ll = jnp.full((B,), U - 1, jnp.int32)
+        steps = rng.randint(0, S, size=(B, T)).astype(np.int32)
+        steps[:, 0] = 0
+        ranges = np.minimum(np.cumsum(steps, 1), max(U - S, 0))
+        ranges[:, -1] = max(U - S, 0)
+        for t in range(T - 1, 0, -1):
+            ranges[:, t - 1] = np.maximum(ranges[:, t - 1],
+                                          ranges[:, t] - (S - 1))
+        ranges[:, 0] = 0
+        return e, p, W, bias, jnp.asarray(ranges, jnp.int32), labels, il, ll, S
+
+    def test_costs_and_gradients_match_single_device(self, mesh):
+        from warp_transducer_tpu.ops.pruned_fused import rnnt_loss_pruned_fused
+        from warp_transducer_tpu.parallel.sharding import (
+            data_parallel_pruned_fused_loss,
+        )
+
+        e, p, W, bias, ranges, labels, il, ll, S = self._problem()
+        ref = rnnt_loss_pruned_fused(e, p, W, bias, ranges, labels, il, ll,
+                                     s_range=S, reduction="none",
+                                     implementation="xla")
+        out = data_parallel_pruned_fused_loss(
+            e, p, W, bias, ranges, labels, il, ll, S, mesh,
+            reduction="none", implementation="xla")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+        g_ref = jax.grad(
+            lambda e, p, W, bias: rnnt_loss_pruned_fused(
+                e, p, W, bias, ranges, labels, il, ll, s_range=S,
+                reduction="sum", implementation="xla"),
+            argnums=(0, 1, 2, 3))(e, p, W, bias)
+        g_dp = jax.grad(
+            lambda e, p, W, bias: data_parallel_pruned_fused_loss(
+                e, p, W, bias, ranges, labels, il, ll, S, mesh,
+                reduction="sum", implementation="xla"),
+            argnums=(0, 1, 2, 3))(e, p, W, bias)
+        for name, a, b in zip(("de", "dp", "dW", "db"), g_dp, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5, err_msg=name)

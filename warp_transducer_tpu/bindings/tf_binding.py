@@ -208,6 +208,43 @@ def rnnt_loss_fused_joint(e, p, W, bias, labels, input_lengths,
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _converted_pruned_fused(blank: int, platforms: tuple, s_range: int,
+                            fastemit_lambda: float = 0.0):
+    from jax.experimental import jax2tf
+
+    from ..ops.pruned_fused import rnnt_loss_pruned_fused as jax_pf
+
+    def fn(e, p, W, bias, ranges, labels, input_lengths, label_lengths):
+        return jax_pf(
+            e, p, W, bias, ranges, labels, input_lengths, label_lengths,
+            s_range=s_range, blank=blank, reduction="none",
+            implementation="xla", fastemit_lambda=fastemit_lambda,
+        )
+
+    return jax2tf.convert(
+        fn, with_gradient=True, native_serialization_platforms=platforms
+    )
+
+
+def rnnt_loss_pruned_fused(e, p, W, bias, ranges, labels, input_lengths,
+                           label_lengths, s_range, blank=0,
+                           platforms=("cpu",), fastemit_lambda=0.0):
+    """Pruned fused joint+loss for TF graphs: the banded (B, T, S, V)
+    logits never materialise (see ``ops/pruned_fused.py``). Differentiable
+    w.r.t. e, p, W and bias."""
+    tf = _tf()
+    fn = _converted_pruned_fused(int(blank), tuple(platforms), int(s_range),
+                                 float(fastemit_lambda))
+    return fn(
+        e, p, W, bias,
+        tf.cast(ranges, tf.int32),
+        tf.cast(labels, tf.int32),
+        tf.cast(input_lengths, tf.int32),
+        tf.cast(label_lengths, tf.int32),
+    )
+
+
 def make_rnnt_loss_module(blank: int = 0, from_log_probs: bool = False,
                           platforms=("cpu",)):
     """A ``tf.Module`` wrapping the loss in a ``tf.function`` — ready for

@@ -204,6 +204,28 @@ class Joint(nn.Module):
             blank=c.blank, reduction=reduction, implementation=implementation,
         )
 
+    def pruned_fused_loss(self, enc, pred, ranges, labels, input_lengths,
+                          label_lengths, s_range: int, reduction="mean",
+                          implementation="auto"):
+        """Pruned band loss with the output projection fused in: the
+        (B,T,S,V) banded logits are never materialised
+        (ops/pruned_fused.py) — the production path for long-T large-V."""
+        from ..ops.pruned_fused import rnnt_loss_pruned_fused
+
+        c = self.cfg
+        e = self.enc_proj(enc)
+        p = self.pred_proj(pred)
+        if self.is_initializing():
+            self.out_proj(jnp.zeros((1, c.joint_dim), c.dtype))
+        W = self.out_proj.variables["params"]["kernel"]
+        b = self.out_proj.variables["params"]["bias"]
+        return rnnt_loss_pruned_fused(
+            e.astype(c.dtype), p.astype(c.dtype), W.astype(c.dtype),
+            b.astype(jnp.float32), ranges, labels, input_lengths,
+            label_lengths, s_range=s_range, blank=c.blank,
+            reduction=reduction, implementation=implementation,
+        )
+
 
 class Transducer(nn.Module):
     cfg: TransducerConfig
@@ -272,6 +294,15 @@ class Transducer(nn.Module):
         return self.joint.fused_loss(
             enc, pred, labels, feat_lengths, label_lengths,
             reduction=reduction, implementation=implementation,
+        )
+
+    def pruned_fused_loss(self, enc, pred, ranges, labels, input_lengths,
+                          label_lengths, s_range: int, reduction="mean",
+                          implementation="auto"):
+        """Banded loss on precomputed trunk activations, joint fused in."""
+        return self.joint.pruned_fused_loss(
+            enc, pred, ranges, labels, input_lengths, label_lengths,
+            s_range, reduction=reduction, implementation=implementation,
         )
 
 
@@ -370,6 +401,46 @@ def pruned_loss_fn(params, model, batch, s_range, blank=0, simple_scale=0.5,
     pruned = rnnt_loss_pruned(acts_band.astype(jnp.float32), ranges, labels,
                               fl, ll, blank=blank, reduction="mean")
     return simple_scale * simple + pruned
+
+
+def pruned_fused_loss_fn(params, model, batch, s_range, blank=0,
+                         simple_scale=0.5, implementation="auto"):
+    """Two-stage pruned objective with the stage-2 joint FUSED into the
+    band loss: neither (B, T, U, V) nor even (B, T, S, V) is ever
+    materialised — the minimal-memory production objective."""
+    from ..ops.simple import rnnt_loss_simple
+
+    feats, fl = batch["feats"], batch["feat_lengths"]
+    labels, ll = batch["labels"], batch["label_lengths"]
+    am, lm, enc, pred = model.apply(
+        params, feats, fl, labels, method=model.factorised_full
+    )
+    simple, ranges = rnnt_loss_simple(
+        am.astype(jnp.float32), lm.astype(jnp.float32), labels, fl, ll,
+        blank=blank, reduction="mean", implementation=implementation,
+        prune_range=s_range,
+    )
+    pruned = model.apply(
+        params, enc, pred, ranges, labels, fl, ll, s_range,
+        implementation=implementation, method=model.pruned_fused_loss,
+    )
+    return simple_scale * simple + pruned
+
+
+def make_pruned_fused_train_step(model, optimizer, s_range, blank=0,
+                                 simple_scale=0.5, implementation="auto"):
+    """Jittable train step over the pruned fused objective."""
+
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(pruned_fused_loss_fn)(
+            params, model, batch, s_range, blank=blank,
+            simple_scale=simple_scale, implementation=implementation,
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
 
 
 def make_pruned_train_step(model, optimizer, s_range, blank=0,

@@ -285,13 +285,15 @@ def _band_prep(acts, labels, ranges, blank):
     return lpb, lpe, denom, lab_band, has_lab
 
 
-def _band_grad(acts, denom, lpb, lpe, lat, ranges, lab_band, has_lab,
-               input_lengths, label_lengths, blank, scale,
-               fastemit_lambda=0.0):
-    """Dense gradient on the band (one fused elementwise pass).
-    ``fastemit_lambda`` scales the emit coefficient by (1 + λ) and folds
-    + λ·ce into the softmax coefficient (FastEmit, arXiv:2010.11148)."""
-    B, T, S, V = acts.shape
+def _band_coefs(lpb, lpe, lat, ranges, has_lab, input_lengths,
+                label_lengths, scale, fastemit_lambda=0.0):
+    """The three valid-masked, cotangent-scaled (B, T, S) coefficient
+    fields of the band gradient (band twin of gradients.grad_wrt_acts's
+    coef/cb/ce). ``fastemit_lambda`` scales the emit coefficient by
+    (1 + λ) and folds + λ·ce into the softmax coefficient (FastEmit,
+    arXiv:2010.11148). Infeasible utterances (no path inside the band)
+    get zero coefficients."""
+    B, T, S = lpb.shape
     f32 = jnp.float32
     Tb = input_lengths.astype(jnp.int32)
     Ub = label_lengths.astype(jnp.int32) + 1
@@ -333,8 +335,22 @@ def _band_grad(acts, denom, lpb, lpe, lat, ranges, lab_band, has_lab,
     # sentinel and the a_ll cancellation is garbage — zero their gradient
     feasible = ll > NEG / 2
     scale = jnp.where(feasible, scale.astype(f32), 0.0)
-    s = scale.astype(f32)[:, None, None]
-    coef, cb, ce = coef * s, cb * s, ce * s
+    sc = scale.astype(f32)[:, None, None]
+    return coef * sc, cb * sc, ce * sc, valid
+
+
+def _band_grad(acts, denom, lpb, lpe, lat, ranges, lab_band, has_lab,
+               input_lengths, label_lengths, blank, scale,
+               fastemit_lambda=0.0):
+    """Dense gradient on the band (one fused elementwise pass).
+    ``fastemit_lambda`` scales the emit coefficient by (1 + λ) and folds
+    + λ·ce into the softmax coefficient (FastEmit, arXiv:2010.11148)."""
+    B, T, S, V = acts.shape
+    f32 = jnp.float32
+    coef, cb, ce, valid = _band_coefs(
+        lpb, lpe, lat, ranges, has_lab, input_lengths, label_lengths,
+        scale, fastemit_lambda,
+    )
 
     logp = acts.astype(f32) + denom[..., None]
     probs = jnp.exp(logp)

@@ -184,3 +184,59 @@ def auto_sharded_rnnt_loss(
         out_shardings=NamedSharding(mesh, out_spec),
     )
     return f(acts, labels, input_lengths, label_lengths)
+
+
+def data_parallel_pruned_fused_loss(
+    e: jax.Array,
+    p: jax.Array,
+    W: jax.Array,
+    bias: jax.Array,
+    ranges: jax.Array,
+    labels: jax.Array,
+    input_lengths: jax.Array,
+    label_lengths: jax.Array,
+    s_range: int,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+    blank: int = 0,
+    reduction: str = "mean",
+    implementation: str = "auto",
+    fastemit_lambda: float = 0.0,
+) -> jax.Array:
+    """Pruned fused joint+loss with the batch sharded over ``mesh[axis]``.
+
+    Same layout contract as ``data_parallel_fused_joint_loss``: e/p/ranges/
+    labels/lengths shard on batch, W/bias replicate, dW/db all-reduce via
+    shard_map's transpose. The production-scale configuration: banded
+    logits never materialise anywhere, on any shard.
+    """
+    from ..ops.pruned_fused import rnnt_loss_pruned_fused
+
+    if reduction not in ("none", "sum", "mean"):
+        raise ValueError(f"reduction must be none|sum|mean, got {reduction!r}")
+    n_shards = mesh.shape[axis]
+    B = e.shape[0]
+    if B % n_shards:
+        raise ValueError(f"batch {B} not divisible by mesh axis {axis!r} size {n_shards}")
+
+    in_specs = (P(axis), P(axis), P(), P(), P(axis), P(axis), P(axis), P(axis))
+    out_specs = P(axis) if reduction == "none" else P()
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    def _local(e, p, W, bias, r, l, il, ll):
+        costs = rnnt_loss_pruned_fused(
+            e, p, W, bias, r, l, il, ll, s_range=s_range, blank=blank,
+            reduction="none", implementation=implementation,
+            fastemit_lambda=fastemit_lambda,
+        )
+        if reduction == "none":
+            return costs
+        total = jax.lax.psum(jnp.sum(costs), axis)
+        if reduction == "mean":
+            total = total / B
+        return total
+
+    return _local(e, p, W, bias, ranges, labels, input_lengths, label_lengths)
