@@ -104,6 +104,28 @@ wttStatus_t wtt_rnnt_loss_pruned_fp64(const double* acts, double* grads,
                                       double* costs, void* workspace,
                                       wttOptions options);
 
+/* Pruned + fused joint: logits generated per band cell from the trunk
+ * activations; neither the dense nor the banded logits ever exist.
+ * e: (B, maxT, H); p: (B, maxU, H); W: (H, V); bias: (V,)
+ * ranges: (B, maxT) band starts (contract of wtt_rnnt_loss_pruned)
+ * grads: all four or all NULL (score-only)
+ * workspace: >= wtt_get_workspace_size(maxT, s_range, B) bytes or NULL */
+wttStatus_t wtt_rnnt_loss_pruned_fused(
+    const float* e, const float* p, const float* W, const float* bias,
+    float* grad_e, float* grad_p, float* grad_W, float* grad_bias,
+    const int* ranges, const int* labels, const int* label_lengths,
+    const int* input_lengths, int hidden_size, int alphabet_size,
+    int minibatch, int maxT, int s_range, int maxU, float* costs,
+    void* workspace, wttOptions options);
+
+wttStatus_t wtt_rnnt_loss_pruned_fused_fp64(
+    const double* e, const double* p, const double* W, const double* bias,
+    double* grad_e, double* grad_p, double* grad_W, double* grad_bias,
+    const int* ranges, const int* labels, const int* label_lengths,
+    const int* input_lengths, int hidden_size, int alphabet_size,
+    int minibatch, int maxT, int s_range, int maxU, double* costs,
+    void* workspace, wttOptions options);
+
 /* Factorised ("simple") RNN-T loss for the additive joiner
  *   logit[b,t,u,v] = am[b,t,v] + lm[b,u,v]
  * — the (B, T, U, V) joint tensor is NEVER materialised; scratch is

@@ -375,6 +375,67 @@ wttStatus_t run(const T* acts, T* grads, const int* labels,
 // infeasible-band semantics).
 // ---------------------------------------------------------------------------
 
+// Band alpha recursion on (Tb, S) caches; returns ll (-inf if the band
+// admits no complete alignment). Shared by the banded and the
+// banded-fused engines.
+template <typename Real>
+Real band_alpha(const Real* lpb, const Real* lpe, const int* ranges,
+                int Tb, int Ub, int S, Real* alpha) {
+  auto idx = [S](int t, int s) { return static_cast<size_t>(t) * S + s; };
+  auto valid = [&](int t, int s) { return ranges[t] + s < Ub; };
+  for (int t = 0; t < Tb; ++t) {
+    const int delta = (t > 0) ? ranges[t] - ranges[t - 1] : 0;
+    for (int s = 0; s < S; ++s) {
+      const size_t cell = idx(t, s);
+      if (!valid(t, s)) {
+        alpha[cell] = kNegInf<Real>;
+        continue;
+      }
+      if (t == 0 && s == 0) {
+        alpha[cell] = 0;  // ranges[0] == 0 => lattice origin
+        continue;
+      }
+      Real ne = kNegInf<Real>;
+      if (t > 0 && s + delta < S)
+        ne = alpha[idx(t - 1, s + delta)] + lpb[idx(t - 1, s + delta)];
+      Real em = kNegInf<Real>;
+      if (s > 0) em = alpha[idx(t, s - 1)] + lpe[idx(t, s - 1)];
+      alpha[cell] = logaddexp(ne, em);
+    }
+  }
+  const int s_star = Ub - 1 - ranges[Tb - 1];
+  if (s_star < 0 || s_star >= S) return kNegInf<Real>;
+  return alpha[idx(Tb - 1, s_star)] + lpb[idx(Tb - 1, s_star)];
+}
+
+template <typename Real>
+void band_beta(const Real* lpb, const Real* lpe, const int* ranges,
+               int Tb, int Ub, int S, Real* beta) {
+  auto idx = [S](int t, int s) { return static_cast<size_t>(t) * S + s; };
+  auto valid = [&](int t, int s) { return ranges[t] + s < Ub; };
+  const int s_star = Ub - 1 - ranges[Tb - 1];
+  for (int t = Tb - 1; t >= 0; --t) {
+    const int delta_n = (t < Tb - 1) ? ranges[t + 1] - ranges[t] : 0;
+    for (int s = S - 1; s >= 0; --s) {
+      const size_t cell = idx(t, s);
+      if (!valid(t, s)) {
+        beta[cell] = kNegInf<Real>;
+        continue;
+      }
+      if (t == Tb - 1 && s == s_star) {
+        beta[cell] = lpb[cell];
+        continue;
+      }
+      Real ne = kNegInf<Real>;
+      if (t < Tb - 1 && s - delta_n >= 0)
+        ne = beta[idx(t + 1, s - delta_n)] + lpb[cell];
+      Real em = kNegInf<Real>;
+      if (s + 1 < S && valid(t, s + 1)) em = beta[idx(t, s + 1)] + lpe[cell];
+      beta[cell] = logaddexp(ne, em);
+    }
+  }
+}
+
 template <typename Real>
 void run_pruned_utterance(const Real* acts /* (T, S, V) rows */, Real* grads,
                           const int* ranges, const int* labels, int Tb,
@@ -419,59 +480,13 @@ void run_pruned_utterance(const Real* acts /* (T, S, V) rows */, Real* grads,
     }
   }
 
-  // alpha: no-emit predecessor is band (t-1, s + delta_t); emit is (t, s-1)
-  for (int t = 0; t < Tb; ++t) {
-    const int delta = (t > 0) ? ranges[t] - ranges[t - 1] : 0;
-    for (int s = 0; s < S; ++s) {
-      const size_t cell = idx(t, s);
-      if (!valid(t, s)) {
-        alpha[cell] = kNegInf<Real>;
-        continue;
-      }
-      if (t == 0 && s == 0) {
-        alpha[cell] = 0;  // ranges[0] == 0 => lattice origin
-        continue;
-      }
-      Real ne = kNegInf<Real>;
-      if (t > 0 && s + delta < S)
-        ne = alpha[idx(t - 1, s + delta)] + lpb[idx(t - 1, s + delta)];
-      Real em = kNegInf<Real>;
-      if (s > 0) em = alpha[idx(t, s - 1)] + lpe[idx(t, s - 1)];
-      alpha[cell] = logaddexp(ne, em);
-    }
-  }
-
-  const int s_star = Ub - 1 - ranges[Tb - 1];
-  const bool feasible = s_star >= 0 && s_star < S;
-  const Real ll = feasible
-                      ? alpha[idx(Tb - 1, s_star)] + lpb[idx(Tb - 1, s_star)]
-                      : kNegInf<Real>;
+  const Real ll = band_alpha(lpb, lpe, ranges, Tb, Ub, S, alpha);
   // infeasible band (no complete alignment fits): huge finite cost, zero
   // gradients — mirrors the JAX NEG sentinel semantics (ops/pruned.py)
   *cost = std::isfinite(ll) ? -ll : static_cast<Real>(1e30);
   if (!grads || !std::isfinite(ll)) return;
 
-  // beta: no-emit successor is band (t+1, s - delta_{t+1}); emit is (t, s+1)
-  for (int t = Tb - 1; t >= 0; --t) {
-    const int delta_n = (t < Tb - 1) ? ranges[t + 1] - ranges[t] : 0;
-    for (int s = S - 1; s >= 0; --s) {
-      const size_t cell = idx(t, s);
-      if (!valid(t, s)) {
-        beta[cell] = kNegInf<Real>;
-        continue;
-      }
-      if (t == Tb - 1 && s == s_star) {
-        beta[cell] = lpb[cell];
-        continue;
-      }
-      Real ne = kNegInf<Real>;
-      if (t < Tb - 1 && s - delta_n >= 0)
-        ne = beta[idx(t + 1, s - delta_n)] + lpb[cell];
-      Real em = kNegInf<Real>;
-      if (s + 1 < S && valid(t, s + 1)) em = beta[idx(t, s + 1)] + lpe[cell];
-      beta[cell] = logaddexp(ne, em);
-    }
-  }
+  band_beta(lpb, lpe, ranges, Tb, Ub, S, beta);
 
   // gradient: dense on the band, fused log-softmax convention
   for (int t = 0; t < Tb; ++t) {
@@ -735,6 +750,209 @@ wttStatus_t run_fused(const T* e, const T* p, const T* W, const T* bias,
   return ok ? WTT_STATUS_SUCCESS : WTT_STATUS_EXECUTION_FAILED;
 }
 
+// ---------------------------------------------------------------------------
+// Pruned + fused engine: logits generated per band cell from the trunk
+// activations (tanh(e[t] + p[u]) @ W + bias), consumed in place. Scalar
+// twin of the JAX op (warp_transducer_tpu/ops/pruned_fused.py): neither
+// the (T, U, V) nor even the (T, S, V) banded logits ever exist.
+// ---------------------------------------------------------------------------
+
+template <typename Real>
+void run_pruned_fused_utterance(const Real* e, const Real* p, const Real* W,
+                                const Real* bias, Real* de, Real* dp,
+                                Real* dW, Real* db, const int* ranges,
+                                const int* labels, int Tb, int Ub, int S,
+                                int H, int V, int blank, Real* cost,
+                                Real* scratch /* 5*Tb*S */,
+                                Real fastemit_lambda = Real(0)) {
+  const size_t n = static_cast<size_t>(Tb) * S;
+  std::vector<Real> own;
+  if (!scratch) {
+    own.resize(5 * n);
+    scratch = own.data();
+  }
+  Real* lpb = scratch;
+  Real* lpe = scratch + n;
+  Real* denom = scratch + 2 * n;
+  Real* alpha = scratch + 3 * n;
+  Real* beta = scratch + 4 * n;
+
+  auto idx = [S](int t, int s) { return static_cast<size_t>(t) * S + s; };
+  auto valid = [&](int t, int s) { return ranges[t] + s < Ub; };
+
+  std::vector<Real> h(H), logits(V);
+  auto cell_logits = [&](int t, int u) {
+    const Real* et = e + static_cast<size_t>(t) * H;
+    const Real* pu = p + static_cast<size_t>(u) * H;
+    for (int i = 0; i < H; ++i) h[i] = std::tanh(et[i] + pu[i]);
+    for (int v = 0; v < V; ++v) logits[v] = bias[v];
+    for (int i = 0; i < H; ++i) {
+      const Real hi = h[i];
+      const Real* wrow = W + static_cast<size_t>(i) * V;
+      for (int v = 0; v < V; ++v) logits[v] += hi * wrow[v];
+    }
+  };
+
+  for (int t = 0; t < Tb; ++t) {
+    for (int s = 0; s < S; ++s) {
+      const size_t cell = idx(t, s);
+      if (!valid(t, s)) {
+        lpb[cell] = kNegInf<Real>;
+        lpe[cell] = kNegInf<Real>;
+        denom[cell] = 0;
+        continue;
+      }
+      const int u = ranges[t] + s;
+      cell_logits(t, u);
+      Real hi = logits[0];
+      for (int v = 1; v < V; ++v) hi = std::max(hi, logits[v]);
+      Real sum = 0;
+      for (int v = 0; v < V; ++v) sum += std::exp(logits[v] - hi);
+      const Real d = -hi - std::log(sum);
+      denom[cell] = d;
+      lpb[cell] = logits[blank] + d;
+      lpe[cell] = (u < Ub - 1) ? logits[labels[u]] + d : kNegInf<Real>;
+    }
+  }
+
+  const Real ll = band_alpha(lpb, lpe, ranges, Tb, Ub, S, alpha);
+  // infeasible band: huge finite cost, zero gradients (ops/pruned.py)
+  *cost = std::isfinite(ll) ? -ll : static_cast<Real>(1e30);
+  if (!de || !std::isfinite(ll)) return;
+
+  band_beta(lpb, lpe, ranges, Tb, Ub, S, beta);
+
+  std::vector<Real> g(V), dh(H);
+  for (int t = 0; t < Tb; ++t) {
+    const int delta_n = (t < Tb - 1) ? ranges[t + 1] - ranges[t] : 0;
+    for (int s = 0; s < S; ++s) {
+      const size_t cell = idx(t, s);
+      if (!valid(t, s)) continue;
+      const int u = ranges[t] + s;
+      cell_logits(t, u);
+      const Real a = alpha[cell];
+      Real bt = kNegInf<Real>;
+      if (t == Tb - 1 && u == Ub - 1) bt = 0;
+      else if (t < Tb - 1 && s - delta_n >= 0) bt = beta[idx(t + 1, s - delta_n)];
+      Real bu = kNegInf<Real>;
+      if (u + 1 < Ub && s + 1 < S) bu = beta[idx(t, s + 1)];
+      const Real gb = std::exp(a + lpb[cell] + bt - ll);
+      const Real ge = (u < Ub - 1) ? std::exp(a + lpe[cell] + bu - ll) : Real(0);
+      // FastEmit: + lambda*ge in the softmax coefficient, (1+lambda) on
+      // the emit arc
+      const Real coef = std::exp(a + beta[cell] - ll) + fastemit_lambda * ge;
+      const Real d = denom[cell];
+      for (int v = 0; v < V; ++v) g[v] = coef * std::exp(logits[v] + d);
+      g[blank] -= gb;
+      if (u < Ub - 1) g[labels[u]] -= (Real(1) + fastemit_lambda) * ge;
+
+      for (int i = 0; i < H; ++i) {
+        const Real* wrow = W + static_cast<size_t>(i) * V;
+        Real acc = 0;
+        for (int v = 0; v < V; ++v) acc += wrow[v] * g[v];
+        dh[i] = acc * (Real(1) - h[i] * h[i]);
+      }
+      Real* det = de + static_cast<size_t>(t) * H;
+      Real* dpu = dp + static_cast<size_t>(u) * H;
+      for (int i = 0; i < H; ++i) {
+        det[i] += dh[i];
+        dpu[i] += dh[i];
+      }
+      for (int i = 0; i < H; ++i) {
+        const Real hi = h[i];
+        Real* dwrow = dW + static_cast<size_t>(i) * V;
+        for (int v = 0; v < V; ++v) dwrow[v] += hi * g[v];
+      }
+      for (int v = 0; v < V; ++v) db[v] += g[v];
+    }
+  }
+}
+
+template <typename T>
+wttStatus_t run_pruned_fused(const T* e, const T* p, const T* W,
+                             const T* bias, T* de, T* dp, T* dW, T* db,
+                             const int* ranges, const int* labels,
+                             const int* label_lengths,
+                             const int* input_lengths, int H, int V, int B,
+                             int maxT, int S, int maxU, T* costs,
+                             void* workspace, wttOptions options) {
+  if (!e || !p || !W || !bias || !ranges || !labels || !label_lengths ||
+      !input_lengths || !costs)
+    return WTT_STATUS_BAD_ARGUMENT;
+  const int n_grads = (de != nullptr) + (dp != nullptr) + (dW != nullptr) +
+                      (db != nullptr);
+  if (n_grads != 0 && n_grads != 4) return WTT_STATUS_BAD_ARGUMENT;
+  if (H <= 0 || V <= 0 || B <= 0 || maxT <= 0 || S < 2 || maxU <= 1 ||
+      options.blank_label < 0 || options.blank_label >= V ||
+      options.from_log_probs != 0 ||
+      !(options.fastemit_lambda >= 0.0f))
+    return WTT_STATUS_BAD_ARGUMENT;
+  for (int b = 0; b < B; ++b) {
+    const int Tb = input_lengths[b];
+    const int Ub = label_lengths[b] + 1;
+    if (Tb < 1 || Tb > maxT) return WTT_STATUS_BAD_ARGUMENT;
+    if (label_lengths[b] < 0 || Ub > maxU) return WTT_STATUS_BAD_ARGUMENT;
+    const int* r = ranges + static_cast<size_t>(b) * maxT;
+    if (r[0] != 0) return WTT_STATUS_BAD_ARGUMENT;
+    for (int t = 0; t < Tb; ++t) {
+      if (r[t] < 0 || r[t] > Ub - 1) return WTT_STATUS_BAD_ARGUMENT;
+      if (t > 0 && (r[t] < r[t - 1] || r[t] - r[t - 1] > S - 1))
+        return WTT_STATUS_BAD_ARGUMENT;
+    }
+  }
+
+#if defined(_OPENMP)
+  if (options.num_threads > 0) omp_set_num_threads(options.num_threads);
+#endif
+
+  const size_t e_block = static_cast<size_t>(maxT) * H;
+  const size_t p_block = static_cast<size_t>(maxU) * H;
+  const size_t wv = static_cast<size_t>(H) * V;
+  const size_t ws_per_mb = 5u * static_cast<size_t>(maxT) * S;
+  T* ws = static_cast<T*>(workspace);
+  if (de) {
+    std::memset(de, 0, sizeof(T) * e_block * B);
+    std::memset(dp, 0, sizeof(T) * p_block * B);
+    std::memset(dW, 0, sizeof(T) * wv);
+    std::memset(db, 0, sizeof(T) * V);
+  }
+
+  bool ok = true;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int b = 0; b < B; ++b) {
+    const int Tb = input_lengths[b];
+    const int Ub = label_lengths[b] + 1;
+    std::vector<T> dW_loc, db_loc;
+    if (de) {
+      dW_loc.assign(wv, T(0));
+      db_loc.assign(V, T(0));
+    }
+    T cost;
+    run_pruned_fused_utterance<T>(
+        e + b * e_block, p + b * p_block, W, bias,
+        de ? de + b * e_block : nullptr, dp ? dp + b * p_block : nullptr,
+        de ? dW_loc.data() : nullptr, de ? db_loc.data() : nullptr,
+        ranges + static_cast<size_t>(b) * maxT,
+        labels + static_cast<size_t>(b) * (maxU - 1), Tb, Ub, S, H, V,
+        options.blank_label, &cost, ws ? ws + b * ws_per_mb : nullptr,
+        static_cast<T>(options.fastemit_lambda));
+    if (!std::isfinite(cost)) ok = false;
+    costs[b] = cost;
+    if (de) {
+#if defined(_OPENMP)
+#pragma omp critical(wtt_pruned_fused_dw)
+#endif
+      {
+        for (size_t i = 0; i < wv; ++i) dW[i] += dW_loc[i];
+        for (int v = 0; v < V; ++v) db[v] += db_loc[v];
+      }
+    }
+  }
+  return ok ? WTT_STATUS_SUCCESS : WTT_STATUS_EXECUTION_FAILED;
+}
+
 }  // namespace
 
 extern "C" {
@@ -830,6 +1048,32 @@ wttStatus_t wtt_rnnt_loss_fused_joint_fp64(
                            labels, label_lengths, input_lengths, hidden_size,
                            alphabet_size, minibatch, maxT, maxU, costs,
                            workspace, options);
+}
+
+wttStatus_t wtt_rnnt_loss_pruned_fused(
+    const float* e, const float* p, const float* W, const float* bias,
+    float* grad_e, float* grad_p, float* grad_W, float* grad_bias,
+    const int* ranges, const int* labels, const int* label_lengths,
+    const int* input_lengths, int hidden_size, int alphabet_size,
+    int minibatch, int maxT, int s_range, int maxU, float* costs,
+    void* workspace, wttOptions options) {
+  return run_pruned_fused<float>(
+      e, p, W, bias, grad_e, grad_p, grad_W, grad_bias, ranges, labels,
+      label_lengths, input_lengths, hidden_size, alphabet_size, minibatch,
+      maxT, s_range, maxU, costs, workspace, options);
+}
+
+wttStatus_t wtt_rnnt_loss_pruned_fused_fp64(
+    const double* e, const double* p, const double* W, const double* bias,
+    double* grad_e, double* grad_p, double* grad_W, double* grad_bias,
+    const int* ranges, const int* labels, const int* label_lengths,
+    const int* input_lengths, int hidden_size, int alphabet_size,
+    int minibatch, int maxT, int s_range, int maxU, double* costs,
+    void* workspace, wttOptions options) {
+  return run_pruned_fused<double>(
+      e, p, W, bias, grad_e, grad_p, grad_W, grad_bias, ranges, labels,
+      label_lengths, input_lengths, hidden_size, alphabet_size, minibatch,
+      maxT, s_range, maxU, costs, workspace, options);
 }
 
 wttStatus_t wtt_rnnt_loss_simple(const float* am, const float* lm,

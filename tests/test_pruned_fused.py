@@ -220,3 +220,84 @@ def test_tf_binding_pruned_fused():
         jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll), s_range=S,
         reduction="sum", implementation="xla"))(jnp.asarray(e)))
     np.testing.assert_allclose(g_tf, g_jax, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Native backend + torch binding
+# ---------------------------------------------------------------------------
+
+def _native_available():
+    from warp_transducer_tpu.bindings import native
+    return native.available()
+
+
+@pytest.mark.skipif(not _native_available(), reason="native lib not built")
+@pytest.mark.parametrize("lam", [0.0, 0.3])
+def test_native_matches_jax(lam):
+    from warp_transducer_tpu.bindings.native import (
+        rnnt_loss_pruned_fused_native,
+    )
+
+    e, p, W, b, labels, il, ll, ranges, S = _problem(seed=20)
+    costs_n, gs_n = rnnt_loss_pruned_fused_native(
+        e, p, W, b, ranges, labels, il, ll, s_range=S, fastemit_lambda=lam)
+
+    jargs = (jnp.asarray(ranges), jnp.asarray(labels), jnp.asarray(il),
+             jnp.asarray(ll))
+    costs_j = np.asarray(rnnt_loss_pruned_fused(
+        *map(jnp.asarray, (e, p, W, b)), *jargs, s_range=S,
+        reduction="none", implementation="xla", fastemit_lambda=lam))
+    np.testing.assert_allclose(costs_n, costs_j, rtol=1e-5)
+    gs_j = jax.grad(lambda *a: rnnt_loss_pruned_fused(
+        *a, *jargs, s_range=S, reduction="sum", implementation="xla",
+        fastemit_lambda=lam), argnums=(0, 1, 2, 3))(
+            *map(jnp.asarray, (e, p, W, b)))
+    for name, a, c in zip(("de", "dp", "dW", "db"), gs_n, gs_j):
+        np.testing.assert_allclose(a, np.asarray(c), atol=2e-5, err_msg=name)
+
+
+@pytest.mark.skipif(not _native_available(), reason="native lib not built")
+def test_native_score_only_and_fp64():
+    from warp_transducer_tpu.bindings.native import (
+        rnnt_loss_pruned_fused_native,
+    )
+
+    e, p, W, b, labels, il, ll, ranges, S = _problem(seed=21)
+    costs32, gs = rnnt_loss_pruned_fused_native(
+        e, p, W, b, ranges, labels, il, ll, s_range=S, compute_grads=False)
+    assert gs is None
+    costs64, _ = rnnt_loss_pruned_fused_native(
+        e.astype(np.float64), p.astype(np.float64), W.astype(np.float64),
+        b.astype(np.float64), ranges, labels, il, ll, s_range=S,
+        compute_grads=False)
+    np.testing.assert_allclose(costs32, costs64, rtol=1e-5)
+
+
+def test_torch_binding_pruned_fused():
+    torch = pytest.importorskip("torch")
+    if not _native_available():
+        pytest.skip("native lib not built")
+    from warp_transducer_tpu.bindings.torch_binding import (
+        rnnt_loss_pruned_fused as t_pf,
+    )
+
+    e, p, W, b, labels, il, ll, ranges, S = _problem(seed=22)
+    te = torch.tensor(e, requires_grad=True)
+    tp = torch.tensor(p, requires_grad=True)
+    tW = torch.tensor(W, requires_grad=True)
+    tb = torch.tensor(b, requires_grad=True)
+    loss = t_pf(te, tp, tW, tb, torch.tensor(ranges), torch.tensor(labels),
+                torch.tensor(il), torch.tensor(ll), s_range=S,
+                reduction="sum")
+    loss.backward()
+
+    jargs = (jnp.asarray(ranges), jnp.asarray(labels), jnp.asarray(il),
+             jnp.asarray(ll))
+    lj, gj = jax.value_and_grad(lambda *a: rnnt_loss_pruned_fused(
+        *a, *jargs, s_range=S, reduction="sum", implementation="xla"),
+        argnums=(0, 1, 2, 3))(*map(jnp.asarray, (e, p, W, b)))
+    np.testing.assert_allclose(float(loss), float(lj), rtol=1e-5)
+    for name, t_, j_ in zip(("de", "dp", "dW", "db"),
+                            (te.grad, tp.grad, tW.grad, tb.grad), gj):
+        np.testing.assert_allclose(t_.numpy(), np.asarray(j_), atol=2e-5,
+                                   err_msg=name)

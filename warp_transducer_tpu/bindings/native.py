@@ -126,6 +126,21 @@ def _load():
             fp(np.int32, flags="C_CONTIGUOUS"), I, I, I, I, I,
             fp(ft, flags="C_CONTIGUOUS"), ctypes.c_void_p, _Options,
         ]
+    for name, ft in (("wtt_rnnt_loss_pruned_fused", np.float32),
+                     ("wtt_rnnt_loss_pruned_fused_fp64", np.float64)):
+        f = getattr(lib, name)
+        f.restype = ctypes.c_int
+        f.argtypes = [
+            fp(ft, flags="C_CONTIGUOUS"), fp(ft, flags="C_CONTIGUOUS"),
+            fp(ft, flags="C_CONTIGUOUS"), fp(ft, flags="C_CONTIGUOUS"),
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            fp(np.int32, flags="C_CONTIGUOUS"),
+            fp(np.int32, flags="C_CONTIGUOUS"),
+            fp(np.int32, flags="C_CONTIGUOUS"),
+            fp(np.int32, flags="C_CONTIGUOUS"), I, I, I, I, I, I,
+            fp(ft, flags="C_CONTIGUOUS"), ctypes.c_void_p, _Options,
+        ]
     _lib = lib
     return lib
 
@@ -393,3 +408,80 @@ def rnnt_loss_simple_native(
             f"native simple rnnt loss failed: {_STATUS_STRINGS.get(status, status)}"
         )
     return costs, gam, glm
+
+
+def rnnt_loss_pruned_fused_native(
+    e: np.ndarray,
+    p: np.ndarray,
+    W: np.ndarray,
+    bias: np.ndarray,
+    ranges: np.ndarray,
+    labels: np.ndarray,
+    input_lengths: np.ndarray,
+    label_lengths: np.ndarray,
+    s_range: int,
+    blank: int = 0,
+    num_threads: int = 0,
+    compute_grads: bool = True,
+    workspace: Optional[np.ndarray] = None,
+    fastemit_lambda: float = 0.0,
+):
+    """Pruned fused joint+loss with the native CPU engine: the banded
+    (B, T, S, V) logits are never materialised. ``ranges``: (B, T) band
+    starts obeying the band contract; ``s_range`` is the band width S.
+    Returns ``(costs, (grad_e, grad_p, grad_W, grad_bias))``; the tuple
+    is None when ``compute_grads`` is False. Matches
+    ``warp_transducer_tpu.rnnt_loss_pruned_fused``.
+    """
+    lib = _load()
+    e = np.ascontiguousarray(e)
+    p = np.ascontiguousarray(p)
+    W = np.ascontiguousarray(W, dtype=e.dtype)
+    bias = np.ascontiguousarray(bias, dtype=e.dtype)
+    if e.dtype not in (np.float32, np.float64):
+        raise TypeError(f"e must be float32/float64, got {e.dtype}")
+    if e.ndim != 3 or p.ndim != 3 or W.ndim != 2 or bias.ndim != 1:
+        raise ValueError(
+            f"expected e (B,T,H), p (B,U,H), W (H,V), bias (V,); got "
+            f"{e.shape}, {p.shape}, {W.shape}, {bias.shape}"
+        )
+    B, T, H = e.shape
+    U = p.shape[1]
+    V = W.shape[1]
+    ranges = np.ascontiguousarray(ranges, dtype=np.int32)
+    if ranges.shape != (B, T):
+        raise ValueError(f"ranges must be (B, T) = {(B, T)}, got {ranges.shape}")
+    labels = np.ascontiguousarray(labels, dtype=np.int32)
+    if labels.shape != (B, U - 1):
+        fixed = np.zeros((B, U - 1), np.int32)
+        L = min(labels.shape[1], U - 1)
+        fixed[:, :L] = labels[:, :L]
+        labels = fixed
+    il = np.ascontiguousarray(input_lengths, dtype=np.int32)
+    ll = np.ascontiguousarray(label_lengths, dtype=np.int32)
+
+    costs = np.zeros((B,), e.dtype)
+    if compute_grads:
+        gs = (np.zeros_like(e), np.zeros_like(p), np.zeros_like(W),
+              np.zeros_like(bias))
+        gps = tuple(g.ctypes.data_as(ctypes.c_void_p) for g in gs)
+    else:
+        gs = None
+        gps = (None,) * 4
+    opts = _Options(blank, num_threads, 0, float(fastemit_lambda))
+    if workspace is not None:
+        workspace = np.ascontiguousarray(workspace)
+        wptr = workspace.ctypes.data_as(ctypes.c_void_p)
+    else:
+        wptr = None
+
+    fn = (lib.wtt_rnnt_loss_pruned_fused if e.dtype == np.float32
+          else lib.wtt_rnnt_loss_pruned_fused_fp64)
+    status = fn(e, p, W, bias, *gps, ranges, labels, ll, il, H, V, B, T,
+                int(s_range), U, costs, wptr, opts)
+    if status != 0:
+        raise RuntimeError(
+            f"native pruned fused loss failed: "
+            f"{_STATUS_STRINGS.get(status, status)}"
+        )
+    return costs, gs

@@ -19,6 +19,7 @@ except ImportError as e:  # pragma: no cover
 from .native import (
     rnnt_loss_fused_joint_native,
     rnnt_loss_native,
+    rnnt_loss_pruned_fused_native,
     rnnt_loss_pruned_native,
     rnnt_loss_simple_native,
 )
@@ -235,4 +236,51 @@ def rnnt_loss_pruned(acts, ranges, labels, act_lens, label_lens, blank=0,
     return _RNNTPrunedFunction.apply(
         acts, ranges, labels, act_lens, label_lens, blank, reduction,
         fastemit_lambda,
+    )
+
+
+class _RNNTPrunedFusedFunction(Function):
+    @staticmethod
+    def forward(ctx, e, p, W, bias, ranges, labels, act_lens, label_lens,
+                s_range, blank, reduction, fastemit_lambda):
+        needs_grad = any(t.requires_grad for t in (e, p, W, bias))
+        costs_np, gs = rnnt_loss_pruned_fused_native(
+            e.detach().numpy(), p.detach().numpy(), W.detach().numpy(),
+            bias.detach().numpy(), ranges.numpy(), labels.numpy(),
+            act_lens.numpy(), label_lens.numpy(), s_range=s_range,
+            blank=blank, compute_grads=needs_grad,
+            fastemit_lambda=fastemit_lambda,
+        )
+        costs = torch.from_numpy(np.asarray(costs_np)).to(e.dtype)
+        z = torch.zeros(0, dtype=e.dtype)
+        gts = ([torch.from_numpy(np.asarray(g)).to(e.dtype) for g in gs]
+               if gs is not None else [z] * 4)
+        costs, gts = _reduce(costs, gts, reduction, e.size(0))
+        ctx.gts = gts
+        return costs
+
+    @staticmethod
+    def backward(ctx, grad_output):
+        # sum/mean only: one scalar cotangent scales all four gradients
+        s = grad_output.sum().to(ctx.gts[0].dtype)
+        return tuple(g * s for g in ctx.gts) + (None,) * 8
+
+
+def rnnt_loss_pruned_fused(e, p, W, bias, ranges, labels, act_lens,
+                           label_lens, s_range, blank=0, reduction="mean",
+                           fastemit_lambda=0.0):
+    """Pruned fused joint+loss on CPU torch tensors: the banded (B,T,S,V)
+    logits never materialise (torch twin of the JAX
+    ``rnnt_loss_pruned_fused`` over the native engine). Differentiable
+    w.r.t. e, p, W and bias.
+
+    Only ``reduction='sum'|'mean'`` (dW/db come back minibatch-summed)."""
+    if reduction not in ("sum", "mean"):
+        raise ValueError(
+            "pruned fused joint supports reduction sum|mean only (dW/db "
+            f"are minibatch-summed), got {reduction!r}"
+        )
+    return _RNNTPrunedFusedFunction.apply(
+        e, p, W, bias, ranges, labels, act_lens, label_lens, s_range,
+        blank, reduction, fastemit_lambda,
     )
