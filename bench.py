@@ -236,6 +236,64 @@ def bench_fused(B, T, L, V, H=256, dtype="bf16", seed=0):
     }
 
 
+def bench_pruned_fused(B, T, L, V, H=256, S=5, dtype="f32", seed=0):
+    """Pruned fused joint+loss+grad: band gather + joint + band loss in
+    T-chunked sweeps; the (B,T,S,V) banded logits never materialise."""
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    import jax.numpy as jnp
+
+    from warp_transducer_tpu import rnnt_loss_pruned_fused
+
+    jdt = {"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype]
+    U = L + 1
+    rng = np.random.RandomState(seed)
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    e = jax.jit(lambda k: (jax.random.uniform(k, (B, T, H)) - 0.5).astype(jdt))(ks[0])
+    p = jax.jit(lambda k: (jax.random.uniform(k, (B, U, H)) - 0.5).astype(jdt))(ks[1])
+    W = jax.jit(lambda k: (jax.random.uniform(k, (H, V)) / np.sqrt(H)).astype(jdt))(ks[2])
+    bias = jax.jit(lambda k: jax.random.uniform(k, (V,)) * 0.1)(ks[3])
+    labels = jnp.asarray(rng.randint(1, V, (B, L)), jnp.int32)
+    il = jnp.full((B,), T, jnp.int32)
+    ll = jnp.full((B,), L, jnp.int32)
+    steps = rng.randint(0, S, size=(B, T))
+    steps[:, 0] = 0
+    ranges = np.minimum(np.cumsum(steps, 1), max(U - S, 0))
+    ranges[:, -1] = max(U - S, 0)
+    for t in range(T - 1, 0, -1):
+        ranges[:, t - 1] = np.maximum(ranges[:, t - 1], ranges[:, t] - (S - 1))
+    ranges[:, 0] = 0
+    ranges = jnp.asarray(ranges, jnp.int32)
+
+    lg = jax.value_and_grad(
+        lambda e, p, W, bias: rnnt_loss_pruned_fused(
+            e, p, W, bias, ranges, labels, il, ll, s_range=S,
+            reduction="sum"),
+        argnums=(0, 1, 2, 3))
+
+    @jax.jit
+    def run(e, p, W, bias, n):
+        def body(i, c):
+            eps = (1.0 + c * 1e-30).astype(e.dtype)
+            loss, (de, dp, dW, db) = lg(e * eps, p, W, bias)
+            return (loss * 1e-12 + de[0, 0, 0].astype(jnp.float32) * 1e-12
+                    + dp[0, 0, 0].astype(jnp.float32) * 1e-12
+                    + dW[0, 0].astype(jnp.float32) * 1e-12 + db[0] * 1e-12)
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    ms = slope_time_ms(lambda n: run(e, p, W, bias, n))
+    return {
+        "metric": (f"rnnt_loss_pruned_fused+grad ms, B={B},T={T},L={L},"
+                   f"V={V},H={H},S={S},{dtype}"),
+        "value": round(ms, 3), "unit": "ms", "vs_baseline": None,
+    }
+
+
 def bench_extras(B, T, L, V, s_range=5, seed=0):
     """Beyond-reference losses on shapes where the dense loss cannot run:
     factorised (simple) and pruned loss+grad. Returns list of JSON rows."""
@@ -321,6 +379,10 @@ def main():
                    help="bench the factorised/pruned losses on this shape")
     p.add_argument("--fused", action="store_true",
                    help="bench the fused joint+loss on this shape")
+    p.add_argument("--pruned-fused", action="store_true",
+                   help="bench the pruned fused joint+loss on this shape")
+    p.add_argument("--s-range", type=int, default=5,
+                   help="band width S for --pruned-fused")
     p.add_argument("--joint-dim", type=int, default=256,
                    help="hidden width H for --fused")
     args = p.parse_args()
@@ -329,6 +391,12 @@ def main():
         print(json.dumps(bench_fused(args.B, args.T, args.L, args.V,
                                      H=args.joint_dim, dtype=args.dtype)),
               flush=True)
+        return
+
+    if args.pruned_fused:
+        print(json.dumps(bench_pruned_fused(
+            args.B, args.T, args.L, args.V, H=args.joint_dim,
+            S=args.s_range, dtype=args.dtype)), flush=True)
         return
 
     if args.extras:

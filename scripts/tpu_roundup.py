@@ -51,6 +51,11 @@ ITEMS = [
      [PY, "bench.py", "64", "150", "20", "5000", "--fused", "--dtype", "bf16"], 1800),
     ("bench --fused f32",
      [PY, "bench.py", "64", "150", "20", "5000", "--fused", "--dtype", "f32"], 1800),
+    ("bench --pruned-fused north-star",
+     [PY, "bench.py", "128", "1500", "300", "50", "--pruned-fused"], 1800),
+    ("bench --pruned-fused big-vocab",
+     [PY, "bench.py", "128", "1500", "300", "5000", "--pruned-fused",
+      "--dtype", "bf16"], 3600),
 ]
 
 
