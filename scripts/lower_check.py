@@ -126,6 +126,21 @@ check("simple pallas fwd+bwd",
           implementation="pallas"), argnums=(0, 1)),
       am, lm)
 
+# pruned fused joint: XLA chunked sweeps + the Pallas band recursion
+from warp_transducer_tpu.ops.pruned_fused import rnnt_loss_pruned_fused
+
+e_pf = jnp.asarray(rng.randn(B, T, H) * 0.3, jnp.float32)
+p_pf = jnp.asarray(rng.randn(B, U, H) * 0.3, jnp.float32)
+W_pf = jnp.asarray(rng.randn(H, V) / np.sqrt(H), jnp.float32)
+b_pf = jnp.asarray(rng.randn(V) * 0.1, jnp.float32)
+check("pruned fused (pallas band) fwd+bwd",
+      jax.value_and_grad(
+          lambda e, p, W, bias: rnnt_loss_pruned_fused(
+              e, p, W, bias, ranges, labels, il, ll, s_range=S,
+              reduction="sum", implementation="pallas"),
+          argnums=(0, 1, 2, 3)),
+      e_pf, p_pf, W_pf, b_pf)
+
 if FAILED:
     print("\nFAILURES:")
     for name, msg in FAILED:

@@ -147,13 +147,17 @@ def _pruned_fused_grad_xla(e, p, W, bias, ranges, lab_band, denom,
         dh = lax.dot_general(
             g_mm, W_mm, (((3,), (1,)), ((), ())), preferred_element_type=f32
         ) * (1.0 - h * h)  # (B, Tc, S, H)
-        # dp: scatter-add the band rows back to their u positions
-        # (out-of-lattice cells have zero coefficients -> dh == 0 there,
-        # so the clipped index adds zero)
-        dp_a = dp_a + jax.vmap(
-            lambda ix, d: jnp.zeros((U, H), f32).at[ix.reshape(-1)].add(
-                d.reshape(-1, H))
-        )(idx, dh)
+        # dp: band rows summed back to their u positions as a one-hot
+        # contraction — a batched MXU matmul instead of a scatter-add
+        # (TPU scatter lowers to a serial loop). Out-of-lattice cells have
+        # zero coefficients -> dh == 0 there, so clipped indices add zero.
+        K = idx.shape[1] * idx.shape[2]
+        onehot = (idx.reshape(B, K, 1)
+                  == jnp.arange(U, dtype=jnp.int32)).astype(f32)
+        dp_a = dp_a + lax.dot_general(
+            onehot, dh.reshape(B, K, H),
+            (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32,
+        )
         dW_a = dW_a + lax.dot_general(
             hm.reshape(-1, H), g_mm.reshape(-1, V),
             (((0,), (0,)), ((), ())), preferred_element_type=f32,
