@@ -388,6 +388,82 @@ static bool fused_test() {
   return true;
 }
 
+// pruned_fused with a full-width band (S = U, ranges = 0) must equal the
+// dense fused engine exactly: same lattice, same gradients.
+static bool pruned_fused_test() {
+  const int B = 2, T = 6, U = 4, V = 7, H = 5, S = U;
+  std::mt19937 gen(47);
+  std::uniform_real_distribution<double> dist(-1.0, 1.0);
+  std::vector<double> e(static_cast<size_t>(B) * T * H),
+      p(static_cast<size_t>(B) * U * H), W(static_cast<size_t>(H) * V),
+      bias(V);
+  for (auto& x : e) x = dist(gen);
+  for (auto& x : p) x = dist(gen);
+  for (auto& x : W) x = dist(gen) / std::sqrt(double(H));
+  for (auto& x : bias) x = dist(gen) * 0.1;
+  std::vector<int> labels(B * (U - 1));
+  std::uniform_int_distribution<int> ldist(1, V - 1);
+  for (auto& l : labels) l = ldist(gen);
+  std::vector<int> label_lengths = {3, 2};
+  std::vector<int> input_lengths = {6, 4};
+  std::vector<int> ranges(static_cast<size_t>(B) * T, 0);
+  wttOptions opt{};
+  opt.fastemit_lambda = 0.25f;  // exercise the FastEmit path too
+
+  std::vector<double> cf(B), de_f(e.size()), dp_f(p.size()),
+      dW_f(W.size()), db_f(V);
+  if (wtt_rnnt_loss_fused_joint_fp64(
+          e.data(), p.data(), W.data(), bias.data(), de_f.data(),
+          dp_f.data(), dW_f.data(), db_f.data(), labels.data(),
+          label_lengths.data(), input_lengths.data(), H, V, B, T, U,
+          cf.data(), nullptr, opt) != WTT_STATUS_SUCCESS)
+    return false;
+
+  std::vector<double> cp(B), de_p(e.size()), dp_p(p.size()),
+      dW_p(W.size()), db_p(V);
+  if (wtt_rnnt_loss_pruned_fused_fp64(
+          e.data(), p.data(), W.data(), bias.data(), de_p.data(),
+          dp_p.data(), dW_p.data(), db_p.data(), ranges.data(),
+          labels.data(), label_lengths.data(), input_lengths.data(), H, V,
+          B, T, S, U, cp.data(), nullptr, opt) != WTT_STATUS_SUCCESS)
+    return false;
+
+  for (int b = 0; b < B; ++b)
+    if (!close(cp[b], cf[b], 1e-10)) {
+      std::printf("pruned_fused_test cost[%d]: %f vs fused %f\n", b, cp[b],
+                  cf[b]);
+      return false;
+    }
+  auto cmp = [&](const char* name, const std::vector<double>& a,
+                 const std::vector<double>& r) {
+    for (size_t i = 0; i < a.size(); ++i)
+      if (!close(a[i], r[i], 1e-10)) {
+        std::printf("pruned_fused_test %s[%zu]: %g vs %g\n", name, i, a[i],
+                    r[i]);
+        return false;
+      }
+    return true;
+  };
+  if (!cmp("de", de_p, de_f) || !cmp("dp", dp_p, dp_f) ||
+      !cmp("dW", dW_p, dW_f) || !cmp("db", db_p, db_f))
+    return false;
+
+  // score-only path (all grads NULL)
+  std::vector<double> cs(B);
+  if (wtt_rnnt_loss_pruned_fused_fp64(
+          e.data(), p.data(), W.data(), bias.data(), nullptr, nullptr,
+          nullptr, nullptr, ranges.data(), labels.data(),
+          label_lengths.data(), input_lengths.data(), H, V, B, T, S, U,
+          cs.data(), nullptr, opt) != WTT_STATUS_SUCCESS)
+    return false;
+  for (int b = 0; b < B; ++b)
+    if (!close(cs[b], cf[b], 1e-10)) return false;
+
+  std::printf("pruned_fused_test: full band == dense fused (%f, %f)\n",
+              cp[0], cp[1]);
+  return true;
+}
+
 int main() {
   if (wtt_get_version() != 2) return 1;
   bool ok = small_test();
@@ -396,6 +472,7 @@ int main() {
   ok = workspace_test() && ok;
   ok = pruned_test() && ok;
   ok = fused_test() && ok;
+  ok = pruned_fused_test() && ok;
   std::printf(ok ? "native tests pass\n" : "native tests FAIL\n");
   return ok ? 0 : 1;
 }
