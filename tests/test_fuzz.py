@@ -163,3 +163,41 @@ def test_native_vs_oracle(seed):
                                            fastemit_lambda=lam)
     np.testing.assert_allclose(costs, ref_c, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(grads, ref_g, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", SEEDS[:6])
+def test_pruned_fused_full_band_vs_oracle(seed):
+    from warp_transducer_tpu import rnnt_loss_pruned_fused
+
+    B, T, U, V, blank, lam, _, labels, il, ll = _case(seed)
+    rng = np.random.RandomState(3000 + seed)
+    H = int(rng.randint(2, 10))
+    e = (rng.randn(B, T, H) * 0.5).astype(np.float32)
+    p = (rng.randn(B, U, H) * 0.5).astype(np.float32)
+    W = (rng.randn(H, V) / np.sqrt(H)).astype(np.float32)
+    b = (rng.randn(V) * 0.1).astype(np.float32)
+    acts = np.tanh(e[:, :, None, :] + p[:, None, :, :]) @ W + b
+    ref_c, ref_g = numpy_oracle.rnnt_batch(acts, labels, il, ll, blank=blank,
+                                           fastemit_lambda=lam)
+    ranges = jnp.zeros((B, T), jnp.int32)
+    S = max(U, 2)  # band covers the lattice (cells beyond U are masked)
+    costs = rnnt_loss_pruned_fused(
+        jnp.asarray(e), jnp.asarray(p), jnp.asarray(W), jnp.asarray(b),
+        ranges, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll),
+        s_range=S, blank=blank, reduction="none", implementation="xla",
+        fastemit_lambda=lam)
+    np.testing.assert_allclose(np.asarray(costs), ref_c, rtol=1e-4,
+                               atol=1e-4)
+    # e-gradient: pull the oracle's dense fastemit gradient back through
+    # the joint construction and compare
+    de = jax.grad(lambda e_: rnnt_loss_pruned_fused(
+        e_, jnp.asarray(p), jnp.asarray(W), jnp.asarray(b), ranges,
+        jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll), s_range=S,
+        blank=blank, reduction="sum", implementation="xla",
+        fastemit_lambda=lam))(jnp.asarray(e))
+    _, vjp = jax.vjp(
+        lambda e_: jnp.tanh(e_[:, :, None, :] + p[:, None, :, :]) @ W + b,
+        jnp.asarray(e))
+    (de_ref,) = vjp(jnp.asarray(ref_g, jnp.float32))
+    np.testing.assert_allclose(np.asarray(de), np.asarray(de_ref),
+                               rtol=1e-3, atol=1e-4)
