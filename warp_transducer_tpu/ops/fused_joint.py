@@ -209,20 +209,25 @@ def _fused_grad_xla(e, p, W, bias, labels, denom, coef, cb, ce, blank):
             dW.astype(W.dtype), db.astype(bias.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def _fused_costs(e, p, W, bias, labels, input_lengths, label_lengths,
-                 blank, implementation, fastemit_lambda):
+                 blank, implementation, fastemit_lambda, delay_penalty):
     denom, lpb, lpe = _fused_prep(e, p, W, bias, labels, blank,
                                   implementation)
+    if delay_penalty:
+        lpe = _prep.delay_shift(lpe, input_lengths, delay_penalty)
     res = _run_lattice(implementation, _prep.PreparedInputs(lpb, lpe, denom),
                        input_lengths, label_lengths, compute_betas=False)
     return (-res.ll_forward).astype(e.dtype)
 
 
 def _fused_costs_fwd(e, p, W, bias, labels, input_lengths, label_lengths,
-                     blank, implementation, fastemit_lambda=0.0):
+                     blank, implementation, fastemit_lambda=0.0,
+                     delay_penalty=0.0):
     denom, lpb, lpe = _fused_prep(e, p, W, bias, labels, blank,
                                   implementation)
+    if delay_penalty:
+        lpe = _prep.delay_shift(lpe, input_lengths, delay_penalty)
     res = _run_lattice(implementation, _prep.PreparedInputs(lpb, lpe, denom),
                        input_lengths, label_lengths)
     costs = (-res.ll_forward).astype(e.dtype)
@@ -231,7 +236,8 @@ def _fused_costs_fwd(e, p, W, bias, labels, input_lengths, label_lengths,
     return costs, residuals
 
 
-def _fused_costs_bwd(blank, implementation, fastemit_lambda, residuals, g):
+def _fused_costs_bwd(blank, implementation, fastemit_lambda, delay_penalty,
+                     residuals, g):
     (e, p, W, bias, labels, input_lengths, label_lengths,
      denom, lpb, lpe, alphas, betas, ll) = residuals
     coef, cb, ce = _joint_coefs(
@@ -275,6 +281,7 @@ def rnnt_loss_fused_joint(
     reduction: str = "mean",
     implementation: str = "auto",
     fastemit_lambda: float = 0.0,
+    delay_penalty: float = 0.0,
 ) -> jax.Array:
     """RNN-T loss with the joint projection fused in.
 
@@ -291,6 +298,9 @@ def rnnt_loss_fused_joint(
         serialises). 'auto' picks 'pallas' on TPU.
       fastemit_lambda: FastEmit strength λ (arXiv:2010.11148): scales the
         emit-arc gradient by (1 + λ); the loss value is unchanged.
+      delay_penalty: delay-penalized transducer strength (arXiv:2211.00490):
+        emit arcs at frame t get + λ·((T_b-1)/2 - t) on their log-weight
+        (changes the objective, exactly differentiable).
 
     Equals ``rnnt_loss(tanh(e ⊕ p) @ W + bias, ...)`` without ever
     materialising the (B, T, U, V) logits or their gradient in HBM.
@@ -321,10 +331,12 @@ def rnnt_loss_fused_joint(
         )
     if fastemit_lambda < 0:
         raise ValueError(f"fastemit_lambda must be >= 0, got {fastemit_lambda}")
+    if delay_penalty < 0:
+        raise ValueError(f"delay_penalty must be >= 0, got {delay_penalty}")
     impl = _pick_implementation(implementation)
     costs = _fused_costs(e, p, W, bias, labels.astype(jnp.int32),
                          input_lengths, label_lengths, int(blank), impl,
-                         float(fastemit_lambda))
+                         float(fastemit_lambda), float(delay_penalty))
     if reduction == "sum":
         return jnp.sum(costs)
     if reduction == "mean":

@@ -282,13 +282,21 @@ def grad_panels(acts, lab_panel, lpb_p, lpe_p, den_p, alpha_p, beta_p,
 
 
 def pruned_forward(acts, lab_band, has_lab, ranges, input_lengths,
-                   label_lengths, blank, interpret):
+                   label_lengths, blank, interpret, delay_penalty=0.0):
     """Panels forward: returns (costs_ll, residual panels dict)."""
     B, T, S, V = acts.shape
     S_pad, B_pad, SV, Tc, T_pad = _geometry(B, T, S, V)
     lab_panel = _lab_panel(lab_band, has_lab, T_pad, S_pad, B_pad)
     lpb_p, lpe_p, den_p = prep_panels(acts, lab_panel, blank=blank,
                                       interpret=interpret)
+    if delay_penalty:
+        # delay-penalized transducer (arXiv:2211.00490): emit log-weights
+        # get + lam*((T_b-1)/2 - t); panel layout is (T_pad, S_pad, B_pad)
+        t = jnp.arange(T_pad, dtype=jnp.float32)
+        mid = (input_lengths.astype(jnp.float32) - 1) / 2
+        mid = jnp.pad(mid, (0, B_pad - B))
+        lpe_p = lpe_p + jnp.float32(delay_penalty) * (
+            mid[None, None, :] - t[:, None, None])
     ranges_p, da_p, db_p, tb, ub = band_row_metadata(
         ranges, input_lengths, label_lengths, T_pad
     )

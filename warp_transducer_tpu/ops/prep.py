@@ -106,3 +106,19 @@ def prepare(
         lpb = lpb + denom
         lpe = lpe + denom
     return PreparedInputs(lpb=lpb, lpe=lpe, denom=denom)
+
+
+def delay_shift(lpe, input_lengths, delay_penalty):
+    """Delay-penalized transducer (arXiv:2211.00490): add
+    λ·((T_b-1)/2 - t) to every emit log-weight — earlier emissions are
+    rewarded, centered per utterance so the total stays scale-stable.
+    Applied AFTER prep, so every engine's closed-form gradient remains
+    exact (the shift is part of the arc weight the lattice and the
+    coefficient fields both see). lpe: (B, T, ...); broadcast over
+    trailing dims."""
+    dtype = lpe.dtype
+    T = lpe.shape[1]
+    t = jnp.arange(T, dtype=dtype)
+    mid = (input_lengths.astype(dtype) - 1) / 2
+    shift = jnp.asarray(delay_penalty, dtype) * (mid[:, None] - t[None, :])
+    return lpe + shift.reshape(shift.shape + (1,) * (lpe.ndim - 2))

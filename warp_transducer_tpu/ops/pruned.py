@@ -365,12 +365,12 @@ def _band_grad(acts, denom, lpb, lpe, lat, ranges, lab_band, has_lab,
     return g.astype(acts.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _pruned_costs(acts, ranges, labels, input_lengths, label_lengths, blank,
-                  implementation, fastemit_lambda):
+                  implementation, fastemit_lambda, delay_penalty):
     costs, _ = _pruned_fwd(acts, ranges, labels, input_lengths,
                            label_lengths, blank, implementation,
-                           fastemit_lambda)
+                           fastemit_lambda, delay_penalty)
     return costs
 
 
@@ -387,7 +387,7 @@ def _band_labels(labels, ranges, S):
 
 
 def _pruned_fwd(acts, ranges, labels, input_lengths, label_lengths, blank,
-                implementation, fastemit_lambda=0.0):
+                implementation, fastemit_lambda=0.0, delay_penalty=0.0):
     if implementation == "pallas":
         # all-panels pipeline: no (B, T, S)-layout intermediate ever exists
         from .pallas import band_pipeline
@@ -397,12 +397,17 @@ def _pruned_fwd(acts, ranges, labels, input_lengths, label_lengths, blank,
         llf, panels = band_pipeline.pruned_forward(
             acts, lab_band, has_lab, ranges.astype(jnp.int32),
             input_lengths, label_lengths, blank, interpret,
+            delay_penalty=delay_penalty,
         )
         costs = (-llf).astype(acts.dtype)
         return costs, (acts, panels, ranges, labels,
                        input_lengths, label_lengths)
 
     lpb, lpe, denom, lab_band, has_lab = _band_prep(acts, labels, ranges, blank)
+    if delay_penalty:
+        from . import prep as _dp_prep
+
+        lpe = _dp_prep.delay_shift(lpe, input_lengths, delay_penalty)
     lat = _band_lattice(lpb, lpe, ranges, input_lengths, label_lengths,
                         implementation=implementation)
     costs = (-lat.ll_forward).astype(acts.dtype)
@@ -411,7 +416,8 @@ def _pruned_fwd(acts, ranges, labels, input_lengths, label_lengths, blank,
     return costs, residuals
 
 
-def _pruned_bwd(blank, implementation, fastemit_lambda, residuals, g):
+def _pruned_bwd(blank, implementation, fastemit_lambda, delay_penalty,
+                residuals, g):
     def int_zeros(*shapes):
         return tuple(np.zeros(s, dtype=jax.dtypes.float0) for s in shapes)
 
@@ -452,6 +458,7 @@ def rnnt_loss_pruned(
     reduction: str = "mean",
     implementation: str = "auto",
     fastemit_lambda: float = 0.0,
+    delay_penalty: float = 0.0,
 ) -> jax.Array:
     """Transducer loss restricted to a pruned band of the lattice.
 
@@ -466,6 +473,9 @@ def rnnt_loss_pruned(
         fast path; 'auto' picks it on TPU).
       fastemit_lambda: FastEmit strength λ (arXiv:2010.11148): scales the
         emit-arc gradient by (1 + λ); the loss value is unchanged.
+      delay_penalty: delay-penalized transducer strength (arXiv:2211.00490):
+        emit arcs at frame t get + λ·((T_b-1)/2 - t) on their log-weight
+        (changes the objective, exactly differentiable).
 
     Returns the negative log-likelihood over band-internal paths; equals
     ``rnnt_loss`` exactly when the band covers the whole lattice.
@@ -481,10 +491,12 @@ def rnnt_loss_pruned(
         )
     if fastemit_lambda < 0:
         raise ValueError(f"fastemit_lambda must be >= 0, got {fastemit_lambda}")
+    if delay_penalty < 0:
+        raise ValueError(f"delay_penalty must be >= 0, got {delay_penalty}")
     impl = _pick_implementation(implementation)
     costs = _pruned_costs(acts, ranges.astype(jnp.int32), labels,
                           input_lengths, label_lengths, int(blank), impl,
-                          float(fastemit_lambda))
+                          float(fastemit_lambda), float(delay_penalty))
     if reduction == "sum":
         return jnp.sum(costs)
     if reduction == "mean":

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from . import prep as _prep
 from .fused_joint import _chunk_t, _pad_t, _unchunk_t
 from .pruned import NEG, _band_coefs, _band_labels, _band_lattice
 from .rnnt import _pick_implementation
@@ -172,24 +173,27 @@ def _pruned_fused_grad_xla(e, p, W, bias, ranges, lab_band, denom,
             dW.astype(W.dtype), db.astype(bias.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def _pruned_fused_costs(e, p, W, bias, ranges, labels, input_lengths,
                         label_lengths, blank, implementation,
-                        fastemit_lambda, s_range):
+                        fastemit_lambda, s_range, delay_penalty):
     costs, _ = _pruned_fused_fwd(e, p, W, bias, ranges, labels,
                                  input_lengths, label_lengths, blank,
-                                 implementation, fastemit_lambda, s_range)
+                                 implementation, fastemit_lambda, s_range,
+                                 delay_penalty)
     return costs
 
 
 def _pruned_fused_fwd(e, p, W, bias, ranges, labels, input_lengths,
                       label_lengths, blank, implementation,
-                      fastemit_lambda=0.0, s_range=2):
+                      fastemit_lambda=0.0, s_range=2, delay_penalty=0.0):
     S = int(s_range)
     lab_band, has_lab = _band_labels(labels, ranges, S)
     denom, lpb, lpe = _pruned_fused_prep_xla(
         e, p, W, bias, ranges, jnp.where(has_lab, lab_band, -1), blank
     )
+    if delay_penalty:
+        lpe = _prep.delay_shift(lpe, input_lengths, delay_penalty)
     lat = _band_lattice(lpb, lpe, ranges, input_lengths, label_lengths,
                         implementation=implementation)
     # infeasible bands (ll == NEG sentinel): huge finite cost, zero grads
@@ -201,7 +205,7 @@ def _pruned_fused_fwd(e, p, W, bias, ranges, labels, input_lengths,
 
 
 def _pruned_fused_bwd(blank, implementation, fastemit_lambda, s_range,
-                      residuals, g):
+                      delay_penalty, residuals, g):
     (e, p, W, bias, ranges, labels, input_lengths, label_lengths,
      denom, lpb, lpe, lat) = residuals
     S = lpb.shape[2]
@@ -239,6 +243,7 @@ def rnnt_loss_pruned_fused(
     reduction: str = "mean",
     implementation: str = "auto",
     fastemit_lambda: float = 0.0,
+    delay_penalty: float = 0.0,
 ) -> jax.Array:
     """Pruned RNN-T loss with the joint projection fused in.
 
@@ -256,6 +261,9 @@ def rnnt_loss_pruned_fused(
         the chunked joint sweeps are XLA either way).
       fastemit_lambda: FastEmit strength λ (arXiv:2010.11148): scales the
         emit-arc gradient by (1 + λ); the loss value is unchanged.
+      delay_penalty: delay-penalized transducer strength (arXiv:2211.00490):
+        emit arcs at frame t get + λ·((T_b-1)/2 - t) on their log-weight
+        (changes the objective, exactly differentiable).
 
     Equals ``rnnt_loss_pruned(tanh(e ⊕ p_band) @ W + bias, ranges, ...)``
     without ever materialising the (B, T, S, V) banded logits or their
@@ -267,6 +275,8 @@ def rnnt_loss_pruned_fused(
         raise ValueError(f"reduction must be none|sum|mean, got {reduction!r}")
     if fastemit_lambda < 0:
         raise ValueError(f"fastemit_lambda must be >= 0, got {fastemit_lambda}")
+    if delay_penalty < 0:
+        raise ValueError(f"delay_penalty must be >= 0, got {delay_penalty}")
     if e.ndim != 3 or p.ndim != 3 or W.ndim != 2 or bias.ndim != 1:
         raise ValueError(
             f"expected e (B,T,H), p (B,U,H), W (H,V), bias (V,); got "
@@ -298,7 +308,7 @@ def rnnt_loss_pruned_fused(
     costs = _pruned_fused_costs(
         e, p, W, bias, ranges.astype(jnp.int32), labels.astype(jnp.int32),
         input_lengths, label_lengths, int(blank), impl,
-        float(fastemit_lambda), S,
+        float(fastemit_lambda), S, float(delay_penalty),
     )
     if reduction == "sum":
         return jnp.sum(costs)

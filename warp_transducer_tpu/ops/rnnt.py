@@ -140,11 +140,14 @@ def _run_lattice(implementation, prepped, input_lengths, label_lengths, compute_
     )
 
 
-def _forward(acts, labels, input_lengths, label_lengths, blank, log_probs_input, implementation, fastemit_lambda=0.0):
+def _forward(acts, labels, input_lengths, label_lengths, blank, log_probs_input, implementation, fastemit_lambda=0.0, delay_penalty=0.0):
     """Compute (costs, grads). The heart of the library."""
     B, T, U, V = acts.shape
     cdtype = _compute_dtype(acts.dtype)
     prepped = _prep.prepare(acts, labels, blank, log_probs_input, compute_dtype=cdtype)
+    if delay_penalty:
+        prepped = prepped._replace(
+            lpe=_prep.delay_shift(prepped.lpe, input_lengths, delay_penalty))
     res = _run_lattice(implementation, prepped, input_lengths, label_lengths)
 
     labels_u = _prep._pad_labels(labels.astype(jnp.int32), U)  # (B, U-1)
@@ -166,20 +169,23 @@ def _forward(acts, labels, input_lengths, label_lengths, blank, log_probs_input,
     return costs, grads
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _rnnt_costs(acts, labels, input_lengths, label_lengths, blank, log_probs_input, implementation, check_tol, fastemit_lambda):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _rnnt_costs(acts, labels, input_lengths, label_lengths, blank, log_probs_input, implementation, check_tol, fastemit_lambda, delay_penalty):
     # Primal-only path: no gradient work at all (scoring under plain jit).
     # The optional self-check needs betas, so it forces the full sweep.
     B, T, U, V = acts.shape
     cdtype = _compute_dtype(acts.dtype)
     prepped = _prep.prepare(acts, labels, blank, log_probs_input, compute_dtype=cdtype)
+    if delay_penalty:
+        prepped = prepped._replace(
+            lpe=_prep.delay_shift(prepped.lpe, input_lengths, delay_penalty))
     res = _run_lattice(implementation, prepped, input_lengths, label_lengths,
                        compute_betas=check_tol is not None)
     _maybe_check_mismatch(res, check_tol)
     return (-res.ll_forward).astype(acts.dtype)
 
 
-def _rnnt_costs_fwd(acts, labels, input_lengths, label_lengths, blank, log_probs_input, implementation, check_tol, fastemit_lambda):
+def _rnnt_costs_fwd(acts, labels, input_lengths, label_lengths, blank, log_probs_input, implementation, check_tol, fastemit_lambda, delay_penalty):
     """Forward: lattice only. The dense O(B·T·U·V) gradient pass runs in the
     BACKWARD, with the upstream cotangent folded into its small (B, T, U)
     coefficients — unlike the reference (which computes the gradient during
@@ -190,6 +196,9 @@ def _rnnt_costs_fwd(acts, labels, input_lengths, label_lengths, blank, log_probs
     """
     cdtype = _compute_dtype(acts.dtype)
     prepped = _prep.prepare(acts, labels, blank, log_probs_input, compute_dtype=cdtype)
+    if delay_penalty:
+        prepped = prepped._replace(
+            lpe=_prep.delay_shift(prepped.lpe, input_lengths, delay_penalty))
     res = _run_lattice(implementation, prepped, input_lengths, label_lengths)
     _maybe_check_mismatch(res, check_tol)
     costs = (-res.ll_forward).astype(acts.dtype)
@@ -201,7 +210,7 @@ def _rnnt_costs_fwd(acts, labels, input_lengths, label_lengths, blank, log_probs
     return costs, residuals
 
 
-def _rnnt_costs_bwd(blank, log_probs_input, implementation, check_tol, fastemit_lambda, residuals, g):
+def _rnnt_costs_bwd(blank, log_probs_input, implementation, check_tol, fastemit_lambda, delay_penalty, residuals, g):
     (acts, lpb, lpe, denom, alphas, betas, ll,
      labels, input_lengths, label_lengths) = residuals
     B, T, U, V = acts.shape
@@ -241,6 +250,7 @@ def rnnt_loss(
     log_probs_input: bool = False,
     implementation: str = "auto",
     fastemit_lambda: float = 0.0,
+    delay_penalty: float = 0.0,
     options=None,
 ) -> jax.Array:
     """RNN-Transducer loss.
@@ -269,6 +279,11 @@ def rnnt_loss(
         posterior is scaled by (1 + λ), biasing training toward earlier
         emissions for lower streaming latency. The returned loss value is
         the unmodified negative log-likelihood. 0 (default) disables.
+      delay_penalty: delay-penalized transducer strength λ
+        (arXiv:2211.00490): every emit arc at frame t has
+        λ·((T_b-1)/2 - t) added to its log-weight, rewarding earlier
+        emissions. Unlike FastEmit this changes the OBJECTIVE (loss value
+        and gradients together, exactly differentiable). 0 disables.
       options: optional ``RNNTOptions``; when given its fields take
         precedence over the individual kwargs, and its
         ``fwd_bwd_check_tol`` arms the forward/backward likelihood
@@ -286,18 +301,21 @@ def rnnt_loss(
         implementation = options.implementation
         check_tol = options.fwd_bwd_check_tol
         fastemit_lambda = options.fastemit_lambda
+        delay_penalty = options.delay_penalty
     _certify_inputs(acts, labels, input_lengths, label_lengths)
     if reduction not in ("none", "sum", "mean"):
         raise ValueError(f"reduction must be none|sum|mean, got {reduction!r}")
     if fastemit_lambda < 0:
         raise ValueError(f"fastemit_lambda must be >= 0, got {fastemit_lambda}")
+    if delay_penalty < 0:
+        raise ValueError(f"delay_penalty must be >= 0, got {delay_penalty}")
     acts = _steer_dtype(acts, implementation)
     impl = _pick_implementation(implementation)
     costs = _rnnt_costs(
         acts, labels, input_lengths, label_lengths, int(blank),
         bool(log_probs_input), impl,
         None if check_tol is None else float(check_tol),
-        float(fastemit_lambda),
+        float(fastemit_lambda), float(delay_penalty),
     )
     if reduction == "sum":
         return jnp.sum(costs)
@@ -309,6 +327,7 @@ def rnnt_loss(
 def rnnt_loss_and_grad(
     acts, labels, input_lengths, label_lengths, blank=0,
     log_probs_input=False, implementation="auto", fastemit_lambda=0.0,
+    delay_penalty=0.0,
 ):
     """Return (costs[B], grads[B,T,U,V]) in one call — the ``cost_and_grad``
     entry point of the C API (/root/reference/include/rnnt.h:104-113)."""
@@ -317,6 +336,7 @@ def rnnt_loss_and_grad(
     return _forward(
         acts, labels, input_lengths, label_lengths, int(blank),
         bool(log_probs_input), impl, fastemit_lambda=float(fastemit_lambda),
+        delay_penalty=float(delay_penalty),
     )
 
 

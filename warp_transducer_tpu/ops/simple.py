@@ -93,9 +93,10 @@ def _coefs(lpb, lpe, alphas, betas, ll, input_lengths, label_lengths, scale,
     return coef * s, cb * s, ce * s
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _simple_costs(am, lm, labels, input_lengths, label_lengths,
-                  blank, implementation, precision, fastemit_lambda):
+                  blank, implementation, precision, fastemit_lambda,
+                  delay_penalty):
     # primal-only path (scoring under plain jit): alphas only, no betas
     U = lm.shape[1]
     labels_u = _prep._pad_labels(labels.astype(jnp.int32), U)
@@ -103,19 +104,24 @@ def _simple_costs(am, lm, labels, input_lengths, label_lengths,
     lpb, lpe, _, _, _, _ = _factorised_lattice_inputs(
         am, lm, labels_u, blank, precision
     )
+    if delay_penalty:
+        lpe = _prep.delay_shift(lpe, input_lengths, delay_penalty)
     res = _run_lattice(implementation, _prep.PreparedInputs(lpb, lpe, None),
                        input_lengths, label_lengths, compute_betas=False)
     return (-res.ll_forward).astype(am.dtype)
 
 
 def _simple_fwd(am, lm, labels, input_lengths, label_lengths,
-                blank, implementation, precision, fastemit_lambda=0.0):
+                blank, implementation, precision, fastemit_lambda=0.0,
+                delay_penalty=0.0):
     U = lm.shape[1]
     labels_u = _prep._pad_labels(labels.astype(jnp.int32), U)
     labels_u = jnp.pad(labels_u, ((0, 0), (0, 1)), constant_values=0)  # (B, U)
     lpb, lpe, S, A, Bm, onehot = _factorised_lattice_inputs(
         am, lm, labels_u, blank, precision
     )
+    if delay_penalty:
+        lpe = _prep.delay_shift(lpe, input_lengths, delay_penalty)
     res = _run_lattice(implementation, _prep.PreparedInputs(lpb, lpe, None),
                        input_lengths, label_lengths)
     costs = (-res.ll_forward).astype(am.dtype)
@@ -125,7 +131,7 @@ def _simple_fwd(am, lm, labels, input_lengths, label_lengths,
 
 
 def _simple_bwd(blank, implementation, precision, fastemit_lambda,
-                residuals, g):
+                delay_penalty, residuals, g):
     (am, lm, labels, input_lengths, label_lengths,
      lpb, lpe, S, alphas, betas, ll) = residuals
     B, T, V = am.shape
@@ -169,23 +175,24 @@ def _simple_bwd(blank, implementation, precision, fastemit_lambda,
 _simple_costs.defvjp(_simple_fwd, _simple_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _simple_costs_with_ranges(am, lm, labels, input_lengths, label_lengths,
                               blank, implementation, precision, s_range,
-                              fastemit_lambda):
+                              fastemit_lambda, delay_penalty):
     (costs, ranges), _ = _simple_ranges_fwd(
         am, lm, labels, input_lengths, label_lengths,
         blank, implementation, precision, s_range, fastemit_lambda,
+        delay_penalty,
     )
     return costs, ranges
 
 
 def _simple_ranges_fwd(am, lm, labels, input_lengths, label_lengths,
                        blank, implementation, precision, s_range,
-                       fastemit_lambda=0.0):
+                       fastemit_lambda=0.0, delay_penalty=0.0):
     costs, residuals = _simple_fwd(am, lm, labels, input_lengths,
                                    label_lengths, blank, implementation,
-                                   precision)
+                                   precision, delay_penalty=delay_penalty)
     # pruning band from the SAME lattice the loss just computed (the
     # alphas/betas sit in the residuals) — no second forward-backward
     from .pruned import ranges_from_posteriors
@@ -198,10 +205,10 @@ def _simple_ranges_fwd(am, lm, labels, input_lengths, label_lengths,
 
 
 def _simple_ranges_bwd(blank, implementation, precision, s_range,
-                       fastemit_lambda, residuals, g):
+                       fastemit_lambda, delay_penalty, residuals, g):
     g_costs, _g_ranges = g  # ranges are int32: float0 cotangent, ignored
     return _simple_bwd(blank, implementation, precision, fastemit_lambda,
-                       residuals, g_costs)
+                       delay_penalty, residuals, g_costs)
 
 
 _simple_costs_with_ranges.defvjp(_simple_ranges_fwd, _simple_ranges_bwd)
@@ -219,6 +226,7 @@ def rnnt_loss_simple(
     precision=jax.lax.Precision.HIGHEST,
     prune_range: int | None = None,
     fastemit_lambda: float = 0.0,
+    delay_penalty: float = 0.0,
 ) -> jax.Array:
     """RNN-T loss for the additive joiner, without the (B,T,U,V) tensor.
 
@@ -235,6 +243,9 @@ def rnnt_loss_simple(
         return value becomes ``(loss, ranges)``.
       fastemit_lambda: FastEmit strength λ (arXiv:2010.11148): scales the
         emit-arc gradient by (1 + λ); the loss value is unchanged.
+      delay_penalty: delay-penalized transducer strength (arXiv:2211.00490):
+        emit arcs at frame t get + λ·((T_b-1)/2 - t) on their log-weight
+        (changes the objective, exactly differentiable).
 
     Exactly equals ``rnnt_loss(am[:,:,None,:] + lm[:,None,:,:], ...)`` —
     same lattice, same math — but with O((T+U)·V) instead of O(T·U·V)
@@ -255,17 +266,19 @@ def rnnt_loss_simple(
         )
     if fastemit_lambda < 0:
         raise ValueError(f"fastemit_lambda must be >= 0, got {fastemit_lambda}")
+    if delay_penalty < 0:
+        raise ValueError(f"delay_penalty must be >= 0, got {delay_penalty}")
     impl = _pick_implementation(implementation)
     if prune_range is not None:
         costs, ranges = _simple_costs_with_ranges(
             am, lm, labels, input_lengths, label_lengths,
             int(blank), impl, precision, int(prune_range),
-            float(fastemit_lambda),
+            float(fastemit_lambda), float(delay_penalty),
         )
     else:
         costs = _simple_costs(am, lm, labels, input_lengths, label_lengths,
                               int(blank), impl, precision,
-                              float(fastemit_lambda))
+                              float(fastemit_lambda), float(delay_penalty))
     if reduction == "sum":
         loss = jnp.sum(costs)
     elif reduction == "mean":

@@ -62,15 +62,21 @@ def _betas(lpb: np.ndarray, lpe: np.ndarray) -> tuple[np.ndarray, float]:
     return b, b[0, 0]
 
 
-def rnnt_single(log_probs: np.ndarray, labels: np.ndarray, blank: int = 0):
+def rnnt_single(log_probs: np.ndarray, labels: np.ndarray, blank: int = 0,
+                delay_penalty: float = 0.0):
     """Loss internals for one utterance.
 
     Args:
       log_probs: (T, U, V) already log-softmaxed joint outputs.
       labels: (U-1,) int label sequence.
+      delay_penalty: λ of the delay-penalized transducer
+        (arXiv:2211.00490): every emit arc at frame t gets
+        + λ·((T-1)/2 - t) added to its log-weight, rewarding earlier
+        emissions. Changes the OBJECTIVE (loss and gradients together,
+        exactly differentiable), unlike FastEmit which is gradient-only.
 
     Returns:
-      dict with alphas, betas, ll_fwd, ll_bwd, lpb, lpe.
+      dict with alphas, betas, ll_fwd, ll_bwd, lpb, lpe (lpe shifted).
     """
     T, U, V = log_probs.shape
     lpb = log_probs[:, :, blank].astype(np.float64)
@@ -79,12 +85,16 @@ def rnnt_single(log_probs: np.ndarray, labels: np.ndarray, blank: int = 0):
         lpe[:, : U - 1] = np.take_along_axis(
             log_probs[:, : U - 1, :], np.asarray(labels)[None, :, None], axis=2
         )[:, :, 0]
+    if delay_penalty:
+        shift = delay_penalty * ((T - 1) / 2.0 - np.arange(T, dtype=np.float64))
+        lpe = lpe + shift[:, None]
     alphas, ll_fwd = _alphas(lpb, lpe)
     betas, ll_bwd = _betas(lpb, lpe)
     return dict(alphas=alphas, betas=betas, ll_fwd=ll_fwd, ll_bwd=ll_bwd, lpb=lpb, lpe=lpe)
 
 
-def grad_wrt_log_probs(log_probs, labels, blank=0, fastemit_lambda=0.0):
+def grad_wrt_log_probs(log_probs, labels, blank=0, fastemit_lambda=0.0,
+                       delay_penalty=0.0):
     """Sparse gradient of cost = -ll w.r.t. the log-prob inputs.
 
     Matches the reference CPU convention (cpu_rnnt.h:253-267): only the blank
@@ -93,7 +103,7 @@ def grad_wrt_log_probs(log_probs, labels, blank=0, fastemit_lambda=0.0):
     gradient is scaled by (1 + λ), the blank arc is untouched.
     """
     T, U, V = log_probs.shape
-    st = rnnt_single(log_probs, labels, blank)
+    st = rnnt_single(log_probs, labels, blank, delay_penalty=delay_penalty)
     a, b, ll = st["alphas"], st["betas"], st["ll_fwd"]
     lpb, lpe = st["lpb"], st["lpe"]
     lam1 = 1.0 + float(fastemit_lambda)
@@ -110,7 +120,8 @@ def grad_wrt_log_probs(log_probs, labels, blank=0, fastemit_lambda=0.0):
     return -st["ll_fwd"], g
 
 
-def grad_wrt_acts(acts, labels, blank=0, fastemit_lambda=0.0):
+def grad_wrt_acts(acts, labels, blank=0, fastemit_lambda=0.0,
+                  delay_penalty=0.0):
     """Dense gradient of cost = -ll w.r.t. raw activations (fused log-softmax).
 
     Matches the reference GPU convention (gpu_rnnt_kernel.h:143-179).
@@ -122,13 +133,14 @@ def grad_wrt_acts(acts, labels, blank=0, fastemit_lambda=0.0):
     T, U, V = acts.shape
     lam = float(fastemit_lambda)
     lp = log_softmax(acts)
-    st = rnnt_single(lp, labels, blank)
+    st = rnnt_single(lp, labels, blank, delay_penalty=delay_penalty)
     a, b, ll = st["alphas"], st["betas"], st["ll_fwd"]
+    lpe_s = st["lpe"]  # includes the delay shift
     probs = np.exp(lp)
     ce = np.zeros((T, U), dtype=np.float64)
     for t in range(T):
         for u in range(U - 1):
-            ce[t, u] = np.exp(a[t, u] + lp[t, u, labels[u]] + b[t, u + 1] - ll)
+            ce[t, u] = np.exp(a[t, u] + lpe_s[t, u] + b[t, u + 1] - ll)
     w = np.exp(a + b - ll) + lam * ce
     g = w[:, :, None] * probs
     for t in range(T):
@@ -142,7 +154,8 @@ def grad_wrt_acts(acts, labels, blank=0, fastemit_lambda=0.0):
 
 
 def rnnt_batch(acts, labels, input_lengths, label_lengths, blank=0,
-               from_log_probs=False, fastemit_lambda=0.0):
+               from_log_probs=False, fastemit_lambda=0.0,
+               delay_penalty=0.0):
     """Batched oracle over padded (B, T, U, V) inputs.
 
     Returns (costs[B], grads[B,T,U,V]) with grads following the convention
@@ -160,10 +173,12 @@ def rnnt_batch(acts, labels, input_lengths, label_lengths, blank=0,
         lab = np.asarray(labels[i][: u - 1], dtype=np.int64)
         if from_log_probs:
             c, g = grad_wrt_log_probs(sub, lab, blank,
-                                      fastemit_lambda=fastemit_lambda)
+                                      fastemit_lambda=fastemit_lambda,
+                                      delay_penalty=delay_penalty)
         else:
             c, g = grad_wrt_acts(sub, lab, blank,
-                                 fastemit_lambda=fastemit_lambda)
+                                 fastemit_lambda=fastemit_lambda,
+                                 delay_penalty=delay_penalty)
         costs[i] = c
         grads[i, :t, :u, :] = g
     return costs, grads

@@ -23,3 +23,7 @@ class RNNTOptions:
     # FastEmit regularization strength λ (arXiv:2010.11148): scales the
     # emit-arc gradient by (1 + λ); the loss value is unchanged. 0 = off.
     fastemit_lambda: float = 0.0
+    # Delay-penalized transducer strength λ (arXiv:2211.00490): emit arcs
+    # at frame t get + λ·((T_b-1)/2 - t) on their log-weight (changes the
+    # objective, exactly differentiable). 0 = off.
+    delay_penalty: float = 0.0
