@@ -39,6 +39,11 @@ typedef struct {
   float fastemit_lambda; /* FastEmit strength (arXiv:2010.11148):
                             scales the emit-arc gradient by (1+lambda);
                             the loss value is unchanged. 0 = off.    */
+  float delay_penalty;   /* Delay-penalized transducer (arXiv:2211.00490):
+                            emit arcs at frame t get
+                            + lambda*((T_b-1)/2 - t) on their log-weight
+                            (modified objective: loss AND gradients
+                            change together). 0 = off.               */
 } wttOptions;
 
 int wtt_get_version(void);

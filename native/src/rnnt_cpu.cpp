@@ -41,9 +41,11 @@ template <typename Real>
 class Lattice {
  public:
   Lattice(int T_, int U_, int V_, int maxU, int blank, bool from_log_probs,
-          Real* scratch = nullptr, Real fastemit_lambda = Real(0))
+          Real* scratch = nullptr, Real fastemit_lambda = Real(0),
+          Real delay_penalty = Real(0))
       : T(T_), U(U_), V(V_), maxU_(maxU), blank_(blank),
-        from_log_probs_(from_log_probs), lam_(fastemit_lambda) {
+        from_log_probs_(from_log_probs), lam_(fastemit_lambda),
+        delay_(delay_penalty) {
     const size_t n = static_cast<size_t>(T_) * U_;
     if (!scratch) {
       own_.resize(5 * n);
@@ -74,6 +76,19 @@ class Lattice {
         lpb_[idx(t, u)] = row[blank_] + d;
         if (u < U - 1) lpe_[idx(t, u)] = row[labels[u]] + d;
       }
+    }
+    apply_delay_shift();
+  }
+
+  // Delay-penalized transducer (arXiv:2211.00490): + lambda*((T-1)/2 - t)
+  // on every emit log-weight. Applied after the caches are built so the
+  // recursions and the closed-form gradient operate on shifted weights.
+  void apply_delay_shift() {
+    if (delay_ == Real(0)) return;
+    const Real mid = Real(T - 1) / Real(2);
+    for (int t = 0; t < T; ++t) {
+      const Real shift = delay_ * (mid - Real(t));
+      for (int u = 0; u < U - 1; ++u) lpe_[idx(t, u)] += shift;
     }
   }
 
@@ -148,6 +163,7 @@ class Lattice {
   int T, U, V, maxU_, blank_;
   bool from_log_probs_;
   Real lam_ = Real(0);
+  Real delay_ = Real(0);
   Real *lpb_, *lpe_, *denom_, *alpha_, *beta_;
   std::vector<Real> own_;
 };
@@ -159,7 +175,8 @@ template <typename Real>
 void run_simple_utterance(const Real* am, const Real* lm, Real* gam,
                           Real* glm, const int* labels, int T, int U, int V,
                           int blank, Real* cost,
-                          Real fastemit_lambda = Real(0)) {
+                          Real fastemit_lambda = Real(0),
+                          Real delay_penalty = Real(0)) {
   const Real kFloor = static_cast<Real>(1e-30);
   std::vector<Real> A(static_cast<size_t>(T) * V), Bm(static_cast<size_t>(U) * V);
   std::vector<Real> Ma(T), Ml(U);
@@ -204,6 +221,12 @@ void run_simple_utterance(const Real* am, const Real* lm, Real* gam,
                     lm[static_cast<size_t>(u) * V + y] - logZ;
       }
     }
+  if (delay_penalty != Real(0)) {
+    const Real mid = Real(T - 1) / Real(2);
+    for (int t = 0; t < T; ++t)
+      for (int u = 0; u < U - 1; ++u)
+        lpe[static_cast<size_t>(t) * U + u] += delay_penalty * (mid - Real(t));
+  }
 
   const Real ll = lat.forward();
   *cost = -ll;
@@ -278,7 +301,8 @@ wttStatus_t run_simple(const T* am, const T* lm, T* gam, T* glm,
   if (V <= 0 || B <= 0 || maxT <= 0 || maxU <= 0 ||
       options.blank_label < 0 || options.blank_label >= V ||
       options.from_log_probs != 0 ||
-      !(options.fastemit_lambda >= 0.0f))
+      !(options.fastemit_lambda >= 0.0f) ||
+      !(options.delay_penalty >= 0.0f))
     return WTT_STATUS_BAD_ARGUMENT;
   for (int b = 0; b < B; ++b) {
     if (input_lengths[b] < 1 || input_lengths[b] > maxT) return WTT_STATUS_BAD_ARGUMENT;
@@ -309,7 +333,8 @@ wttStatus_t run_simple(const T* am, const T* lm, T* gam, T* glm,
         gam ? gam + b * am_block : nullptr, glm ? glm + b * lm_block : nullptr,
         labels + static_cast<size_t>(b) * (maxU - 1), Tb, Ub, V,
         options.blank_label, &cost,
-        static_cast<T>(options.fastemit_lambda));
+        static_cast<T>(options.fastemit_lambda),
+        static_cast<T>(options.delay_penalty));
     if (!std::isfinite(cost)) ok = false;
     costs[b] = cost;
   }
@@ -325,7 +350,8 @@ wttStatus_t run(const T* acts, T* grads, const int* labels,
     return WTT_STATUS_BAD_ARGUMENT;
   if (V <= 0 || B <= 0 || maxT <= 0 || maxU <= 0 ||
       options.blank_label < 0 || options.blank_label >= V ||
-      !(options.fastemit_lambda >= 0.0f))
+      !(options.fastemit_lambda >= 0.0f) ||
+      !(options.delay_penalty >= 0.0f))
     return WTT_STATUS_BAD_ARGUMENT;
   for (int b = 0; b < B; ++b) {
     if (input_lengths[b] < 1 || input_lengths[b] > maxT) return WTT_STATUS_BAD_ARGUMENT;
@@ -355,7 +381,8 @@ wttStatus_t run(const T* acts, T* grads, const int* labels,
     Lattice<T> lat(Tb, Ub, V, maxU, options.blank_label,
                    options.from_log_probs != 0,
                    ws ? ws + b * ws_per_mb : nullptr,
-                   static_cast<T>(options.fastemit_lambda));
+                   static_cast<T>(options.fastemit_lambda),
+                   static_cast<T>(options.delay_penalty));
     lat.setup(a_b, lab_b);
     const T ll = lat.forward();
     if (!std::isfinite(ll)) ok = false;
@@ -441,7 +468,8 @@ void run_pruned_utterance(const Real* acts /* (T, S, V) rows */, Real* grads,
                           const int* ranges, const int* labels, int Tb,
                           int Ub, int S, int V, int blank, Real* cost,
                           Real* scratch /* 5*Tb*S */,
-                          Real fastemit_lambda = Real(0)) {
+                          Real fastemit_lambda = Real(0),
+                          Real delay_penalty = Real(0)) {
   const size_t n = static_cast<size_t>(Tb) * S;
   std::vector<Real> own;
   if (!scratch) {
@@ -478,6 +506,12 @@ void run_pruned_utterance(const Real* acts /* (T, S, V) rows */, Real* grads,
       lpb[cell] = row[blank] + d;
       lpe[cell] = (u < Ub - 1) ? row[labels[u]] + d : kNegInf<Real>;
     }
+  }
+  if (delay_penalty != Real(0)) {
+    const Real mid = Real(Tb - 1) / Real(2);
+    for (int t = 0; t < Tb; ++t)
+      for (int sdx = 0; sdx < S; ++sdx)
+        lpe[idx(t, sdx)] += delay_penalty * (mid - Real(t));
   }
 
   const Real ll = band_alpha(lpb, lpe, ranges, Tb, Ub, S, alpha);
@@ -529,7 +563,8 @@ wttStatus_t run_pruned(const T* acts, T* grads, const int* ranges,
   if (V <= 0 || B <= 0 || maxT <= 0 || S < 2 || maxL < 0 ||
       options.blank_label < 0 || options.blank_label >= V ||
       options.from_log_probs != 0 ||
-      !(options.fastemit_lambda >= 0.0f))
+      !(options.fastemit_lambda >= 0.0f) ||
+      !(options.delay_penalty >= 0.0f))
     return WTT_STATUS_BAD_ARGUMENT;
   for (int b = 0; b < B; ++b) {
     const int Tb = input_lengths[b];
@@ -569,7 +604,8 @@ wttStatus_t run_pruned(const T* acts, T* grads, const int* ranges,
         labels + static_cast<size_t>(b) * maxL,
         Tb, Ub, S, V, options.blank_label, &cost,
         ws ? ws + b * ws_per_mb : nullptr,
-        static_cast<T>(options.fastemit_lambda));
+        static_cast<T>(options.fastemit_lambda),
+        static_cast<T>(options.delay_penalty));
     if (!std::isfinite(cost)) ok = false;
     costs[b] = cost;
   }
@@ -589,7 +625,8 @@ void run_fused_utterance(const Real* e, const Real* p, const Real* W,
                          const Real* bias, Real* de, Real* dp, Real* dW,
                          Real* db, const int* labels, int Tb, int Ub, int H,
                          int V, int blank, Real* cost, Real* scratch,
-                         Real fastemit_lambda = Real(0)) {
+                         Real fastemit_lambda = Real(0),
+                         Real delay_penalty = Real(0)) {
   Lattice<Real> lat(Tb, Ub, V, Ub, blank, /*from_log_probs=*/true, scratch);
   Real* lpb = lat.lpb();
   Real* lpe = lat.lpe();
@@ -622,6 +659,12 @@ void run_fused_utterance(const Real* e, const Real* p, const Real* W,
       lpb[cell] = logits[blank] + d;
       if (u < Ub - 1) lpe[cell] = logits[labels[u]] + d;
     }
+  }
+  if (delay_penalty != Real(0)) {
+    const Real mid = Real(Tb - 1) / Real(2);
+    for (int t = 0; t < Tb; ++t)
+      for (int u = 0; u < Ub - 1; ++u)
+        lpe[idx(t, u)] += delay_penalty * (mid - Real(t));
   }
 
   const Real ll = lat.forward();
@@ -688,7 +731,8 @@ wttStatus_t run_fused(const T* e, const T* p, const T* W, const T* bias,
   if (H <= 0 || V <= 0 || B <= 0 || maxT <= 0 || maxU <= 0 ||
       options.blank_label < 0 || options.blank_label >= V ||
       options.from_log_probs != 0 ||
-      !(options.fastemit_lambda >= 0.0f))
+      !(options.fastemit_lambda >= 0.0f) ||
+      !(options.delay_penalty >= 0.0f))
     return WTT_STATUS_BAD_ARGUMENT;
   for (int b = 0; b < B; ++b) {
     if (input_lengths[b] < 1 || input_lengths[b] > maxT)
@@ -734,7 +778,8 @@ wttStatus_t run_fused(const T* e, const T* p, const T* W, const T* bias,
         de ? dW_loc.data() : nullptr, de ? db_loc.data() : nullptr,
         labels + static_cast<size_t>(b) * (maxU - 1), Tb, Ub, H, V,
         options.blank_label, &cost, ws ? ws + b * ws_per_mb : nullptr,
-        static_cast<T>(options.fastemit_lambda));
+        static_cast<T>(options.fastemit_lambda),
+        static_cast<T>(options.delay_penalty));
     if (!std::isfinite(cost)) ok = false;
     costs[b] = cost;
     if (de) {
@@ -764,7 +809,8 @@ void run_pruned_fused_utterance(const Real* e, const Real* p, const Real* W,
                                 const int* labels, int Tb, int Ub, int S,
                                 int H, int V, int blank, Real* cost,
                                 Real* scratch /* 5*Tb*S */,
-                                Real fastemit_lambda = Real(0)) {
+                                Real fastemit_lambda = Real(0),
+                                Real delay_penalty = Real(0)) {
   const size_t n = static_cast<size_t>(Tb) * S;
   std::vector<Real> own;
   if (!scratch) {
@@ -813,6 +859,12 @@ void run_pruned_fused_utterance(const Real* e, const Real* p, const Real* W,
       lpb[cell] = logits[blank] + d;
       lpe[cell] = (u < Ub - 1) ? logits[labels[u]] + d : kNegInf<Real>;
     }
+  }
+  if (delay_penalty != Real(0)) {
+    const Real mid = Real(Tb - 1) / Real(2);
+    for (int t = 0; t < Tb; ++t)
+      for (int sdx = 0; sdx < S; ++sdx)
+        lpe[idx(t, sdx)] += delay_penalty * (mid - Real(t));
   }
 
   const Real ll = band_alpha(lpb, lpe, ranges, Tb, Ub, S, alpha);
@@ -885,7 +937,8 @@ wttStatus_t run_pruned_fused(const T* e, const T* p, const T* W,
   if (H <= 0 || V <= 0 || B <= 0 || maxT <= 0 || S < 2 || maxU <= 1 ||
       options.blank_label < 0 || options.blank_label >= V ||
       options.from_log_probs != 0 ||
-      !(options.fastemit_lambda >= 0.0f))
+      !(options.fastemit_lambda >= 0.0f) ||
+      !(options.delay_penalty >= 0.0f))
     return WTT_STATUS_BAD_ARGUMENT;
   for (int b = 0; b < B; ++b) {
     const int Tb = input_lengths[b];
@@ -937,7 +990,8 @@ wttStatus_t run_pruned_fused(const T* e, const T* p, const T* W,
         ranges + static_cast<size_t>(b) * maxT,
         labels + static_cast<size_t>(b) * (maxU - 1), Tb, Ub, S, H, V,
         options.blank_label, &cost, ws ? ws + b * ws_per_mb : nullptr,
-        static_cast<T>(options.fastemit_lambda));
+        static_cast<T>(options.fastemit_lambda),
+        static_cast<T>(options.delay_penalty));
     if (!std::isfinite(cost)) ok = false;
     costs[b] = cost;
     if (de) {

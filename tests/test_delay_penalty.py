@@ -197,3 +197,118 @@ def test_penalty_shifts_viterbi_alignment_earlier():
     t0 = float(jnp.sum(al0.emit_frames[0][:2]))
     t1 = float(jnp.sum(al1.emit_frames[0][:2]))
     assert t1 <= t0, (t0, t1)
+
+
+# ---------------------------------------------------------------------------
+# Native backend + bindings
+# ---------------------------------------------------------------------------
+
+def _native_available():
+    from warp_transducer_tpu.bindings import native
+    return native.available()
+
+
+@pytest.mark.skipif(not _native_available(), reason="native lib not built")
+@pytest.mark.parametrize("from_log_probs", [False, True])
+def test_native_dense_matches_oracle(from_log_probs):
+    from warp_transducer_tpu.bindings.native import rnnt_loss_native
+
+    acts, labels, il, ll = _problem(seed=8)
+    a_in = (oracle.log_softmax(acts).astype(np.float32)
+            if from_log_probs else acts)
+    c_o, g_o = oracle.rnnt_batch(a_in, labels, il, ll, blank=0,
+                                 from_log_probs=from_log_probs,
+                                 delay_penalty=PEN)
+    costs, grads = rnnt_loss_native(a_in, labels, il, ll, blank=0,
+                                    from_log_probs=from_log_probs,
+                                    delay_penalty=PEN)
+    np.testing.assert_allclose(costs, c_o, rtol=1e-5)
+    np.testing.assert_allclose(grads, g_o, atol=1e-5)
+
+
+@pytest.mark.skipif(not _native_available(), reason="native lib not built")
+def test_native_families_match_jax():
+    from warp_transducer_tpu.bindings.native import (
+        rnnt_loss_fused_joint_native, rnnt_loss_pruned_fused_native,
+        rnnt_loss_pruned_native, rnnt_loss_simple_native,
+    )
+
+    rng = np.random.RandomState(9)
+    B, T, U, V, H, S = 2, 5, 4, 6, 8, 4
+    labels = rng.randint(1, V, (B, U - 1)).astype(np.int32)
+    il = np.array([T, T - 1], np.int32)
+    ll = np.array([U - 1, U - 2], np.int32)
+    jargs = (jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll))
+    ranges = np.zeros((B, T), np.int32)
+
+    am = rng.randn(B, T, V).astype(np.float32)
+    lm = rng.randn(B, U, V).astype(np.float32)
+    c_n, _, _ = rnnt_loss_simple_native(am, lm, labels, il, ll,
+                                        delay_penalty=PEN)
+    c_j = rnnt_loss_simple(jnp.asarray(am), jnp.asarray(lm), *jargs,
+                           reduction="none", implementation="xla",
+                           delay_penalty=PEN)
+    np.testing.assert_allclose(c_n, np.asarray(c_j), rtol=1e-5)
+
+    acts_b = rng.randn(B, T, S, V).astype(np.float32)
+    c_n, g_n = rnnt_loss_pruned_native(acts_b, ranges, labels, il, ll,
+                                       delay_penalty=PEN)
+    c_j = rnnt_loss_pruned(jnp.asarray(acts_b), jnp.asarray(ranges), *jargs,
+                           reduction="none", implementation="xla",
+                           delay_penalty=PEN)
+    np.testing.assert_allclose(c_n, np.asarray(c_j), rtol=1e-5)
+    g_j = jax.grad(lambda a: rnnt_loss_pruned(
+        a, jnp.asarray(ranges), *jargs, reduction="sum",
+        implementation="xla", delay_penalty=PEN))(jnp.asarray(acts_b))
+    np.testing.assert_allclose(g_n, np.asarray(g_j), atol=1e-5)
+
+    e = (rng.randn(B, T, H) * 0.5).astype(np.float32)
+    p = (rng.randn(B, U, H) * 0.5).astype(np.float32)
+    W = (rng.randn(H, V) / np.sqrt(H)).astype(np.float32)
+    b_ = (rng.randn(V) * 0.1).astype(np.float32)
+    c_n, gs_n = rnnt_loss_fused_joint_native(e, p, W, b_, labels, il, ll,
+                                             delay_penalty=PEN)
+    c_j = rnnt_loss_fused_joint(*map(jnp.asarray, (e, p, W, b_)), *jargs,
+                                reduction="none", implementation="xla",
+                                delay_penalty=PEN)
+    np.testing.assert_allclose(c_n, np.asarray(c_j), rtol=1e-5)
+    gs_j = jax.grad(lambda *a: rnnt_loss_fused_joint(
+        *a, *jargs, reduction="sum", implementation="xla",
+        delay_penalty=PEN), argnums=(0, 1, 2, 3))(
+            *map(jnp.asarray, (e, p, W, b_)))
+    for a, c in zip(gs_n, gs_j):
+        np.testing.assert_allclose(a, np.asarray(c), atol=1e-4)
+
+    c_n, _ = rnnt_loss_pruned_fused_native(e, p, W, b_, ranges, labels,
+                                           il, ll, s_range=U,
+                                           delay_penalty=PEN)
+    np.testing.assert_allclose(c_n, np.asarray(c_j), rtol=1e-5)
+
+
+def test_torch_and_tf_bindings_carry_penalty():
+    acts, labels, il, ll = _problem(seed=10)
+    c_o, g_o = oracle.rnnt_batch(acts, labels, il, ll, blank=0,
+                                 delay_penalty=PEN)
+
+    torch = pytest.importorskip("torch")
+    if _native_available():
+        from warp_transducer_tpu.bindings.torch_binding import (
+            rnnt_loss as trnnt,
+        )
+        at = torch.tensor(acts, requires_grad=True)
+        loss = trnnt(at, torch.tensor(labels), torch.tensor(il),
+                     torch.tensor(ll), reduction="sum", delay_penalty=PEN)
+        loss.backward()
+        np.testing.assert_allclose(float(loss.detach()), c_o.sum(), rtol=1e-5)
+        np.testing.assert_allclose(at.grad.numpy(), g_o, atol=1e-5)
+
+    tf = pytest.importorskip("tensorflow")
+    from warp_transducer_tpu.bindings.tf_binding import rnnt_loss as tf_rnnt
+    at = tf.constant(acts)
+    with tf.GradientTape() as tape:
+        tape.watch(at)
+        costs = tf_rnnt(at, labels, il, ll, delay_penalty=PEN)
+        total = tf.reduce_sum(costs)
+    np.testing.assert_allclose(costs.numpy(), c_o, rtol=1e-5)
+    np.testing.assert_allclose(tape.gradient(total, at).numpy(), g_o,
+                               atol=1e-5)

@@ -35,6 +35,7 @@ class _Options(ctypes.Structure):
         ("num_threads", ctypes.c_int),
         ("from_log_probs", ctypes.c_int),
         ("fastemit_lambda", ctypes.c_float),
+        ("delay_penalty", ctypes.c_float),
     ]
 
 
@@ -156,6 +157,7 @@ def rnnt_loss_native(
     compute_grads: bool = True,
     workspace: Optional[np.ndarray] = None,
     fastemit_lambda: float = 0.0,
+    delay_penalty: float = 0.0,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Compute (costs, grads) with the native CPU engine.
 
@@ -186,7 +188,7 @@ def rnnt_loss_native(
     grads = np.zeros_like(acts) if compute_grads else None
     gptr = grads.ctypes.data_as(ctypes.c_void_p) if compute_grads else None
     opts = _Options(blank, num_threads, int(from_log_probs),
-                    float(fastemit_lambda))
+                    float(fastemit_lambda), float(delay_penalty))
     if workspace is not None:
         workspace = np.ascontiguousarray(workspace)
         wptr = workspace.ctypes.data_as(ctypes.c_void_p)
@@ -229,6 +231,7 @@ def rnnt_loss_pruned_native(
     compute_grads: bool = True,
     workspace: Optional[np.ndarray] = None,
     fastemit_lambda: float = 0.0,
+    delay_penalty: float = 0.0,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Banded (pruned) RNN-T loss with the native CPU engine.
 
@@ -257,7 +260,8 @@ def rnnt_loss_pruned_native(
     costs = np.zeros((B,), acts.dtype)
     grads = np.zeros_like(acts) if compute_grads else None
     gptr = grads.ctypes.data_as(ctypes.c_void_p) if compute_grads else None
-    opts = _Options(blank, num_threads, 0, float(fastemit_lambda))
+    opts = _Options(blank, num_threads, 0, float(fastemit_lambda),
+                    float(delay_penalty))
     if workspace is not None:
         workspace = np.ascontiguousarray(workspace)
         wptr = workspace.ctypes.data_as(ctypes.c_void_p)
@@ -288,6 +292,7 @@ def rnnt_loss_fused_joint_native(
     compute_grads: bool = True,
     workspace: Optional[np.ndarray] = None,
     fastemit_lambda: float = 0.0,
+    delay_penalty: float = 0.0,
 ):
     """Joint-fused loss with the native CPU engine: the (B, T, U, V) joint
     of ``tanh(e ⊕ p) @ W + bias`` is never materialised (O(H·V) scratch per
@@ -336,7 +341,8 @@ def rnnt_loss_fused_joint_native(
     else:
         gs = None
         gps = (None,) * 4
-    opts = _Options(blank, num_threads, 0, float(fastemit_lambda))
+    opts = _Options(blank, num_threads, 0, float(fastemit_lambda),
+                    float(delay_penalty))
     if workspace is not None:
         workspace = np.ascontiguousarray(workspace)
         wptr = workspace.ctypes.data_as(ctypes.c_void_p)
@@ -365,6 +371,7 @@ def rnnt_loss_simple_native(
     num_threads: int = 0,
     compute_grads: bool = True,
     fastemit_lambda: float = 0.0,
+    delay_penalty: float = 0.0,
 ) -> Tuple[np.ndarray, Optional[np.ndarray], Optional[np.ndarray]]:
     """Factorised additive-joiner loss with the native CPU engine.
 
@@ -398,7 +405,8 @@ def rnnt_loss_simple_native(
     glm = np.zeros_like(lm) if compute_grads else None
     gam_p = gam.ctypes.data_as(ctypes.c_void_p) if compute_grads else None
     glm_p = glm.ctypes.data_as(ctypes.c_void_p) if compute_grads else None
-    opts = _Options(blank, num_threads, 0, float(fastemit_lambda))
+    opts = _Options(blank, num_threads, 0, float(fastemit_lambda),
+                    float(delay_penalty))
 
     fn = (lib.wtt_rnnt_loss_simple if am.dtype == np.float32
           else lib.wtt_rnnt_loss_simple_fp64)
@@ -425,6 +433,7 @@ def rnnt_loss_pruned_fused_native(
     compute_grads: bool = True,
     workspace: Optional[np.ndarray] = None,
     fastemit_lambda: float = 0.0,
+    delay_penalty: float = 0.0,
 ):
     """Pruned fused joint+loss with the native CPU engine: the banded
     (B, T, S, V) logits are never materialised. ``ranges``: (B, T) band
@@ -468,7 +477,8 @@ def rnnt_loss_pruned_fused_native(
     else:
         gs = None
         gps = (None,) * 4
-    opts = _Options(blank, num_threads, 0, float(fastemit_lambda))
+    opts = _Options(blank, num_threads, 0, float(fastemit_lambda),
+                    float(delay_penalty))
     if workspace is not None:
         workspace = np.ascontiguousarray(workspace)
         wptr = workspace.ctypes.data_as(ctypes.c_void_p)

@@ -46,7 +46,8 @@ def _tf():
 @functools.lru_cache(maxsize=None)
 def _converted_loss(blank: int, log_probs_input: bool,
                     platforms: tuple = ("cpu",),
-                    fastemit_lambda: float = 0.0):
+                    fastemit_lambda: float = 0.0,
+                    delay_penalty: float = 0.0):
     from jax.experimental import jax2tf
 
     from ..ops.rnnt import rnnt_loss as jax_rnnt_loss
@@ -60,6 +61,7 @@ def _converted_loss(blank: int, log_probs_input: bool,
             acts, labels, input_lengths, label_lengths,
             blank=blank, reduction="none", log_probs_input=log_probs_input,
             implementation="xla", fastemit_lambda=fastemit_lambda,
+            delay_penalty=delay_penalty,
         )
 
     return jax2tf.convert(
@@ -69,7 +71,7 @@ def _converted_loss(blank: int, log_probs_input: bool,
 
 def rnnt_loss(acts, labels, input_lengths, label_lengths, blank=0,
               from_log_probs=False, platforms=("cpu",),
-              fastemit_lambda=0.0):
+              fastemit_lambda=0.0, delay_penalty=0.0):
     """RNN-T loss for TF graphs: per-utterance costs (B,), differentiable
     w.r.t. ``acts`` — the drop-in for ``warprnnt_tensorflow.rnnt_loss``
     (/root/reference/tensorflow_binding/warprnnt_tensorflow/__init__.py:9-34).
@@ -89,7 +91,7 @@ def rnnt_loss(acts, labels, input_lengths, label_lengths, blank=0,
     """
     tf = _tf()
     fn = _converted_loss(int(blank), bool(from_log_probs), tuple(platforms),
-                         float(fastemit_lambda))
+                         float(fastemit_lambda), float(delay_penalty))
     return fn(
         acts,
         tf.cast(labels, tf.int32),
@@ -100,7 +102,8 @@ def rnnt_loss(acts, labels, input_lengths, label_lengths, blank=0,
 
 @functools.lru_cache(maxsize=None)
 def _converted_simple(blank: int, platforms: tuple,
-                      fastemit_lambda: float = 0.0):
+                      fastemit_lambda: float = 0.0,
+                      delay_penalty: float = 0.0):
     from jax.experimental import jax2tf
 
     from ..ops.simple import rnnt_loss_simple as jax_simple
@@ -109,7 +112,7 @@ def _converted_simple(blank: int, platforms: tuple,
         return jax_simple(
             am, lm, labels, input_lengths, label_lengths,
             blank=blank, reduction="none", implementation="xla",
-            fastemit_lambda=fastemit_lambda,
+            fastemit_lambda=fastemit_lambda, delay_penalty=delay_penalty,
         )
 
     return jax2tf.convert(
@@ -118,13 +121,14 @@ def _converted_simple(blank: int, platforms: tuple,
 
 
 def rnnt_loss_simple(am, lm, labels, input_lengths, label_lengths, blank=0,
-                     platforms=("cpu",), fastemit_lambda=0.0):
+                     platforms=("cpu",), fastemit_lambda=0.0,
+                     delay_penalty=0.0):
     """Factorised additive-joiner loss for TF graphs: am (B, T, V) +
     lm (B, U, V), never materialising (B, T, U, V); differentiable w.r.t.
     both. Same jax2tf lowering as ``rnnt_loss``."""
     tf = _tf()
     fn = _converted_simple(int(blank), tuple(platforms),
-                           float(fastemit_lambda))
+                           float(fastemit_lambda), float(delay_penalty))
     return fn(
         am, lm,
         tf.cast(labels, tf.int32),
@@ -135,7 +139,8 @@ def rnnt_loss_simple(am, lm, labels, input_lengths, label_lengths, blank=0,
 
 @functools.lru_cache(maxsize=None)
 def _converted_pruned(blank: int, platforms: tuple,
-                      fastemit_lambda: float = 0.0):
+                      fastemit_lambda: float = 0.0,
+                      delay_penalty: float = 0.0):
     from jax.experimental import jax2tf
 
     from ..ops.pruned import rnnt_loss_pruned as jax_pruned
@@ -144,7 +149,7 @@ def _converted_pruned(blank: int, platforms: tuple,
         return jax_pruned(
             acts, ranges, labels, input_lengths, label_lengths,
             blank=blank, reduction="none", implementation="xla",
-            fastemit_lambda=fastemit_lambda,
+            fastemit_lambda=fastemit_lambda, delay_penalty=delay_penalty,
         )
 
     return jax2tf.convert(
@@ -153,13 +158,14 @@ def _converted_pruned(blank: int, platforms: tuple,
 
 
 def rnnt_loss_pruned(acts, ranges, labels, input_lengths, label_lengths,
-                     blank=0, platforms=("cpu",), fastemit_lambda=0.0):
+                     blank=0, platforms=("cpu",), fastemit_lambda=0.0,
+                     delay_penalty=0.0):
     """Banded (pruned) loss for TF graphs: acts (B, T, S, V) on the band
     whose starts are ``ranges`` (B, T) from the JAX ``rnnt_prune_ranges``;
     differentiable w.r.t. acts. Same jax2tf lowering as ``rnnt_loss``."""
     tf = _tf()
     fn = _converted_pruned(int(blank), tuple(platforms),
-                           float(fastemit_lambda))
+                           float(fastemit_lambda), float(delay_penalty))
     return fn(
         acts,
         tf.cast(ranges, tf.int32),
@@ -171,7 +177,8 @@ def rnnt_loss_pruned(acts, ranges, labels, input_lengths, label_lengths,
 
 @functools.lru_cache(maxsize=None)
 def _converted_fused(blank: int, platforms: tuple,
-                     fastemit_lambda: float = 0.0):
+                     fastemit_lambda: float = 0.0,
+                     delay_penalty: float = 0.0):
     from jax.experimental import jax2tf
 
     from ..ops.fused_joint import rnnt_loss_fused_joint as jax_fused
@@ -182,7 +189,7 @@ def _converted_fused(blank: int, platforms: tuple,
         return jax_fused(
             e, p, W, bias, labels, input_lengths, label_lengths,
             blank=blank, reduction="none", implementation="xla",
-            fastemit_lambda=fastemit_lambda,
+            fastemit_lambda=fastemit_lambda, delay_penalty=delay_penalty,
         )
 
     return jax2tf.convert(
@@ -192,14 +199,14 @@ def _converted_fused(blank: int, platforms: tuple,
 
 def rnnt_loss_fused_joint(e, p, W, bias, labels, input_lengths,
                           label_lengths, blank=0, platforms=("cpu",),
-                          fastemit_lambda=0.0):
+                          fastemit_lambda=0.0, delay_penalty=0.0):
     """Joint-fused loss for TF graphs: e (B, T, H) and p (B, U, H) projected
     trunk activations plus the output projection (W (H, V), bias (V,)) —
     the (B, T, U, V) logits are never materialised (a T-chunked lowering;
     see ``ops/fused_joint.py``). Differentiable w.r.t. e, p, W and bias."""
     tf = _tf()
     fn = _converted_fused(int(blank), tuple(platforms),
-                          float(fastemit_lambda))
+                          float(fastemit_lambda), float(delay_penalty))
     return fn(
         e, p, W, bias,
         tf.cast(labels, tf.int32),
@@ -210,7 +217,8 @@ def rnnt_loss_fused_joint(e, p, W, bias, labels, input_lengths,
 
 @functools.lru_cache(maxsize=None)
 def _converted_pruned_fused(blank: int, platforms: tuple, s_range: int,
-                            fastemit_lambda: float = 0.0):
+                            fastemit_lambda: float = 0.0,
+                            delay_penalty: float = 0.0):
     from jax.experimental import jax2tf
 
     from ..ops.pruned_fused import rnnt_loss_pruned_fused as jax_pf
@@ -220,6 +228,7 @@ def _converted_pruned_fused(blank: int, platforms: tuple, s_range: int,
             e, p, W, bias, ranges, labels, input_lengths, label_lengths,
             s_range=s_range, blank=blank, reduction="none",
             implementation="xla", fastemit_lambda=fastemit_lambda,
+            delay_penalty=delay_penalty,
         )
 
     return jax2tf.convert(
@@ -229,13 +238,15 @@ def _converted_pruned_fused(blank: int, platforms: tuple, s_range: int,
 
 def rnnt_loss_pruned_fused(e, p, W, bias, ranges, labels, input_lengths,
                            label_lengths, s_range, blank=0,
-                           platforms=("cpu",), fastemit_lambda=0.0):
+                           platforms=("cpu",), fastemit_lambda=0.0,
+                           delay_penalty=0.0):
     """Pruned fused joint+loss for TF graphs: the banded (B, T, S, V)
     logits never materialise (see ``ops/pruned_fused.py``). Differentiable
     w.r.t. e, p, W and bias."""
     tf = _tf()
     fn = _converted_pruned_fused(int(blank), tuple(platforms), int(s_range),
-                                 float(fastemit_lambda))
+                                 float(fastemit_lambda),
+                                 float(delay_penalty))
     return fn(
         e, p, W, bias,
         tf.cast(ranges, tf.int32),

@@ -44,7 +44,7 @@ def _certify(acts, labels, act_lens, label_lens):
 class _RNNTFunction(Function):
     @staticmethod
     def forward(ctx, acts, labels, act_lens, label_lens, blank, reduction,
-                from_log_probs, fastemit_lambda):
+                from_log_probs, fastemit_lambda, delay_penalty):
         _certify(acts, labels, act_lens, label_lens)
         costs_np, grads_np = rnnt_loss_native(
             acts.detach().numpy(),
@@ -55,6 +55,7 @@ class _RNNTFunction(Function):
             from_log_probs=from_log_probs,
             compute_grads=acts.requires_grad,
             fastemit_lambda=fastemit_lambda,
+            delay_penalty=delay_penalty,
         )
         costs = torch.from_numpy(np.asarray(costs_np)).to(acts.dtype)
         grads = (
@@ -69,11 +70,11 @@ class _RNNTFunction(Function):
     @staticmethod
     def backward(ctx, grad_output):
         g = grad_output.view(-1, 1, 1, 1).to(ctx.grads)
-        return ctx.grads.mul(g), None, None, None, None, None, None, None
+        return ctx.grads.mul(g), None, None, None, None, None, None, None, None
 
 
 def rnnt_loss(acts, labels, act_lens, label_lens, blank=0, reduction="mean",
-              from_log_probs=False, fastemit_lambda=0.0):
+              from_log_probs=False, fastemit_lambda=0.0, delay_penalty=0.0):
     """Functional RNN-T loss on CPU torch tensors.
 
     Unlike the reference, the log-softmax is fused by default (gradients are
@@ -86,18 +87,19 @@ def rnnt_loss(acts, labels, act_lens, label_lens, blank=0, reduction="mean",
         raise ValueError(f"reduction must be none|sum|mean, got {reduction!r}")
     return _RNNTFunction.apply(
         acts, labels, act_lens, label_lens, blank, reduction, from_log_probs,
-        fastemit_lambda,
+        fastemit_lambda, delay_penalty,
     )
 
 
 class RNNTLoss(torch.nn.Module):
     def __init__(self, blank=0, reduction="mean", from_log_probs=False,
-                 fastemit_lambda=0.0):
+                 fastemit_lambda=0.0, delay_penalty=0.0):
         super().__init__()
         self.blank = blank
         self.reduction = reduction
         self.from_log_probs = from_log_probs
         self.fastemit_lambda = fastemit_lambda
+        self.delay_penalty = delay_penalty
 
     def forward(self, acts, labels, act_lens, label_lens):
         return rnnt_loss(
@@ -105,6 +107,7 @@ class RNNTLoss(torch.nn.Module):
             blank=self.blank, reduction=self.reduction,
             from_log_probs=self.from_log_probs,
             fastemit_lambda=self.fastemit_lambda,
+            delay_penalty=self.delay_penalty,
         )
 
 
@@ -120,12 +123,13 @@ def _reduce(costs, grads_list, reduction, B):
 class _RNNTSimpleFunction(Function):
     @staticmethod
     def forward(ctx, am, lm, labels, act_lens, label_lens, blank, reduction,
-                fastemit_lambda):
+                fastemit_lambda, delay_penalty):
         needs_grad = am.requires_grad or lm.requires_grad
         costs_np, gam_np, glm_np = rnnt_loss_simple_native(
             am.detach().numpy(), lm.detach().numpy(), labels.numpy(),
             act_lens.numpy(), label_lens.numpy(), blank=blank,
             compute_grads=needs_grad, fastemit_lambda=fastemit_lambda,
+            delay_penalty=delay_penalty,
         )
         costs = torch.from_numpy(np.asarray(costs_np)).to(am.dtype)
         z = torch.zeros(0, dtype=am.dtype)
@@ -139,11 +143,12 @@ class _RNNTSimpleFunction(Function):
     def backward(ctx, grad_output):
         ga = ctx.gam.mul(grad_output.view(-1, 1, 1).to(ctx.gam))
         gl = ctx.glm.mul(grad_output.view(-1, 1, 1).to(ctx.glm))
-        return ga, gl, None, None, None, None, None, None
+        return ga, gl, None, None, None, None, None, None, None
 
 
 def rnnt_loss_simple(am, lm, labels, act_lens, label_lens, blank=0,
-                     reduction="mean", fastemit_lambda=0.0):
+                     reduction="mean", fastemit_lambda=0.0,
+                     delay_penalty=0.0):
     """Factorised additive-joiner loss on CPU torch tensors: am (B, T, V) +
     lm (B, U, V), never materialising (B, T, U, V) — torch twin of the JAX
     ``rnnt_loss_simple`` over the native engine."""
@@ -151,20 +156,20 @@ def rnnt_loss_simple(am, lm, labels, act_lens, label_lens, blank=0,
         raise ValueError(f"reduction must be none|sum|mean, got {reduction!r}")
     return _RNNTSimpleFunction.apply(
         am, lm, labels, act_lens, label_lens, blank, reduction,
-        fastemit_lambda,
+        fastemit_lambda, delay_penalty,
     )
 
 
 class _RNNTFusedFunction(Function):
     @staticmethod
     def forward(ctx, e, p, W, bias, labels, act_lens, label_lens, blank,
-                reduction, fastemit_lambda):
+                reduction, fastemit_lambda, delay_penalty):
         needs_grad = any(t.requires_grad for t in (e, p, W, bias))
         costs_np, gs = rnnt_loss_fused_joint_native(
             e.detach().numpy(), p.detach().numpy(), W.detach().numpy(),
             bias.detach().numpy(), labels.numpy(), act_lens.numpy(),
             label_lens.numpy(), blank=blank, compute_grads=needs_grad,
-            fastemit_lambda=fastemit_lambda,
+            fastemit_lambda=fastemit_lambda, delay_penalty=delay_penalty,
         )
         costs = torch.from_numpy(np.asarray(costs_np)).to(e.dtype)
         z = torch.zeros(0, dtype=e.dtype)
@@ -178,11 +183,12 @@ class _RNNTFusedFunction(Function):
     def backward(ctx, grad_output):
         # sum/mean only: one scalar cotangent scales all four gradients
         s = grad_output.sum().to(ctx.gts[0].dtype)
-        return tuple(g * s for g in ctx.gts) + (None,) * 6
+        return tuple(g * s for g in ctx.gts) + (None,) * 7
 
 
 def rnnt_loss_fused_joint(e, p, W, bias, labels, act_lens, label_lens,
-                          blank=0, reduction="mean", fastemit_lambda=0.0):
+                          blank=0, reduction="mean", fastemit_lambda=0.0,
+                          delay_penalty=0.0):
     """Joint-fused loss on CPU torch tensors: e (B, T, H), p (B, U, H)
     projected trunk activations, W (H, V)/bias (V,) output projection — the
     (B, T, U, V) logits are never materialised (torch twin of the JAX
@@ -199,19 +205,19 @@ def rnnt_loss_fused_joint(e, p, W, bias, labels, act_lens, label_lens,
         )
     return _RNNTFusedFunction.apply(
         e, p, W, bias, labels, act_lens, label_lens, blank, reduction,
-        fastemit_lambda,
+        fastemit_lambda, delay_penalty,
     )
 
 
 class _RNNTPrunedFunction(Function):
     @staticmethod
     def forward(ctx, acts, ranges, labels, act_lens, label_lens, blank,
-                reduction, fastemit_lambda):
+                reduction, fastemit_lambda, delay_penalty):
         costs_np, grads_np = rnnt_loss_pruned_native(
             acts.detach().numpy(), ranges.numpy(), labels.numpy(),
             act_lens.numpy(), label_lens.numpy(), blank=blank,
             compute_grads=acts.requires_grad,
-            fastemit_lambda=fastemit_lambda,
+            fastemit_lambda=fastemit_lambda, delay_penalty=delay_penalty,
         )
         costs = torch.from_numpy(np.asarray(costs_np)).to(acts.dtype)
         grads = (torch.from_numpy(grads_np).to(acts.dtype)
@@ -223,11 +229,12 @@ class _RNNTPrunedFunction(Function):
     @staticmethod
     def backward(ctx, grad_output):
         g = grad_output.view(-1, 1, 1, 1).to(ctx.grads)
-        return ctx.grads.mul(g), None, None, None, None, None, None, None
+        return ctx.grads.mul(g), None, None, None, None, None, None, None, None
 
 
 def rnnt_loss_pruned(acts, ranges, labels, act_lens, label_lens, blank=0,
-                     reduction="mean", fastemit_lambda=0.0):
+                     reduction="mean", fastemit_lambda=0.0,
+                     delay_penalty=0.0):
     """Banded (pruned) loss on CPU torch tensors: acts (B, T, S, V) on the
     band, ranges (B, T) band starts — torch twin of the JAX
     ``rnnt_loss_pruned`` over the native engine."""
@@ -235,21 +242,21 @@ def rnnt_loss_pruned(acts, ranges, labels, act_lens, label_lens, blank=0,
         raise ValueError(f"reduction must be none|sum|mean, got {reduction!r}")
     return _RNNTPrunedFunction.apply(
         acts, ranges, labels, act_lens, label_lens, blank, reduction,
-        fastemit_lambda,
+        fastemit_lambda, delay_penalty,
     )
 
 
 class _RNNTPrunedFusedFunction(Function):
     @staticmethod
     def forward(ctx, e, p, W, bias, ranges, labels, act_lens, label_lens,
-                s_range, blank, reduction, fastemit_lambda):
+                s_range, blank, reduction, fastemit_lambda, delay_penalty):
         needs_grad = any(t.requires_grad for t in (e, p, W, bias))
         costs_np, gs = rnnt_loss_pruned_fused_native(
             e.detach().numpy(), p.detach().numpy(), W.detach().numpy(),
             bias.detach().numpy(), ranges.numpy(), labels.numpy(),
             act_lens.numpy(), label_lens.numpy(), s_range=s_range,
             blank=blank, compute_grads=needs_grad,
-            fastemit_lambda=fastemit_lambda,
+            fastemit_lambda=fastemit_lambda, delay_penalty=delay_penalty,
         )
         costs = torch.from_numpy(np.asarray(costs_np)).to(e.dtype)
         z = torch.zeros(0, dtype=e.dtype)
@@ -263,12 +270,12 @@ class _RNNTPrunedFusedFunction(Function):
     def backward(ctx, grad_output):
         # sum/mean only: one scalar cotangent scales all four gradients
         s = grad_output.sum().to(ctx.gts[0].dtype)
-        return tuple(g * s for g in ctx.gts) + (None,) * 8
+        return tuple(g * s for g in ctx.gts) + (None,) * 9
 
 
 def rnnt_loss_pruned_fused(e, p, W, bias, ranges, labels, act_lens,
                            label_lens, s_range, blank=0, reduction="mean",
-                           fastemit_lambda=0.0):
+                           fastemit_lambda=0.0, delay_penalty=0.0):
     """Pruned fused joint+loss on CPU torch tensors: the banded (B,T,S,V)
     logits never materialise (torch twin of the JAX
     ``rnnt_loss_pruned_fused`` over the native engine). Differentiable
@@ -282,5 +289,5 @@ def rnnt_loss_pruned_fused(e, p, W, bias, ranges, labels, act_lens,
         )
     return _RNNTPrunedFusedFunction.apply(
         e, p, W, bias, ranges, labels, act_lens, label_lens, s_range,
-        blank, reduction, fastemit_lambda,
+        blank, reduction, fastemit_lambda, delay_penalty,
     )
