@@ -1,0 +1,176 @@
+"""Multi-blank transducer loss (arXiv:2211.03541) vs the NumPy oracle.
+
+The oracle (``utils/numpy_oracle_multiblank.py``) is an independent
+loop-based float64 implementation of the multi-blank recursion; the tests
+check costs, dense gradients (incl. sigma / FastEmit / delay-penalty
+interactions), the K=0 degeneracy to the standard dense loss, variable
+lengths, and a central-difference gradient check in the style of the
+reference's grad_check (/root/reference/tests/test_cpu.cpp:242-345).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from warp_transducer_tpu import rnnt_loss, rnnt_loss_multiblank
+from warp_transducer_tpu.ops.multiblank import _multiblank_lattice
+from warp_transducer_tpu.utils import numpy_oracle_multiblank as omb
+
+
+def _rand_problem(seed, B=3, T=8, U=4, V=9, K=2):
+    rng = np.random.default_rng(seed)
+    acts = (rng.standard_normal((B, T, U, V)) * 2.0).astype(np.float64)
+    labels = rng.integers(1, V - K, size=(B, U - 1)).astype(np.int32)
+    il = rng.integers(max(2, T - 4), T + 1, size=(B,)).astype(np.int32)
+    il[0] = T
+    ll = rng.integers(0, U, size=(B,)).astype(np.int32)
+    ll[0] = U - 1
+    return acts, labels, il, ll
+
+
+@pytest.mark.parametrize("durations,sigma,lam,dp", [
+    ((2,), 0.0, 0.0, 0.0),
+    ((2, 4), 0.05, 0.0, 0.0),
+    ((2, 3, 8), 0.0, 0.25, 0.0),
+    ((2, 4), 0.05, 0.1, 0.02),
+])
+def test_vs_oracle(durations, sigma, lam, dp):
+    acts, labels, il, ll = _rand_problem(42, T=9, U=5, V=11, K=len(durations))
+    oc, og = omb.multiblank_batch(acts, labels, il, ll, durations,
+                                  sigma=sigma, fastemit_lambda=lam,
+                                  delay_penalty=dp)
+
+    def f(a):
+        return rnnt_loss_multiblank(
+            a, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll),
+            durations, sigma=sigma, fastemit_lambda=lam, delay_penalty=dp,
+            reduction="none")
+
+    costs = f(jnp.asarray(acts))
+    np.testing.assert_allclose(np.asarray(costs), oc, rtol=1e-12, atol=1e-12)
+    grads = jax.grad(lambda a: jnp.sum(f(a)))(jnp.asarray(acts))
+    np.testing.assert_allclose(np.asarray(grads), og, rtol=1e-10, atol=1e-12)
+
+
+def test_k0_equals_dense():
+    acts, labels, il, ll = _rand_problem(7, K=0)
+    a = jnp.asarray(acts)
+    c_mb = rnnt_loss_multiblank(a, jnp.asarray(labels), jnp.asarray(il),
+                                jnp.asarray(ll), (), reduction="none")
+    c_d = rnnt_loss(a, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll),
+                    reduction="none", implementation="xla")
+    np.testing.assert_allclose(np.asarray(c_mb), np.asarray(c_d),
+                               rtol=1e-12, atol=1e-12)
+    g_mb = jax.grad(lambda x: jnp.sum(rnnt_loss_multiblank(
+        x, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll), (),
+        reduction="none")))(a)
+    g_d = jax.grad(lambda x: jnp.sum(rnnt_loss(
+        x, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll),
+        reduction="none", implementation="xla")))(a)
+    np.testing.assert_allclose(np.asarray(g_mb), np.asarray(g_d),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_forward_backward_consistency():
+    """ll_forward == ll_backward per utterance (the lattice self-check)."""
+    acts, labels, il, ll = _rand_problem(3, B=4, T=12, U=6, V=8, K=2)
+    from warp_transducer_tpu.ops.multiblank import (_multiblank_prep,
+                                                    _resolve_indices)
+    durs, idx = _resolve_indices(8, 0, (2, 5), None)
+    lpb, lpe, lpB, _, _ = _multiblank_prep(
+        jnp.asarray(acts), jnp.asarray(labels), 0, idx, 0.05, jnp.float64)
+    lat = _multiblank_lattice(lpb, lpe, lpB, durs, jnp.asarray(il),
+                              jnp.asarray(ll))
+    np.testing.assert_allclose(np.asarray(lat.ll_forward),
+                               np.asarray(lat.ll_backward),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_finite_difference_grad():
+    """Central differences on the summed loss, float64, eps=1e-6."""
+    acts, labels, il, ll = _rand_problem(11, B=2, T=6, U=3, V=7, K=2)
+    durations, sigma = (2, 3), 0.05
+    a = jnp.asarray(acts)
+
+    def f(x):
+        return jnp.sum(rnnt_loss_multiblank(
+            x, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll),
+            durations, sigma=sigma, reduction="none"))
+
+    g = np.asarray(jax.grad(f)(a))
+    rng = np.random.default_rng(0)
+    eps = 1e-6
+    for _ in range(12):
+        i = tuple(rng.integers(0, s) for s in acts.shape)
+        d = np.zeros_like(acts)
+        d[i] = eps
+        fd = (float(f(jnp.asarray(acts + d))) -
+              float(f(jnp.asarray(acts - d)))) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=2e-5, atol=1e-7)
+
+
+def test_big_blank_helps_short_labels():
+    """A lattice with T >> U gains likelihood from big blanks: the
+    multi-blank ll must be >= the standard ll (more paths, same weights
+    at sigma=0)."""
+    acts, labels, il, ll = _rand_problem(5, B=2, T=12, U=3, V=8, K=1)
+    a = jnp.asarray(acts)
+    c_mb = rnnt_loss_multiblank(a, jnp.asarray(labels), jnp.asarray(il),
+                                jnp.asarray(ll), (4,), reduction="none")
+    c_d = rnnt_loss(a, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll),
+                    reduction="none", implementation="xla")
+    assert np.all(np.asarray(c_mb) <= np.asarray(c_d) + 1e-9)
+
+
+def test_f32_and_jit():
+    acts, labels, il, ll = _rand_problem(13, K=2)
+    a32 = jnp.asarray(acts, jnp.float32)
+
+    @jax.jit
+    def step(x):
+        return jax.value_and_grad(lambda y: rnnt_loss_multiblank(
+            y, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll),
+            (2, 4), sigma=0.05, reduction="mean"))(x)
+
+    loss, g = step(a32)
+    oc, og = omb.multiblank_batch(acts, labels, il, ll, (2, 4), sigma=0.05)
+    assert abs(float(loss) - oc.mean()) < 1e-4
+    np.testing.assert_allclose(np.asarray(g), og / len(oc),
+                               rtol=2e-3, atol=1e-5)
+    assert g.dtype == jnp.float32
+
+
+def test_validation():
+    acts, labels, il, ll = _rand_problem(1)
+    a = jnp.asarray(acts)
+    args = (a, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll))
+    with pytest.raises(ValueError, match=">= 2"):
+        rnnt_loss_multiblank(*args, (1, 2))
+    with pytest.raises(ValueError, match="distinct"):
+        rnnt_loss_multiblank(*args, (2, 2))
+    with pytest.raises(ValueError, match="entries"):
+        rnnt_loss_multiblank(*args, (2, 4), big_blank_indices=(8,))
+    with pytest.raises(ValueError, match="blank"):
+        rnnt_loss_multiblank(*args, (2,), big_blank_indices=(0,))
+    with pytest.raises(ValueError, match="reduction"):
+        rnnt_loss_multiblank(*args, (2,), reduction="avg")
+
+
+def test_explicit_indices_match_default():
+    """Default indices are the last K; an explicit permutation of other
+    columns must agree with the oracle fed the same indices."""
+    acts, labels, il, ll = _rand_problem(17, V=10, K=2)
+    idx = (7, 3)
+    labels = np.where(np.isin(labels, idx), 1, labels).astype(np.int32)
+    oc, og = omb.multiblank_batch(acts, labels, il, ll, (2, 4),
+                                  big_blank_indices=idx)
+
+    def f(a):
+        return rnnt_loss_multiblank(
+            a, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll),
+            (2, 4), big_blank_indices=idx, reduction="none")
+
+    np.testing.assert_allclose(np.asarray(f(jnp.asarray(acts))), oc,
+                               rtol=1e-12, atol=1e-12)
+    g = jax.grad(lambda a: jnp.sum(f(a)))(jnp.asarray(acts))
+    np.testing.assert_allclose(np.asarray(g), og, rtol=1e-10, atol=1e-12)
