@@ -156,6 +156,44 @@ def test_validation():
         rnnt_loss_multiblank(*args, (2,), reduction="avg")
 
 
+def test_greedy_decode_big_blanks():
+    """Big-blank greedy decode: K=0 call unchanged; with big blanks the
+    decoder consumes multiple frames per big-blank argmax, so it never
+    emits MORE symbols and never returns out-of-range tokens."""
+    from warp_transducer_tpu.models.decoding import greedy_decode
+    from warp_transducer_tpu.models.transducer import (
+        TransducerConfig, init_params, make_model,
+    )
+
+    cfg = TransducerConfig(
+        vocab_size=8, encoder_dim=16, encoder_layers=1, encoder_heads=2,
+        prediction_dim=16, joint_dim=16, input_dim=6, conv_kernel=3,
+        dtype=jnp.float32,
+    )
+    model = make_model(cfg)
+    B, T = 3, 7
+    rng = np.random.RandomState(0)
+    params = init_params(cfg, jax.random.PRNGKey(2), B=B, T=T, U=4)
+    feats = jnp.asarray(rng.randn(B, T, cfg.input_dim), jnp.float32)
+    fl = jnp.asarray([7, 5, 3], jnp.int32)
+
+    t0, n0 = greedy_decode(model, params, feats, fl, max_symbols=6)
+    t1, n1 = greedy_decode(model, params, feats, fl, max_symbols=6,
+                           big_blank_durations=())
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
+
+    tb, nb = jax.jit(lambda f, l: greedy_decode(
+        model, params, f, l, max_symbols=6, big_blank_durations=(2, 4),
+    ))(feats, fl)
+    assert tb.shape == (B, 6)
+    arr = np.asarray(tb)
+    assert np.all((arr >= 0) & (arr < cfg.vocab_size))
+    # big blanks (last 2 vocab entries) are never recorded as tokens
+    recorded = arr[np.asarray(nb)[:, None] > np.arange(6)[None, :]]
+    assert not np.isin(recorded, [6, 7]).any()
+
+
 def test_explicit_indices_match_default():
     """Default indices are the last K; an explicit permutation of other
     columns must agree with the oracle fed the same indices."""

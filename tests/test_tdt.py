@@ -1,0 +1,142 @@
+"""Token-and-Duration Transducer loss (arXiv:2304.06795) vs the NumPy oracle.
+
+The oracle (``utils/numpy_oracle_tdt.py``) is an independent loop-based
+float64 implementation; tests cover costs, BOTH heads' dense gradients
+(incl. sigma / FastEmit / delay-penalty), degeneracy to the standard dense
+loss when durations=(0,1) and the duration head is constant, variable
+lengths, and a central-difference check over both logits tensors.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from warp_transducer_tpu import rnnt_loss, rnnt_loss_tdt
+from warp_transducer_tpu.utils import numpy_oracle_tdt as otdt
+
+
+def _rand_problem(seed, B=3, T=9, U=4, V=7, durs=(0, 1, 2, 4)):
+    rng = np.random.default_rng(seed)
+    tok = (rng.standard_normal((B, T, U, V)) * 2.0).astype(np.float64)
+    dur = (rng.standard_normal((B, T, U, len(durs))) * 2.0).astype(np.float64)
+    labels = rng.integers(1, V, size=(B, U - 1)).astype(np.int32)
+    il = rng.integers(max(2, T - 4), T + 1, size=(B,)).astype(np.int32)
+    il[0] = T
+    ll = rng.integers(0, U, size=(B,)).astype(np.int32)
+    ll[0] = U - 1
+    return tok, dur, labels, il, ll
+
+
+@pytest.mark.parametrize("durs,sigma,lam,dp", [
+    ((0, 1, 2, 4), 0.0, 0.0, 0.0),
+    ((0, 1, 2, 4), 0.05, 0.0, 0.0),
+    ((1, 2, 3), 0.0, 0.25, 0.0),
+    ((0, 1, 3), 0.05, 0.1, 0.02),
+])
+def test_vs_oracle(durs, sigma, lam, dp):
+    tok, dur, labels, il, ll = _rand_problem(42, durs=durs)
+    oc, ogt, ogd = otdt.tdt_batch(tok, dur, labels, il, ll, durs,
+                                  sigma=sigma, fastemit_lambda=lam,
+                                  delay_penalty=dp)
+
+    def f(t, d):
+        return rnnt_loss_tdt(t, d, jnp.asarray(labels), jnp.asarray(il),
+                             jnp.asarray(ll), durs, sigma=sigma,
+                             fastemit_lambda=lam, delay_penalty=dp,
+                             reduction="none")
+
+    costs = f(jnp.asarray(tok), jnp.asarray(dur))
+    np.testing.assert_allclose(np.asarray(costs), oc, rtol=1e-12, atol=1e-12)
+    gt, gd = jax.grad(lambda t, d: jnp.sum(f(t, d)), argnums=(0, 1))(
+        jnp.asarray(tok), jnp.asarray(dur))
+    np.testing.assert_allclose(np.asarray(gt), ogt, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gd), ogd, rtol=1e-10, atol=1e-12)
+
+
+def test_embeds_dense_paths():
+    """durations=(0,1) with a UNIFORM duration head embeds every standard
+    RNN-T path: a dense path (U_b-1 vertical token moves + T_b blank
+    moves) becomes a TDT path with the same token weight times
+    (1/2)^(T_b + U_b - 1). TDT additionally has diagonal token-d=1 paths,
+    so ll_tdt >= ll_dense - (T_b + U_b - 1)·log 2, i.e.
+    cost_tdt <= cost_dense + (T_b + U_b - 1)·log 2."""
+    tok, dur, labels, il, ll = _rand_problem(7, durs=(0, 1))
+    zeros_dur = np.zeros_like(dur)  # uniform duration head: log p = -log 2
+
+    c_tdt = rnnt_loss_tdt(jnp.asarray(tok), jnp.asarray(zeros_dur),
+                          jnp.asarray(labels), jnp.asarray(il),
+                          jnp.asarray(ll), (0, 1), reduction="none")
+    c_dense = rnnt_loss(jnp.asarray(tok), jnp.asarray(labels),
+                        jnp.asarray(il), jnp.asarray(ll), reduction="none",
+                        implementation="xla")
+    bound = np.asarray(c_dense) + (il + ll + 1) * np.log(2.0)
+    assert np.all(np.asarray(c_tdt) <= bound + 1e-9), (c_tdt, bound)
+
+
+def test_finite_difference_grad():
+    tok, dur, labels, il, ll = _rand_problem(11, B=2, T=6, U=3, V=6,
+                                             durs=(0, 1, 2))
+    args = (jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll))
+
+    def f(t, d):
+        return jnp.sum(rnnt_loss_tdt(t, d, *args, (0, 1, 2), sigma=0.03,
+                                     reduction="none"))
+
+    gt, gd = jax.grad(f, argnums=(0, 1))(jnp.asarray(tok), jnp.asarray(dur))
+    rng = np.random.default_rng(0)
+    eps = 1e-6
+    for _ in range(8):
+        i = tuple(rng.integers(0, s) for s in tok.shape)
+        dlt = np.zeros_like(tok); dlt[i] = eps
+        fd = (float(f(jnp.asarray(tok + dlt), jnp.asarray(dur)))
+              - float(f(jnp.asarray(tok - dlt), jnp.asarray(dur)))) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(gt)[i], fd, rtol=2e-5, atol=1e-7)
+    for _ in range(8):
+        i = tuple(rng.integers(0, s) for s in dur.shape)
+        dlt = np.zeros_like(dur); dlt[i] = eps
+        fd = (float(f(jnp.asarray(tok), jnp.asarray(dur + dlt)))
+              - float(f(jnp.asarray(tok), jnp.asarray(dur - dlt)))) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(gd)[i], fd, rtol=2e-5, atol=1e-7)
+
+
+def test_f32_and_jit():
+    tok, dur, labels, il, ll = _rand_problem(13)
+    durs = (0, 1, 2, 4)
+
+    @jax.jit
+    def step(t, d):
+        return jax.value_and_grad(
+            lambda a, b: rnnt_loss_tdt(a, b, jnp.asarray(labels),
+                                       jnp.asarray(il), jnp.asarray(ll),
+                                       durs, sigma=0.05, reduction="mean"),
+            argnums=(0, 1))(t, d)
+
+    loss, (gt, gd) = step(jnp.asarray(tok, jnp.float32),
+                          jnp.asarray(dur, jnp.float32))
+    oc, ogt, ogd = otdt.tdt_batch(tok, dur, labels, il, ll, durs, sigma=0.05)
+    assert abs(float(loss) - oc.mean()) < 1e-4
+    np.testing.assert_allclose(np.asarray(gt), ogt / len(oc),
+                               rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gd), ogd / len(oc),
+                               rtol=2e-3, atol=1e-5)
+    assert gt.dtype == jnp.float32 and gd.dtype == jnp.float32
+
+
+def test_validation():
+    tok, dur, labels, il, ll = _rand_problem(1)
+    a = (jnp.asarray(tok), jnp.asarray(dur), jnp.asarray(labels),
+         jnp.asarray(il), jnp.asarray(ll))
+    with pytest.raises(ValueError, match="non-empty"):
+        rnnt_loss_tdt(*a, ())
+    with pytest.raises(ValueError, match=">= 0"):
+        rnnt_loss_tdt(*a, (-1, 1, 2, 3))
+    with pytest.raises(ValueError, match="distinct"):
+        rnnt_loss_tdt(*a, (0, 1, 1, 2))
+    with pytest.raises(ValueError, match=">= 1"):
+        rnnt_loss_tdt(*a, (0,))
+    with pytest.raises(ValueError, match="last dim"):
+        rnnt_loss_tdt(*a, (0, 1))
+    with pytest.raises(ValueError, match="disagree"):
+        rnnt_loss_tdt(a[0], a[1][:, :-1], *a[2:], (0, 1, 2, 4))
+    with pytest.raises(ValueError, match="reduction"):
+        rnnt_loss_tdt(*a, (0, 1, 2, 4), reduction="avg")

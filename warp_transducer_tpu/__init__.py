@@ -15,6 +15,7 @@ from .ops.pruned import gather_banded, rnnt_loss_pruned, rnnt_prune_ranges
 from .ops.pruned_fused import rnnt_loss_pruned_fused
 from .ops.rnnt import RNNTLoss, rnnt_loss, rnnt_loss_and_grad, rnnt_score
 from .ops.simple import rnnt_loss_simple
+from .ops.tdt import rnnt_loss_tdt
 from .utils.options import RNNTOptions
 
 __version__ = "0.2.0"
@@ -25,6 +26,7 @@ __all__ = [
     "rnnt_loss_and_grad",
     "rnnt_loss_simple",
     "rnnt_loss_multiblank",
+    "rnnt_loss_tdt",
     "rnnt_loss_pruned",
     "rnnt_loss_fused_joint",
     "rnnt_loss_pruned_fused",

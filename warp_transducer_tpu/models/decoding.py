@@ -28,12 +28,20 @@ def greedy_decode(
     feat_lengths: jax.Array,
     max_symbols: int,
     blank: int = 0,
+    big_blank_durations: Tuple[int, ...] = (),
+    big_blank_indices=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Greedy decode a batch.
 
     At each step either emit the argmax label (advancing the prediction
     network) or consume the next encoder frame on blank; the loop runs a
     fixed ``T + max_symbols`` steps with masking.
+
+    For a model trained with ``rnnt_loss_multiblank``, pass the same
+    ``big_blank_durations`` (and ``big_blank_indices``, default: the last
+    K vocab entries): a big-blank argmax consumes m_k frames in one step —
+    the multi-blank decode speed-up (arXiv:2211.03541). Big blanks are
+    never recorded as tokens.
 
     Returns (tokens, token_lengths): tokens is (B, max_symbols) int32 padded
     with ``blank``.
@@ -51,6 +59,16 @@ def greedy_decode(
     state0 = model.apply(params, B, method=model.predict_init)
     state0, pred0 = pred_step(state0, jnp.full((B,), blank, jnp.int32))
 
+    durs = tuple(int(m) for m in big_blank_durations)
+    if durs:
+        from ..ops.multiblank import _resolve_indices
+
+        # one joint eval just to learn V statically (shapes are traced)
+        V = joint_step(enc[:, 0, :], pred0).shape[-1]
+        durs, bb_idx = _resolve_indices(V, blank, durs, big_blank_indices)
+    else:
+        bb_idx = ()
+
     def body(carry, _):
         t, n_sym, state, pred_out, tokens = carry
         e_frame = jnp.take_along_axis(
@@ -60,7 +78,13 @@ def greedy_decode(
         best = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
         active = (t < feat_lengths) & (n_sym < max_symbols)
-        is_blank = (best == blank) | ~active
+        adv = jnp.ones((B,), jnp.int32)
+        is_big = jnp.zeros((B,), bool)
+        for m, idx in zip(durs, bb_idx):
+            hit = best == idx
+            is_big |= hit
+            adv = jnp.where(hit, m, adv)
+        is_blank = (best == blank) | is_big | ~active
 
         # on emit: record token, step the prediction net
         new_state, new_pred = pred_step(state, best)
@@ -74,7 +98,7 @@ def greedy_decode(
             tokens,
         )
         n_sym = jnp.where(is_blank, n_sym, n_sym + 1)
-        t = jnp.where(is_blank & active, t + 1, t)
+        t = jnp.where(is_blank & active, t + adv, t)
         return (t, n_sym, state, pred_out, tokens), None
 
     tokens0 = jnp.full((B, max_symbols), blank, jnp.int32)
