@@ -122,6 +122,51 @@ def test_f32_and_jit():
     assert gt.dtype == jnp.float32 and gd.dtype == jnp.float32
 
 
+def test_model_train_and_decode():
+    """End-to-end TDT model: duration head created, jitted train step
+    reduces the loss, TDT greedy decode returns valid tokens."""
+    import optax
+
+    from warp_transducer_tpu.models.decoding import greedy_decode_tdt
+    from warp_transducer_tpu.models.transducer import (
+        TransducerConfig, init_params, make_model, make_tdt_train_step,
+    )
+
+    cfg = TransducerConfig(
+        vocab_size=8, encoder_dim=16, encoder_layers=1, encoder_heads=2,
+        prediction_dim=16, joint_dim=16, input_dim=6, conv_kernel=3,
+        dtype=jnp.float32, tdt_durations=(0, 1, 2),
+    )
+    model = make_model(cfg)
+    B, T, U = 3, 7, 4
+    rng = np.random.RandomState(0)
+    params = init_params(cfg, jax.random.PRNGKey(2), B=B, T=T, U=U)
+    assert "DurHead_0" in params["params"]["Joint_0"]
+    batch = {
+        "feats": jnp.asarray(rng.randn(B, T, cfg.input_dim), jnp.float32),
+        "feat_lengths": jnp.asarray([7, 5, 3], jnp.int32),
+        "labels": jnp.asarray(rng.randint(1, 8, (B, U - 1)), jnp.int32),
+        "label_lengths": jnp.asarray([3, 2, 1], jnp.int32),
+    }
+    opt = optax.adam(1e-2)
+    step = jax.jit(make_tdt_train_step(model, opt, sigma=0.02))
+    opt_state = opt.init(params)
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    tokens, n = jax.jit(lambda f, l: greedy_decode_tdt(
+        model, params, f, l, max_symbols=5))(batch["feats"],
+                                             batch["feat_lengths"])
+    assert tokens.shape == (B, 5)
+    arr, narr = np.asarray(tokens), np.asarray(n)
+    assert np.all((narr >= 0) & (narr <= 5))
+    assert np.all((arr >= 0) & (arr < cfg.vocab_size))
+
+
 def test_validation():
     tok, dur, labels, il, ll = _rand_problem(1)
     a = (jnp.asarray(tok), jnp.asarray(dur), jnp.asarray(labels),

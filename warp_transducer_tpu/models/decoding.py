@@ -112,6 +112,77 @@ def greedy_decode(
     return tokens, n_sym
 
 
+def greedy_decode_tdt(
+    model,
+    params,
+    feats: jax.Array,
+    feat_lengths: jax.Array,
+    max_symbols: int,
+    blank: int = 0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Greedy decode for a Token-and-Duration Transducer model
+    (``cfg.tdt_durations`` non-empty, trained with ``rnnt_loss_tdt``).
+
+    At each step the duration head's argmax d decides how many frames the
+    emission consumes: a token advances the prediction network and t by d
+    (possibly 0), a blank advances t by max(d, 1) — the frame-skipping
+    decode speed-up of arXiv:2304.06795.
+
+    Returns (tokens (B, max_symbols) int32 blank-padded, token_lengths).
+    """
+    B, T = feats.shape[0], feats.shape[1]
+    durs = jnp.asarray(model.cfg.tdt_durations, jnp.int32)
+
+    enc = model.apply(params, feats, feat_lengths, method=model.encode)
+
+    def pred_step(state, token):
+        return model.apply(params, state, token, method=model.predict_step)
+
+    def joint_step(e_frame, p_out):
+        return model.apply(params, e_frame, p_out,
+                           method=model.tdt_joint_step)
+
+    state0 = model.apply(params, B, method=model.predict_init)
+    state0, pred0 = pred_step(state0, jnp.full((B,), blank, jnp.int32))
+
+    def body(carry, _):
+        t, n_sym, state, pred_out, tokens = carry
+        e_frame = jnp.take_along_axis(
+            enc, jnp.clip(t, 0, T - 1)[:, None, None], axis=1
+        )[:, 0, :]
+        logits, dur_logits = joint_step(e_frame, pred_out)
+        best = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        d = durs[jnp.argmax(dur_logits, axis=-1)]
+
+        active = (t < feat_lengths) & (n_sym < max_symbols)
+        is_blank = (best == blank) | ~active
+        adv = jnp.where(is_blank, jnp.maximum(d, 1), d)
+
+        new_state, new_pred = pred_step(state, best)
+        state = jax.tree.map(
+            lambda a, b: jnp.where(is_blank[:, None], a, b), state, new_state
+        )
+        pred_out = jnp.where(is_blank[:, None], pred_out, new_pred)
+        tokens = jnp.where(
+            (~is_blank[:, None]) & (jnp.arange(max_symbols)[None] == n_sym[:, None]),
+            best[:, None],
+            tokens,
+        )
+        n_sym = jnp.where(is_blank, n_sym, n_sym + 1)
+        t = jnp.where(active, t + adv, t)
+        return (t, n_sym, state, pred_out, tokens), None
+
+    tokens0 = jnp.full((B, max_symbols), blank, jnp.int32)
+    (t, n_sym, _, _, tokens), _ = lax.scan(
+        body,
+        (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32), state0,
+         pred0, tokens0),
+        None,
+        length=T + max_symbols,
+    )
+    return tokens, n_sym
+
+
 def _merge_duplicate_hyps(scores, tokens, n):
     """Pool the probability of duplicate hypotheses (equal token strings).
 

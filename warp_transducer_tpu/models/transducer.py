@@ -39,6 +39,10 @@ class TransducerConfig:
     input_dim: int = 80  # e.g. log-mel features
     dropout: float = 0.0
     dtype: Any = jnp.bfloat16  # activations; params stay fp32
+    # Token-and-Duration Transducer (arXiv:2304.06795): non-empty enables a
+    # duration head on the joint; train with tdt_loss_fn / decode with
+    # greedy_decode_tdt. () = standard transducer, no extra parameters.
+    tdt_durations: tuple = ()
 
 
 class FeedForward(nn.Module):
@@ -159,6 +163,9 @@ class Joint(nn.Module):
         self.enc_proj = nn.Dense(c.joint_dim, dtype=c.dtype, name="Dense_0")
         self.pred_proj = nn.Dense(c.joint_dim, dtype=c.dtype, name="Dense_1")
         self.out_proj = nn.Dense(c.vocab_size, dtype=c.dtype, name="Dense_2")
+        if c.tdt_durations:
+            self.dur_proj = nn.Dense(len(c.tdt_durations), dtype=c.dtype,
+                                     name="DurHead_0")
 
     def __call__(self, enc, pred):
         e = self.enc_proj(enc)  # (B, T, H)
@@ -181,6 +188,23 @@ class Joint(nn.Module):
         while e.ndim < p.ndim:
             e = jnp.expand_dims(e, -2)
         return self.out_proj(jnp.tanh(e + p))
+
+    def tdt(self, enc, pred):
+        """(token_logits (B,T,U,V), duration_logits (B,T,U,D)) — the two
+        TDT heads share the tanh joint features (arXiv:2304.06795)."""
+        e = self.enc_proj(enc)
+        p = self.pred_proj(pred)
+        joint = jnp.tanh(e[:, :, None, :] + p[:, None, :, :])
+        return self.out_proj(joint), self.dur_proj(joint)
+
+    def tdt_step(self, enc_frame, pred_out):
+        """Decode-time TDT joint -> (token logits, duration logits)."""
+        e = self.enc_proj(enc_frame)
+        p = self.pred_proj(pred_out)
+        while e.ndim < p.ndim:
+            e = jnp.expand_dims(e, -2)
+        joint = jnp.tanh(e + p)
+        return self.out_proj(joint), self.dur_proj(joint)
 
     def fused_loss(self, enc, pred, labels, input_lengths, label_lengths,
                    reduction="mean", implementation="auto"):
@@ -259,6 +283,16 @@ class Transducer(nn.Module):
     def joint_step(self, enc_frame, pred_out):
         return self.joint.step(enc_frame, pred_out)
 
+    def tdt_logits(self, feats, feat_lengths, labels):
+        """(token_logits, duration_logits) for ``rnnt_loss_tdt``; requires
+        ``cfg.tdt_durations`` non-empty."""
+        enc = self.encoder(feats, feat_lengths)
+        pred = self.prediction(labels)
+        return self.joint.tdt(enc, pred)
+
+    def tdt_joint_step(self, enc_frame, pred_out):
+        return self.joint.tdt_step(enc_frame, pred_out)
+
     def factorised(self, feats, feat_lengths, labels):
         """(am (B,T,V), lm (B,U,V)) for rnnt_loss_simple / pruning."""
         enc = self.encoder(feats, feat_lengths)
@@ -316,10 +350,14 @@ def init_params(cfg: TransducerConfig, rng, B=2, T=8, U=3):
     lengths = jnp.full((B,), T, jnp.int32)
     labels = jnp.zeros((B, U - 1), jnp.int32)
 
-    # touch every path (dense joint AND factorised heads) so flax creates
-    # all parameters — setup() submodules are materialised lazily
+    # touch every path (dense joint, factorised heads, TDT duration head
+    # when configured) so flax creates all parameters — setup() submodules
+    # are materialised lazily
     def init_all(self, f, l, lab):
-        return self(f, l, lab), self.factorised(f, l, lab)
+        out = (self(f, l, lab), self.factorised(f, l, lab))
+        if cfg.tdt_durations:
+            out += (self.tdt_logits(f, l, lab),)
+        return out
 
     return model.init(rng, feats, lengths, labels, method=init_all)
 
@@ -369,6 +407,37 @@ def make_fused_train_step(model, optimizer, implementation="auto"):
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, l
+
+    return step
+
+
+def tdt_loss_fn(params, model, batch, blank=0, sigma=0.0):
+    """Token-and-Duration Transducer objective (arXiv:2304.06795); requires
+    ``cfg.tdt_durations`` non-empty."""
+    from ..ops.tdt import rnnt_loss_tdt
+
+    tok, dur = model.apply(
+        params, batch["feats"], batch["feat_lengths"], batch["labels"],
+        method=model.tdt_logits,
+    )
+    return rnnt_loss_tdt(
+        tok.astype(jnp.float32), dur.astype(jnp.float32), batch["labels"],
+        batch["feat_lengths"], batch["label_lengths"],
+        durations=model.cfg.tdt_durations, blank=blank, sigma=sigma,
+        reduction="mean",
+    )
+
+
+def make_tdt_train_step(model, optimizer, blank=0, sigma=0.0):
+    """Jittable TDT train step (both heads trained through the fused
+    two-head gradient of ``rnnt_loss_tdt``)."""
+
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(tdt_loss_fn)(
+            params, model, batch, blank=blank, sigma=sigma)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
 
     return step
 
