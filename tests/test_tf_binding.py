@@ -218,3 +218,53 @@ class TestSimpleLoss:
         np.testing.assert_allclose(costs.numpy(), ref.numpy(), rtol=1e-5)
         np.testing.assert_allclose(gam.numpy(), gref.numpy().sum(2), atol=1e-4)
         np.testing.assert_allclose(glm.numpy(), gref.numpy().sum(1), atol=1e-4)
+
+
+class TestMultiblankTDT:
+    def test_multiblank_matches_oracle_with_grads(self):
+        from warp_transducer_tpu.utils import numpy_oracle_multiblank as omb
+
+        rng = np.random.RandomState(23)
+        B, T, U, V, durs = 2, 6, 3, 8, (2, 3)
+        acts_np = (rng.randn(B, T, U, V) * 1.5).astype(np.float32)
+        labels_np = rng.randint(1, V - 2, (B, U - 1)).astype(np.int32)
+        il_np = np.array([6, 4], np.int32)
+        ll_np = np.array([2, 1], np.int32)
+        oc, og = omb.multiblank_batch(acts_np, labels_np, il_np, ll_np,
+                                      durs, sigma=0.05)
+
+        acts = tf.constant(acts_np)
+        with tf.GradientTape() as tape:
+            tape.watch(acts)
+            costs = tf_binding.rnnt_loss_multiblank(
+                acts, tf.constant(labels_np), tf.constant(il_np),
+                tf.constant(ll_np), durs, sigma=0.05)
+            total = tf.reduce_sum(costs)
+        g = tape.gradient(total, acts)
+        np.testing.assert_allclose(costs.numpy(), oc, rtol=1e-5)
+        np.testing.assert_allclose(g.numpy(), og, rtol=1e-4, atol=1e-5)
+
+    def test_tdt_matches_oracle_with_grads(self):
+        from warp_transducer_tpu.utils import numpy_oracle_tdt as otdt
+
+        rng = np.random.RandomState(31)
+        B, T, U, V, durs = 2, 6, 3, 7, (0, 1, 2)
+        tok_np = (rng.randn(B, T, U, V) * 1.5).astype(np.float32)
+        dur_np = (rng.randn(B, T, U, len(durs)) * 1.5).astype(np.float32)
+        labels_np = rng.randint(1, V, (B, U - 1)).astype(np.int32)
+        il_np = np.array([6, 4], np.int32)
+        ll_np = np.array([2, 1], np.int32)
+        oc, ogt, ogd = otdt.tdt_batch(tok_np, dur_np, labels_np, il_np,
+                                      ll_np, durs, sigma=0.02)
+
+        tok, dur = tf.constant(tok_np), tf.constant(dur_np)
+        with tf.GradientTape() as tape:
+            tape.watch([tok, dur])
+            costs = tf_binding.rnnt_loss_tdt(
+                tok, dur, tf.constant(labels_np), tf.constant(il_np),
+                tf.constant(ll_np), durs, sigma=0.02)
+            total = tf.reduce_sum(costs)
+        gt, gd = tape.gradient(total, [tok, dur])
+        np.testing.assert_allclose(costs.numpy(), oc, rtol=1e-5)
+        np.testing.assert_allclose(gt.numpy(), ogt, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(gd.numpy(), ogd, rtol=1e-4, atol=1e-5)

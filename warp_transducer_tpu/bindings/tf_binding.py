@@ -256,6 +256,91 @@ def rnnt_loss_pruned_fused(e, p, W, bias, ranges, labels, input_lengths,
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _converted_multiblank(blank: int, durations: tuple, indices, sigma: float,
+                          platforms: tuple, fastemit_lambda: float,
+                          delay_penalty: float):
+    from jax.experimental import jax2tf
+
+    from ..ops.multiblank import rnnt_loss_multiblank as jax_mb
+
+    def fn(acts, labels, input_lengths, label_lengths):
+        return jax_mb(
+            acts, labels, input_lengths, label_lengths, durations,
+            blank=blank, big_blank_indices=indices, sigma=sigma,
+            reduction="none", fastemit_lambda=fastemit_lambda,
+            delay_penalty=delay_penalty,
+        )
+
+    return jax2tf.convert(
+        fn, with_gradient=True, native_serialization_platforms=platforms
+    )
+
+
+def rnnt_loss_multiblank(acts, labels, input_lengths, label_lengths,
+                         big_blank_durations, blank=0,
+                         big_blank_indices=None, sigma=0.0,
+                         platforms=("cpu",), fastemit_lambda=0.0,
+                         delay_penalty=0.0):
+    """Multi-blank transducer loss (arXiv 2211.03541) for TF graphs;
+    differentiable w.r.t. ``acts``. Same jax2tf lowering as ``rnnt_loss``;
+    see ``ops/multiblank.py`` for semantics."""
+    tf = _tf()
+    fn = _converted_multiblank(
+        int(blank), tuple(int(m) for m in big_blank_durations),
+        None if big_blank_indices is None
+        else tuple(int(i) for i in big_blank_indices),
+        float(sigma), tuple(platforms), float(fastemit_lambda),
+        float(delay_penalty))
+    return fn(
+        acts,
+        tf.cast(labels, tf.int32),
+        tf.cast(input_lengths, tf.int32),
+        tf.cast(label_lengths, tf.int32),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _converted_tdt(blank: int, durations: tuple, sigma: float,
+                   platforms: tuple, fastemit_lambda: float,
+                   delay_penalty: float):
+    from jax.experimental import jax2tf
+
+    from ..ops.tdt import rnnt_loss_tdt as jax_tdt
+
+    def fn(token_logits, duration_logits, labels, input_lengths,
+           label_lengths):
+        return jax_tdt(
+            token_logits, duration_logits, labels, input_lengths,
+            label_lengths, durations, blank=blank, sigma=sigma,
+            reduction="none", fastemit_lambda=fastemit_lambda,
+            delay_penalty=delay_penalty,
+        )
+
+    return jax2tf.convert(
+        fn, with_gradient=True, native_serialization_platforms=platforms
+    )
+
+
+def rnnt_loss_tdt(token_logits, duration_logits, labels, input_lengths,
+                  label_lengths, durations=(0, 1, 2, 3, 4), blank=0,
+                  sigma=0.0, platforms=("cpu",), fastemit_lambda=0.0,
+                  delay_penalty=0.0):
+    """Token-and-Duration Transducer loss (arXiv 2304.06795) for TF
+    graphs; differentiable w.r.t. BOTH logits tensors. Same jax2tf
+    lowering as ``rnnt_loss``; see ``ops/tdt.py`` for semantics."""
+    tf = _tf()
+    fn = _converted_tdt(int(blank), tuple(int(d) for d in durations),
+                        float(sigma), tuple(platforms),
+                        float(fastemit_lambda), float(delay_penalty))
+    return fn(
+        token_logits, duration_logits,
+        tf.cast(labels, tf.int32),
+        tf.cast(input_lengths, tf.int32),
+        tf.cast(label_lengths, tf.int32),
+    )
+
+
 def make_rnnt_loss_module(blank: int = 0, from_log_probs: bool = False,
                           platforms=("cpu",)):
     """A ``tf.Module`` wrapping the loss in a ``tf.function`` — ready for
