@@ -76,6 +76,30 @@ wttStatus_t wtt_rnnt_loss_fp64(const double* acts, double* grads,
                                double* costs, void* workspace,
                                wttOptions options);
 
+/* Multi-blank transducer loss (arXiv 2211.03541): num_big_blanks extra
+ * blank symbols; emitting big blank k advances t by big_blank_durations[k]
+ * (each >= 2, distinct) and the path may end on a big blank consuming the
+ * remaining frames exactly. big_blank_indices[k] is its vocab column
+ * (distinct, != options.blank_label). sigma is the paper's logit
+ * under-normalization (every log-prob shifted by -sigma). Shapes and the
+ * grads/score split match wtt_rnnt_loss; scratch is allocated internally
+ * (no caller-workspace variant). JAX twin: rnnt_loss_multiblank
+ * (warp_transducer_tpu/ops/multiblank.py); oracle:
+ * utils/numpy_oracle_multiblank.py. */
+wttStatus_t wtt_rnnt_loss_multiblank(
+    const float* acts, float* grads, const int* labels,
+    const int* label_lengths, const int* input_lengths, int alphabet_size,
+    int minibatch, int maxT, int maxU, const int* big_blank_durations,
+    const int* big_blank_indices, int num_big_blanks, float sigma,
+    float* costs, wttOptions options);
+
+wttStatus_t wtt_rnnt_loss_multiblank_fp64(
+    const double* acts, double* grads, const int* labels,
+    const int* label_lengths, const int* input_lengths, int alphabet_size,
+    int minibatch, int maxT, int maxU, const int* big_blank_durations,
+    const int* big_blank_indices, int num_big_blanks, double sigma,
+    double* costs, wttOptions options);
+
 /* Pruned (banded) RNN-T loss: the dense loss restricted to a per-frame
  * band of width s_range (the JAX twin is rnnt_loss_pruned; see
  * warp_transducer_tpu/ops/pruned.py for the math and the band contract).

@@ -396,6 +396,243 @@ wttStatus_t run(const T* acts, T* grads, const int* labels,
 }
 
 // ---------------------------------------------------------------------------
+// Multi-blank engine (arXiv 2211.03541): K big-blank symbols whose
+// emission advances t by a duration m_k >= 2 (u unchanged); the path may
+// also END on a big blank consuming the remaining frames exactly. Scalar
+// twin of the JAX engine (warp_transducer_tpu/ops/multiblank.py); the
+// semantics contract is utils/numpy_oracle_multiblank.py. `sigma` is the
+// paper's logit under-normalization (log-probs shifted by -sigma).
+// ---------------------------------------------------------------------------
+
+template <typename Real>
+class MultiblankLattice {
+ public:
+  MultiblankLattice(int T_, int U_, int V_, int maxU, int blank,
+                    bool from_log_probs, const int* durs, const int* bb,
+                    int K_, Real sigma, Real lam, Real delay)
+      : T(T_), U(U_), V(V_), maxU_(maxU), blank_(blank),
+        from_log_probs_(from_log_probs), durs_(durs), bb_(bb), K(K_),
+        sigma_(sigma), lam_(lam), delay_(delay) {
+    const size_t n = static_cast<size_t>(T) * U;
+    own_.assign((5 + static_cast<size_t>(K)) * n, kNegInf<Real>);
+    lpb_ = own_.data();
+    lpe_ = lpb_ + n;
+    denom_ = lpe_ + n;
+    alpha_ = denom_ + n;
+    beta_ = alpha_ + n;
+    lpB_ = beta_ + n;  // K consecutive (T*U) planes
+  }
+
+  void setup(const Real* acts, const int* labels) {
+    const size_t n = static_cast<size_t>(T) * U;
+    for (int t = 0; t < T; ++t) {
+      for (int u = 0; u < U; ++u) {
+        const Real* row = acts + (static_cast<size_t>(t) * maxU_ + u) * V;
+        Real d = 0;
+        if (!from_log_probs_) {
+          Real hi = row[0];
+          for (int v = 1; v < V; ++v) hi = std::max(hi, row[v]);
+          Real s = 0;
+          for (int v = 0; v < V; ++v) s += std::exp(row[v] - hi);
+          d = -hi - std::log(s);
+          denom_[idx(t, u)] = d;
+        }
+        const Real sh = d - sigma_;
+        lpb_[idx(t, u)] = row[blank_] + sh;
+        if (u < U - 1) lpe_[idx(t, u)] = row[labels[u]] + sh;
+        for (int k = 0; k < K; ++k)
+          lpB_[k * n + idx(t, u)] = row[bb_[k]] + sh;
+      }
+    }
+    if (delay_ != Real(0)) {
+      const Real mid = Real(T - 1) / Real(2);
+      for (int t = 0; t < T; ++t) {
+        const Real shift = delay_ * (mid - Real(t));
+        for (int u = 0; u < U - 1; ++u) lpe_[idx(t, u)] += shift;
+      }
+    }
+  }
+
+  Real forward() {
+    const size_t n = static_cast<size_t>(T) * U;
+    for (int t = 0; t < T; ++t) {
+      for (int u = 0; u < U; ++u) {
+        if (t == 0 && u == 0) {
+          alpha_[0] = 0;
+          continue;
+        }
+        Real acc = kNegInf<Real>;
+        if (t > 0)
+          acc = alpha_[idx(t - 1, u)] + lpb_[idx(t - 1, u)];
+        if (u > 0)
+          acc = logaddexp(acc, alpha_[idx(t, u - 1)] + lpe_[idx(t, u - 1)]);
+        for (int k = 0; k < K; ++k) {
+          const int m = durs_[k];
+          if (t - m >= 0)
+            acc = logaddexp(acc, alpha_[idx(t - m, u)]
+                                 + lpB_[k * n + idx(t - m, u)]);
+        }
+        alpha_[idx(t, u)] = acc;
+      }
+    }
+    const size_t nn = n;
+    Real ll = alpha_[idx(T - 1, U - 1)] + lpb_[idx(T - 1, U - 1)];
+    for (int k = 0; k < K; ++k) {
+      const int m = durs_[k];
+      if (m <= T)
+        ll = logaddexp(ll, alpha_[idx(T - m, U - 1)]
+                           + lpB_[k * nn + idx(T - m, U - 1)]);
+    }
+    return ll;
+  }
+
+  Real backward() {
+    const size_t n = static_cast<size_t>(T) * U;
+    for (int t = T - 1; t >= 0; --t) {
+      for (int u = U - 1; u >= 0; --u) {
+        Real acc = kNegInf<Real>;
+        if (u == U - 1) {
+          if (t == T - 1) acc = lpb_[idx(t, u)];
+          for (int k = 0; k < K; ++k)
+            if (t + durs_[k] == T)
+              acc = logaddexp(acc, lpB_[k * n + idx(t, u)]);
+        }
+        if (t < T - 1)
+          acc = logaddexp(acc, lpb_[idx(t, u)] + beta_[idx(t + 1, u)]);
+        if (u < U - 1)
+          acc = logaddexp(acc, lpe_[idx(t, u)] + beta_[idx(t, u + 1)]);
+        for (int k = 0; k < K; ++k) {
+          const int m = durs_[k];
+          if (t + m <= T - 1)
+            acc = logaddexp(acc, lpB_[k * n + idx(t, u)]
+                                 + beta_[idx(t + m, u)]);
+        }
+        beta_[idx(t, u)] = acc;
+      }
+    }
+    return beta_[0];
+  }
+
+  void gradient(Real* grads, const Real* acts, const int* labels, Real ll) {
+    const size_t n = static_cast<size_t>(T) * U;
+    for (int t = 0; t < T; ++t) {
+      for (int u = 0; u < U; ++u) {
+        const size_t cell = idx(t, u);
+        Real* grow = grads + (static_cast<size_t>(t) * maxU_ + u) * V;
+        const Real a = alpha_[cell];
+        const Real bt = (t < T - 1) ? beta_[idx(t + 1, u)]
+                                 : ((u == U - 1) ? Real(0) : kNegInf<Real>);
+        const Real bu = (u < U - 1) ? beta_[idx(t, u + 1)] : kNegInf<Real>;
+        const Real gb = std::exp(a + lpb_[cell] + bt - ll);
+        const Real ge =
+            (u < U - 1) ? std::exp(a + lpe_[cell] + bu - ll) : Real(0);
+        if (from_log_probs_) {
+          grow[blank_] = -gb;
+          for (int k = 0; k < K; ++k)
+            grow[bb_[k]] = -big_post(k, t, u, ll, n);
+          if (u < U - 1) grow[labels[u]] = -(Real(1) + lam_) * ge;
+        } else {
+          const Real* row = acts + (static_cast<size_t>(t) * maxU_ + u) * V;
+          const Real coef = std::exp(a + beta_[cell] - ll) + lam_ * ge;
+          const Real d = denom_[cell];
+          for (int v = 0; v < V; ++v)
+            grow[v] = coef * std::exp(row[v] + d);
+          grow[blank_] -= gb;
+          for (int k = 0; k < K; ++k)
+            grow[bb_[k]] -= big_post(k, t, u, ll, n);
+          if (u < U - 1) grow[labels[u]] -= (Real(1) + lam_) * ge;
+        }
+      }
+    }
+  }
+
+ private:
+  // posterior of the duration-m_k arc out of (t, u): interior when
+  // t + m <= T-1, terminal (beta = 0) when it consumes the rest exactly
+  Real big_post(int k, int t, int u, Real ll, size_t n) const {
+    const int m = durs_[k];
+    const Real w = lpB_[k * n + idx(t, u)];
+    if (t + m <= T - 1)
+      return std::exp(alpha_[idx(t, u)] + w + beta_[idx(t + m, u)] - ll);
+    if (t + m == T && u == U - 1)
+      return std::exp(alpha_[idx(t, u)] + w - ll);
+    return Real(0);
+  }
+
+  size_t idx(int t, int u) const { return static_cast<size_t>(t) * U + u; }
+  int T, U, V, maxU_, blank_;
+  bool from_log_probs_;
+  const int* durs_;
+  const int* bb_;
+  int K;
+  Real sigma_, lam_, delay_;
+  Real *lpb_, *lpe_, *denom_, *alpha_, *beta_, *lpB_;
+  std::vector<Real> own_;
+};
+
+template <typename T>
+wttStatus_t run_multiblank(const T* acts, T* grads, const int* labels,
+                           const int* label_lengths, const int* input_lengths,
+                           int V, int B, int maxT, int maxU,
+                           const int* durs, const int* bb, int K, T sigma,
+                           T* costs, wttOptions options) {
+  if (!acts || !labels || !label_lengths || !input_lengths || !costs)
+    return WTT_STATUS_BAD_ARGUMENT;
+  if (K < 0 || (K > 0 && (!durs || !bb)))
+    return WTT_STATUS_BAD_ARGUMENT;
+  if (V <= 0 || B <= 0 || maxT <= 0 || maxU <= 0 ||
+      options.blank_label < 0 || options.blank_label >= V ||
+      !(options.fastemit_lambda >= 0.0f) ||
+      !(options.delay_penalty >= 0.0f))
+    return WTT_STATUS_BAD_ARGUMENT;
+  for (int k = 0; k < K; ++k) {
+    if (durs[k] < 2) return WTT_STATUS_BAD_ARGUMENT;
+    if (bb[k] < 0 || bb[k] >= V || bb[k] == options.blank_label)
+      return WTT_STATUS_BAD_ARGUMENT;
+    for (int j = 0; j < k; ++j)
+      if (durs[j] == durs[k] || bb[j] == bb[k])
+        return WTT_STATUS_BAD_ARGUMENT;
+  }
+  for (int b = 0; b < B; ++b) {
+    if (input_lengths[b] < 1 || input_lengths[b] > maxT)
+      return WTT_STATUS_BAD_ARGUMENT;
+    if (label_lengths[b] < 0 || label_lengths[b] + 1 > maxU)
+      return WTT_STATUS_BAD_ARGUMENT;
+  }
+
+#if defined(_OPENMP)
+  if (options.num_threads > 0) omp_set_num_threads(options.num_threads);
+#endif
+
+  const size_t block = static_cast<size_t>(maxT) * maxU * V;
+  if (grads) std::memset(grads, 0, sizeof(T) * block * B);
+
+  bool ok = true;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int b = 0; b < B; ++b) {
+    const int Tb = input_lengths[b];
+    const int Ub = label_lengths[b] + 1;
+    const T* a_b = acts + b * block;
+    const int* lab_b = labels + static_cast<size_t>(b) * (maxU - 1);
+    MultiblankLattice<T> lat(Tb, Ub, V, maxU, options.blank_label,
+                             options.from_log_probs != 0, durs, bb, K, sigma,
+                             static_cast<T>(options.fastemit_lambda),
+                             static_cast<T>(options.delay_penalty));
+    lat.setup(a_b, lab_b);
+    const T ll = lat.forward();
+    if (!std::isfinite(ll)) ok = false;
+    costs[b] = -ll;
+    if (grads) {
+      lat.backward();
+      lat.gradient(grads + b * block, a_b, lab_b, ll);
+    }
+  }
+  return ok ? WTT_STATUS_SUCCESS : WTT_STATUS_EXECUTION_FAILED;
+}
+
+// ---------------------------------------------------------------------------
 // Pruned (banded) engine: the dense loss restricted to band cells
 // (t, ranges[t] + s), s in [0, s_range). Scalar twin of the JAX band
 // recursion in warp_transducer_tpu/ops/pruned.py (same masks, same
@@ -1013,7 +1250,8 @@ extern "C" {
 
 // 2: wtt_rnnt_loss signatures gained a caller-workspace parameter and the
 // pruned engine was added — ABI-incompatible with version 1.
-int wtt_get_version(void) { return 2; }
+// 3: additive — wtt_rnnt_loss_multiblank(_fp64) (arXiv 2211.03541).
+int wtt_get_version(void) { return 3; }
 
 const char* wtt_get_status_string(wttStatus_t status) {
   switch (status) {
@@ -1053,6 +1291,31 @@ wttStatus_t wtt_rnnt_loss_fp64(const double* acts, double* grads,
   return run<double>(acts, grads, labels, label_lengths, input_lengths,
                      alphabet_size, minibatch, maxT, maxU, costs, workspace,
                      options);
+}
+
+wttStatus_t wtt_rnnt_loss_multiblank(
+    const float* acts, float* grads, const int* labels,
+    const int* label_lengths, const int* input_lengths, int alphabet_size,
+    int minibatch, int maxT, int maxU, const int* big_blank_durations,
+    const int* big_blank_indices, int num_big_blanks, float sigma,
+    float* costs, wttOptions options) {
+  return run_multiblank<float>(acts, grads, labels, label_lengths,
+                               input_lengths, alphabet_size, minibatch, maxT,
+                               maxU, big_blank_durations, big_blank_indices,
+                               num_big_blanks, sigma, costs, options);
+}
+
+wttStatus_t wtt_rnnt_loss_multiblank_fp64(
+    const double* acts, double* grads, const int* labels,
+    const int* label_lengths, const int* input_lengths, int alphabet_size,
+    int minibatch, int maxT, int maxU, const int* big_blank_durations,
+    const int* big_blank_indices, int num_big_blanks, double sigma,
+    double* costs, wttOptions options) {
+  return run_multiblank<double>(acts, grads, labels, label_lengths,
+                                input_lengths, alphabet_size, minibatch,
+                                maxT, maxU, big_blank_durations,
+                                big_blank_indices, num_big_blanks, sigma,
+                                costs, options);
 }
 
 wttStatus_t wtt_rnnt_loss_pruned(const float* acts, float* grads,

