@@ -100,6 +100,30 @@ wttStatus_t wtt_rnnt_loss_multiblank_fp64(
     const int* big_blank_indices, int num_big_blanks, double sigma,
     double* costs, wttOptions options);
 
+/* Token-and-Duration Transducer loss (arXiv 2304.06795): a duration head
+ * (num_durations <= 32 raw logits per cell, column j for durations[j])
+ * chooses each emission's frame skip; token arcs may use d = 0, blank
+ * arcs need d >= 1, the final blank consumes the remaining frames
+ * exactly. Raw logits only (both heads' log-softmax fused;
+ * options.from_log_probs must be 0); sigma under-normalizes the token
+ * head. grads_tok (B,maxT,maxU,V) and grads_dur (B,maxT,maxU,D) must be
+ * both non-NULL (training) or both NULL (score-only); scratch is
+ * allocated internally. JAX twin: rnnt_loss_tdt
+ * (warp_transducer_tpu/ops/tdt.py); oracle: utils/numpy_oracle_tdt.py. */
+wttStatus_t wtt_rnnt_loss_tdt(
+    const float* token_logits, const float* duration_logits,
+    float* grads_tok, float* grads_dur, const int* labels,
+    const int* label_lengths, const int* input_lengths, int alphabet_size,
+    int minibatch, int maxT, int maxU, const int* durations,
+    int num_durations, float sigma, float* costs, wttOptions options);
+
+wttStatus_t wtt_rnnt_loss_tdt_fp64(
+    const double* token_logits, const double* duration_logits,
+    double* grads_tok, double* grads_dur, const int* labels,
+    const int* label_lengths, const int* input_lengths, int alphabet_size,
+    int minibatch, int maxT, int maxU, const int* durations,
+    int num_durations, double sigma, double* costs, wttOptions options);
+
 /* Pruned (banded) RNN-T loss: the dense loss restricted to a per-frame
  * band of width s_range (the JAX twin is rnnt_loss_pruned; see
  * warp_transducer_tpu/ops/pruned.py for the math and the band contract).

@@ -633,6 +633,250 @@ wttStatus_t run_multiblank(const T* acts, T* grads, const int* labels,
 }
 
 // ---------------------------------------------------------------------------
+// Token-and-Duration Transducer engine (arXiv 2304.06795): every emission
+// carries a duration from a small set; token arcs (t,u)->(t+d,u+1) may use
+// d = 0, blank arcs (t,u)->(t+d,u) need d >= 1, and the final blank
+// consumes the remaining frames exactly. Scalar twin of the JAX engine
+// (warp_transducer_tpu/ops/tdt.py); semantics contract:
+// utils/numpy_oracle_tdt.py. Raw logits only (both heads' log-softmax
+// fused); sigma under-normalizes the TOKEN head.
+// ---------------------------------------------------------------------------
+
+template <typename Real>
+class TDTLattice {
+ public:
+  TDTLattice(int T_, int U_, int V_, int D_, int maxU, int blank,
+             const int* durs, Real sigma, Real lam, Real delay)
+      : T(T_), U(U_), V(V_), D(D_), maxU_(maxU), blank_(blank), durs_(durs),
+        sigma_(sigma), lam_(lam), delay_(delay) {
+    const size_t n = static_cast<size_t>(T) * U;
+    own_.assign((5 + static_cast<size_t>(D)) * n, kNegInf<Real>);
+    lpb_ = own_.data();
+    lpe_ = lpb_ + n;
+    denom_ = lpe_ + n;
+    alpha_ = denom_ + n;
+    beta_ = alpha_ + n;
+    lpd_ = beta_ + n;  // D consecutive (T*U) planes
+    dden_.assign(n, Real(0));
+  }
+
+  void setup(const Real* tok, const Real* dur, const int* labels) {
+    const size_t n = static_cast<size_t>(T) * U;
+    for (int t = 0; t < T; ++t) {
+      for (int u = 0; u < U; ++u) {
+        const Real* row = tok + (static_cast<size_t>(t) * maxU_ + u) * V;
+        Real hi = row[0];
+        for (int v = 1; v < V; ++v) hi = std::max(hi, row[v]);
+        Real s = 0;
+        for (int v = 0; v < V; ++v) s += std::exp(row[v] - hi);
+        const Real d = -hi - std::log(s);
+        denom_[idx(t, u)] = d;
+        const Real sh = d - sigma_;
+        lpb_[idx(t, u)] = row[blank_] + sh;
+        if (u < U - 1) lpe_[idx(t, u)] = row[labels[u]] + sh;
+
+        const Real* drow = dur + (static_cast<size_t>(t) * maxU_ + u) * D;
+        Real dhi = drow[0];
+        for (int j = 1; j < D; ++j) dhi = std::max(dhi, drow[j]);
+        Real ds = 0;
+        for (int j = 0; j < D; ++j) ds += std::exp(drow[j] - dhi);
+        const Real dd = -dhi - std::log(ds);
+        dden_[idx(t, u)] = dd;
+        for (int j = 0; j < D; ++j) lpd_[j * n + idx(t, u)] = drow[j] + dd;
+      }
+    }
+    if (delay_ != Real(0)) {
+      const Real mid = Real(T - 1) / Real(2);
+      for (int t = 0; t < T; ++t) {
+        const Real shift = delay_ * (mid - Real(t));
+        for (int u = 0; u < U - 1; ++u) lpe_[idx(t, u)] += shift;
+      }
+    }
+  }
+
+  Real forward() {
+    const size_t n = static_cast<size_t>(T) * U;
+    for (int t = 0; t < T; ++t) {
+      for (int u = 0; u < U; ++u) {
+        if (t == 0 && u == 0) {
+          alpha_[0] = 0;
+          continue;
+        }
+        Real acc = kNegInf<Real>;
+        for (int j = 0; j < D; ++j) {
+          const int d = durs_[j];
+          if (u > 0 && t - d >= 0)
+            acc = logaddexp(acc, alpha_[idx(t - d, u - 1)]
+                                 + lpe_[idx(t - d, u - 1)]
+                                 + lpd_[j * n + idx(t - d, u - 1)]);
+          if (d >= 1 && t - d >= 0)
+            acc = logaddexp(acc, alpha_[idx(t - d, u)] + lpb_[idx(t - d, u)]
+                                 + lpd_[j * n + idx(t - d, u)]);
+        }
+        alpha_[idx(t, u)] = acc;
+      }
+    }
+    Real ll = kNegInf<Real>;
+    for (int j = 0; j < D; ++j) {
+      const int d = durs_[j];
+      if (d >= 1 && T - d >= 0)
+        ll = logaddexp(ll, alpha_[idx(T - d, U - 1)] + lpb_[idx(T - d, U - 1)]
+                           + lpd_[j * n + idx(T - d, U - 1)]);
+    }
+    return ll;
+  }
+
+  Real backward() {
+    const size_t n = static_cast<size_t>(T) * U;
+    for (int t = T - 1; t >= 0; --t) {
+      for (int u = U - 1; u >= 0; --u) {
+        Real acc = kNegInf<Real>;
+        for (int j = 0; j < D; ++j) {
+          const int d = durs_[j];
+          if (u == U - 1 && d >= 1 && t + d == T)
+            acc = logaddexp(acc, lpb_[idx(t, u)] + lpd_[j * n + idx(t, u)]);
+          if (d >= 1 && t + d <= T - 1)
+            acc = logaddexp(acc, lpb_[idx(t, u)] + lpd_[j * n + idx(t, u)]
+                                 + beta_[idx(t + d, u)]);
+          if (u < U - 1 && t + d <= T - 1)
+            acc = logaddexp(acc, lpe_[idx(t, u)] + lpd_[j * n + idx(t, u)]
+                                 + beta_[idx(t + d, u + 1)]);
+        }
+        beta_[idx(t, u)] = acc;
+      }
+    }
+    return beta_[0];
+  }
+
+  // Both heads' dense gradients; g_tok/g_dur point at this utterance's
+  // padded blocks. Every arc carries one factor from each head, so both
+  // share the occupation coefficient W = exp(alpha+beta-ll) (+ lam*ce
+  // under FastEmit).
+  void gradient(Real* g_tok, Real* g_dur, const Real* tok, const Real* dur,
+                const int* labels, Real ll) {
+    const size_t n = static_cast<size_t>(T) * U;
+    for (int t = 0; t < T; ++t) {
+      for (int u = 0; u < U; ++u) {
+        const size_t cell = idx(t, u);
+        const Real a = alpha_[cell];
+        Real ce_total = 0;
+        Real cb_total = 0;
+        Real cb_j[32], ce_j[32];  // D <= 32 enforced at entry
+        for (int j = 0; j < D; ++j) {
+          const int d = durs_[j];
+          const Real w = lpd_[j * n + cell];
+          Real ce = 0, cb = 0;
+          if (u < U - 1 && t + d <= T - 1)
+            ce = std::exp(a + lpe_[cell] + w + beta_[idx(t + d, u + 1)] - ll);
+          if (d >= 1) {
+            if (t + d <= T - 1)
+              cb = std::exp(a + lpb_[cell] + w + beta_[idx(t + d, u)] - ll);
+            else if (t + d == T && u == U - 1)
+              cb = std::exp(a + lpb_[cell] + w - ll);
+          }
+          ce_j[j] = ce;
+          cb_j[j] = cb;
+          ce_total += ce;
+          cb_total += cb;
+        }
+        const Real coef = std::exp(a + beta_[cell] - ll) + lam_ * ce_total;
+
+        Real* gt = g_tok + (static_cast<size_t>(t) * maxU_ + u) * V;
+        const Real* row = tok + (static_cast<size_t>(t) * maxU_ + u) * V;
+        const Real den = denom_[cell];
+        for (int v = 0; v < V; ++v) gt[v] = coef * std::exp(row[v] + den);
+        gt[blank_] -= cb_total;
+        if (u < U - 1) gt[labels[u]] -= (Real(1) + lam_) * ce_total;
+
+        Real* gd = g_dur + (static_cast<size_t>(t) * maxU_ + u) * D;
+        const Real* drow = dur + (static_cast<size_t>(t) * maxU_ + u) * D;
+        const Real dden = dden_[cell];
+        for (int j = 0; j < D; ++j)
+          gd[j] = coef * std::exp(drow[j] + dden)
+                  - (cb_j[j] + (Real(1) + lam_) * ce_j[j]);
+      }
+    }
+  }
+
+ private:
+  size_t idx(int t, int u) const { return static_cast<size_t>(t) * U + u; }
+  int T, U, V, D, maxU_, blank_;
+  const int* durs_;
+  Real sigma_, lam_, delay_;
+  Real *lpb_, *lpe_, *denom_, *alpha_, *beta_, *lpd_;
+  std::vector<Real> own_, dden_;
+};
+
+template <typename T>
+wttStatus_t run_tdt(const T* tok, const T* dur, T* g_tok, T* g_dur,
+                    const int* labels, const int* label_lengths,
+                    const int* input_lengths, int V, int B, int maxT,
+                    int maxU, const int* durs, int D, T sigma, T* costs,
+                    wttOptions options) {
+  if (!tok || !dur || !labels || !label_lengths || !input_lengths || !costs ||
+      !durs)
+    return WTT_STATUS_BAD_ARGUMENT;
+  if ((g_tok == nullptr) != (g_dur == nullptr))
+    return WTT_STATUS_BAD_ARGUMENT;
+  if (V <= 0 || B <= 0 || maxT <= 0 || maxU <= 0 || D <= 0 || D > 32 ||
+      options.blank_label < 0 || options.blank_label >= V ||
+      options.from_log_probs != 0 ||  // raw logits only (two fused heads)
+      !(options.fastemit_lambda >= 0.0f) ||
+      !(options.delay_penalty >= 0.0f))
+    return WTT_STATUS_BAD_ARGUMENT;
+  bool any_pos = false;
+  for (int j = 0; j < D; ++j) {
+    if (durs[j] < 0) return WTT_STATUS_BAD_ARGUMENT;
+    if (durs[j] >= 1) any_pos = true;
+    for (int k = 0; k < j; ++k)
+      if (durs[k] == durs[j]) return WTT_STATUS_BAD_ARGUMENT;
+  }
+  if (!any_pos) return WTT_STATUS_BAD_ARGUMENT;
+  for (int b = 0; b < B; ++b) {
+    if (input_lengths[b] < 1 || input_lengths[b] > maxT)
+      return WTT_STATUS_BAD_ARGUMENT;
+    if (label_lengths[b] < 0 || label_lengths[b] + 1 > maxU)
+      return WTT_STATUS_BAD_ARGUMENT;
+  }
+
+#if defined(_OPENMP)
+  if (options.num_threads > 0) omp_set_num_threads(options.num_threads);
+#endif
+
+  const size_t block_t = static_cast<size_t>(maxT) * maxU * V;
+  const size_t block_d = static_cast<size_t>(maxT) * maxU * D;
+  if (g_tok) {
+    std::memset(g_tok, 0, sizeof(T) * block_t * B);
+    std::memset(g_dur, 0, sizeof(T) * block_d * B);
+  }
+
+  bool ok = true;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int b = 0; b < B; ++b) {
+    const int Tb = input_lengths[b];
+    const int Ub = label_lengths[b] + 1;
+    const T* t_b = tok + b * block_t;
+    const T* d_b = dur + b * block_d;
+    const int* lab_b = labels + static_cast<size_t>(b) * (maxU - 1);
+    TDTLattice<T> lat(Tb, Ub, V, D, maxU, options.blank_label, durs, sigma,
+                      static_cast<T>(options.fastemit_lambda),
+                      static_cast<T>(options.delay_penalty));
+    lat.setup(t_b, d_b, lab_b);
+    const T ll = lat.forward();
+    if (!std::isfinite(ll)) ok = false;
+    costs[b] = -ll;
+    if (g_tok) {
+      lat.backward();
+      lat.gradient(g_tok + b * block_t, g_dur + b * block_d, t_b, d_b,
+                   lab_b, ll);
+    }
+  }
+  return ok ? WTT_STATUS_SUCCESS : WTT_STATUS_EXECUTION_FAILED;
+}
+
+// ---------------------------------------------------------------------------
 // Pruned (banded) engine: the dense loss restricted to band cells
 // (t, ranges[t] + s), s in [0, s_range). Scalar twin of the JAX band
 // recursion in warp_transducer_tpu/ops/pruned.py (same masks, same
@@ -1250,7 +1494,8 @@ extern "C" {
 
 // 2: wtt_rnnt_loss signatures gained a caller-workspace parameter and the
 // pruned engine was added — ABI-incompatible with version 1.
-// 3: additive — wtt_rnnt_loss_multiblank(_fp64) (arXiv 2211.03541).
+// 3: additive — wtt_rnnt_loss_multiblank(_fp64) (arXiv 2211.03541) and
+//    wtt_rnnt_loss_tdt(_fp64) (arXiv 2304.06795).
 int wtt_get_version(void) { return 3; }
 
 const char* wtt_get_status_string(wttStatus_t status) {
@@ -1316,6 +1561,30 @@ wttStatus_t wtt_rnnt_loss_multiblank_fp64(
                                 maxT, maxU, big_blank_durations,
                                 big_blank_indices, num_big_blanks, sigma,
                                 costs, options);
+}
+
+wttStatus_t wtt_rnnt_loss_tdt(
+    const float* token_logits, const float* duration_logits,
+    float* grads_tok, float* grads_dur, const int* labels,
+    const int* label_lengths, const int* input_lengths, int alphabet_size,
+    int minibatch, int maxT, int maxU, const int* durations,
+    int num_durations, float sigma, float* costs, wttOptions options) {
+  return run_tdt<float>(token_logits, duration_logits, grads_tok, grads_dur,
+                        labels, label_lengths, input_lengths, alphabet_size,
+                        minibatch, maxT, maxU, durations, num_durations,
+                        sigma, costs, options);
+}
+
+wttStatus_t wtt_rnnt_loss_tdt_fp64(
+    const double* token_logits, const double* duration_logits,
+    double* grads_tok, double* grads_dur, const int* labels,
+    const int* label_lengths, const int* input_lengths, int alphabet_size,
+    int minibatch, int maxT, int maxU, const int* durations,
+    int num_durations, double sigma, double* costs, wttOptions options) {
+  return run_tdt<double>(token_logits, duration_logits, grads_tok, grads_dur,
+                         labels, label_lengths, input_lengths, alphabet_size,
+                         minibatch, maxT, maxU, durations, num_durations,
+                         sigma, costs, options);
 }
 
 wttStatus_t wtt_rnnt_loss_pruned(const float* acts, float* grads,

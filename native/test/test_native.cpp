@@ -523,6 +523,64 @@ static bool multiblank_test() {
   return true;
 }
 
+// TDT engine: finite costs/grads on random two-head inputs; the duration
+// head's per-cell gradient must sum to ~0 at unit occupancy... cheapest
+// exact invariant: sum_j g_dur(t,u,j) == 0 wherever the cell posterior
+// equals the total arc posterior, which holds identically (both are W);
+// check it everywhere. Also bad-arg rejection.
+static bool tdt_test() {
+  const int B = 2, T = 8, U = 3, V = 7, D = 3;
+  std::mt19937 gen(29);
+  std::uniform_real_distribution<float> dist(-1.f, 1.f);
+  std::vector<float> tok(static_cast<size_t>(B) * T * U * V);
+  std::vector<float> dur(static_cast<size_t>(B) * T * U * D);
+  for (auto& x : tok) x = 2.f * dist(gen);
+  for (auto& x : dur) x = 2.f * dist(gen);
+  std::vector<int> labels = {1, 2, 3, 4};  // (B, U-1)
+  std::vector<int> label_lengths = {2, 1};
+  std::vector<int> input_lengths = {8, 5};
+  const int durs[D] = {0, 1, 2};
+  wttOptions opt{};
+  opt.blank_label = 0;
+
+  std::vector<float> costs(B), gt(tok.size()), gd(dur.size());
+  wttStatus_t st = wtt_rnnt_loss_tdt(
+      tok.data(), dur.data(), gt.data(), gd.data(), labels.data(),
+      label_lengths.data(), input_lengths.data(), V, B, T, U, durs, D,
+      0.05f, costs.data(), opt);
+  if (st != WTT_STATUS_SUCCESS) {
+    std::printf("tdt_test status: %s\n", wtt_get_status_string(st));
+    return false;
+  }
+  for (int b = 0; b < B; ++b)
+    if (!std::isfinite(costs[b])) return false;
+  // per-cell: sum_j g_dur = p_dur-weighted W - (total arc posterior) = 0
+  for (int b = 0; b < B; ++b) {
+    const int Tb = input_lengths[b], Ub = label_lengths[b] + 1;
+    for (int t = 0; t < Tb; ++t)
+      for (int u = 0; u < Ub; ++u) {
+        double s = 0;
+        for (int j = 0; j < D; ++j)
+          s += gd[((static_cast<size_t>(b) * T + t) * U + u) * D + j];
+        if (!close(s, 0.0, 2e-4)) {
+          std::printf("tdt_test: dur-head row sum %g at (%d,%d,%d)\n",
+                      s, b, t, u);
+          return false;
+        }
+      }
+  }
+  // duration 0 only: no blank arc can advance — must be rejected
+  const int bad[1] = {0};
+  std::vector<float> cb(B);
+  if (wtt_rnnt_loss_tdt(tok.data(), dur.data(), nullptr, nullptr,
+                        labels.data(), label_lengths.data(),
+                        input_lengths.data(), V, B, T, U, bad, 1, 0.f,
+                        cb.data(), opt) != WTT_STATUS_BAD_ARGUMENT)
+    return false;
+  std::printf("tdt_test ok (cost0=%f)\n", costs[0]);
+  return true;
+}
+
 int main() {
   if (wtt_get_version() != 3) return 1;
   bool ok = small_test();
@@ -533,6 +591,7 @@ int main() {
   ok = fused_test() && ok;
   ok = pruned_fused_test() && ok;
   ok = multiblank_test() && ok;
+  ok = tdt_test() && ok;
   std::printf(ok ? "native tests pass\n" : "native tests FAIL\n");
   return ok ? 0 : 1;
 }

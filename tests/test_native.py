@@ -395,3 +395,65 @@ class TestNativeMultiblank:
         np.testing.assert_allclose(float(loss), oc.mean(), rtol=1e-5)
         np.testing.assert_allclose(a.grad.numpy(), og / B, rtol=1e-4,
                                    atol=1e-6)
+
+
+class TestNativeTDT:
+    def test_matches_oracle_with_grads(self):
+        from warp_transducer_tpu.utils import numpy_oracle_tdt as otdt
+
+        rng = np.random.RandomState(11)
+        B, T, U, V, durs = 2, 8, 4, 7, (0, 1, 2)
+        tok = (rng.randn(B, T, U, V) * 1.5).astype(np.float64)
+        dur = (rng.randn(B, T, U, len(durs)) * 1.5).astype(np.float64)
+        labels = rng.randint(1, V, (B, U - 1)).astype(np.int32)
+        il = np.array([8, 5], np.int32)
+        ll = np.array([3, 2], np.int32)
+        oc, ogt, ogd = otdt.tdt_batch(tok, dur, labels, il, ll, durs,
+                                      sigma=0.05, fastemit_lambda=0.1,
+                                      delay_penalty=0.02)
+        costs, gt, gd = native.rnnt_loss_tdt_native(
+            tok, dur, labels, il, ll, durs, sigma=0.05, fastemit_lambda=0.1,
+            delay_penalty=0.02)
+        np.testing.assert_allclose(costs, oc, rtol=1e-9)
+        np.testing.assert_allclose(gt, ogt, rtol=1e-7, atol=1e-11)
+        np.testing.assert_allclose(gd, ogd, rtol=1e-7, atol=1e-11)
+
+    def test_bad_args(self):
+        tok = np.zeros((1, 3, 2, 5), np.float32)
+        dur = np.zeros((1, 3, 2, 2), np.float32)
+        labels = np.zeros((1, 1), np.int32)
+        il = np.array([3], np.int32)
+        ll = np.array([1], np.int32)
+        with pytest.raises(RuntimeError, match="bad argument"):
+            native.rnnt_loss_tdt_native(tok, dur[..., :1], labels, il, ll,
+                                        (0,))
+        with pytest.raises(RuntimeError, match="bad argument"):
+            native.rnnt_loss_tdt_native(tok, dur, labels, il, ll, (1, 1))
+
+    def test_torch_autograd_matches_oracle(self):
+        import torch
+
+        from warp_transducer_tpu.bindings.torch_binding import rnnt_loss_tdt
+        from warp_transducer_tpu.utils import numpy_oracle_tdt as otdt
+
+        rng = np.random.RandomState(7)
+        B, T, U, V, durs = 2, 6, 3, 8, (0, 1, 3)
+        tok_np = rng.randn(B, T, U, V).astype(np.float32)
+        dur_np = rng.randn(B, T, U, len(durs)).astype(np.float32)
+        labels_np = rng.randint(1, V, (B, U - 1)).astype(np.int32)
+        il_np = np.array([6, 4], np.int32)
+        ll_np = np.array([2, 1], np.int32)
+        oc, ogt, ogd = otdt.tdt_batch(tok_np, dur_np, labels_np, il_np,
+                                      ll_np, durs, sigma=0.03)
+
+        t = torch.tensor(tok_np, requires_grad=True)
+        d = torch.tensor(dur_np, requires_grad=True)
+        loss = rnnt_loss_tdt(t, d, torch.tensor(labels_np),
+                             torch.tensor(il_np), torch.tensor(ll_np),
+                             durs, sigma=0.03, reduction="mean")
+        loss.backward()
+        np.testing.assert_allclose(float(loss), oc.mean(), rtol=1e-5)
+        np.testing.assert_allclose(t.grad.numpy(), ogt / B, rtol=1e-4,
+                                   atol=1e-6)
+        np.testing.assert_allclose(d.grad.numpy(), ogd / B, rtol=1e-4,
+                                   atol=1e-6)

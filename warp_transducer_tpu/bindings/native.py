@@ -155,6 +155,20 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, I, st,
             fp(ft, flags="C_CONTIGUOUS"), _Options,
         ]
+    for name, ft, st in (
+            ("wtt_rnnt_loss_tdt", np.float32, ctypes.c_float),
+            ("wtt_rnnt_loss_tdt_fp64", np.float64, ctypes.c_double)):
+        f = getattr(lib, name)
+        f.restype = ctypes.c_int
+        f.argtypes = [
+            fp(ft, flags="C_CONTIGUOUS"), fp(ft, flags="C_CONTIGUOUS"),
+            ctypes.c_void_p, ctypes.c_void_p,
+            fp(np.int32, flags="C_CONTIGUOUS"),
+            fp(np.int32, flags="C_CONTIGUOUS"),
+            fp(np.int32, flags="C_CONTIGUOUS"), I, I, I, I,
+            fp(np.int32, flags="C_CONTIGUOUS"), I, st,
+            fp(ft, flags="C_CONTIGUOUS"), _Options,
+        ]
     _lib = lib
     return lib
 
@@ -291,6 +305,67 @@ def rnnt_loss_multiblank_native(
             f"{_STATUS_STRINGS.get(status, status)}"
         )
     return costs, grads
+
+
+def rnnt_loss_tdt_native(
+    token_logits: np.ndarray,
+    duration_logits: np.ndarray,
+    labels: np.ndarray,
+    input_lengths: np.ndarray,
+    label_lengths: np.ndarray,
+    durations,
+    blank: int = 0,
+    sigma: float = 0.0,
+    num_threads: int = 0,
+    compute_grads: bool = True,
+    fastemit_lambda: float = 0.0,
+    delay_penalty: float = 0.0,
+):
+    """Token-and-Duration Transducer loss (arXiv 2304.06795) on the native
+    CPU engine; semantics match ``rnnt_loss_tdt`` (and the oracle,
+    ``utils/numpy_oracle_tdt.py``). Returns (costs, grads_tok, grads_dur);
+    the gradients are None when ``compute_grads`` is False."""
+    lib = _load()
+    tok = np.ascontiguousarray(token_logits)
+    dur = np.ascontiguousarray(duration_logits)
+    if tok.dtype not in (np.float32, np.float64):
+        raise TypeError(f"logits must be float32/float64, got {tok.dtype}")
+    if dur.dtype != tok.dtype:
+        dur = dur.astype(tok.dtype)
+    if tok.ndim != 4 or dur.ndim != 4 or tok.shape[:3] != dur.shape[:3]:
+        raise ValueError(
+            f"token/duration logits must be 4-D with equal (B, T, U); got "
+            f"{tok.shape}, {dur.shape}")
+    B, T, U, V = tok.shape
+    durs = np.ascontiguousarray(list(durations), dtype=np.int32)
+    D = len(durs)
+    if dur.shape[-1] != D:
+        raise ValueError(
+            f"duration_logits last dim {dur.shape[-1]} != len(durations)={D}")
+    labels = np.ascontiguousarray(labels, dtype=np.int32)
+    if labels.shape != (B, U - 1):
+        fixed = np.zeros((B, U - 1), np.int32)
+        L = min(labels.shape[1], U - 1)
+        fixed[:, :L] = labels[:, :L]
+        labels = fixed
+    il = np.ascontiguousarray(input_lengths, dtype=np.int32)
+    ll = np.ascontiguousarray(label_lengths, dtype=np.int32)
+    costs = np.zeros((B,), tok.dtype)
+    g_tok = np.zeros_like(tok) if compute_grads else None
+    g_dur = np.zeros_like(dur) if compute_grads else None
+    gt = g_tok.ctypes.data_as(ctypes.c_void_p) if compute_grads else None
+    gd = g_dur.ctypes.data_as(ctypes.c_void_p) if compute_grads else None
+    opts = _Options(blank, num_threads, 0, float(fastemit_lambda),
+                    float(delay_penalty))
+    fn = (lib.wtt_rnnt_loss_tdt if tok.dtype == np.float32
+          else lib.wtt_rnnt_loss_tdt_fp64)
+    status = fn(tok, dur, gt, gd, labels, ll, il, V, B, T, U, durs, D,
+                sigma, costs, opts)
+    if status != 0:
+        raise RuntimeError(
+            f"native tdt loss failed: {_STATUS_STRINGS.get(status, status)}"
+        )
+    return costs, g_tok, g_dur
 
 
 def rnnt_loss_pruned_native(

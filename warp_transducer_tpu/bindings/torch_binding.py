@@ -19,6 +19,7 @@ except ImportError as e:  # pragma: no cover
 from .native import (
     rnnt_loss_fused_joint_native,
     rnnt_loss_multiblank_native,
+    rnnt_loss_tdt_native,
     rnnt_loss_native,
     rnnt_loss_pruned_fused_native,
     rnnt_loss_pruned_native,
@@ -347,4 +348,53 @@ def rnnt_loss_multiblank(acts, labels, act_lens, label_lens,
     return _RNNTMultiblankFunction.apply(
         acts, labels, act_lens, label_lens, durs, idx, blank, float(sigma),
         reduction, from_log_probs, fastemit_lambda, delay_penalty,
+    )
+
+
+class _RNNTTDTFunction(Function):
+    @staticmethod
+    def forward(ctx, tok, dur, labels, act_lens, label_lens, durations,
+                blank, sigma, reduction, fastemit_lambda, delay_penalty):
+        _certify(tok, labels, act_lens, label_lens)
+        needs_grad = tok.requires_grad or dur.requires_grad
+        costs_np, gt_np, gd_np = rnnt_loss_tdt_native(
+            tok.detach().numpy(),
+            dur.detach().numpy(),
+            labels.numpy(),
+            act_lens.numpy(),
+            label_lens.numpy(),
+            durations,
+            blank=blank,
+            sigma=sigma,
+            compute_grads=needs_grad,
+            fastemit_lambda=fastemit_lambda,
+            delay_penalty=delay_penalty,
+        )
+        costs = torch.from_numpy(np.asarray(costs_np)).to(tok.dtype)
+        z = torch.zeros(0, dtype=tok.dtype)
+        gt = torch.from_numpy(gt_np).to(tok.dtype) if gt_np is not None else z
+        gd = torch.from_numpy(gd_np).to(dur.dtype) if gd_np is not None else z
+        costs, (gt, gd) = _reduce(costs, [gt, gd], reduction, tok.size(0))
+        ctx.gt, ctx.gd = gt, gd
+        return costs
+
+    @staticmethod
+    def backward(ctx, grad_output):
+        g = grad_output.view(-1, 1, 1, 1)
+        return (ctx.gt.mul(g.to(ctx.gt)), ctx.gd.mul(g.to(ctx.gd))) \
+            + (None,) * 9
+
+
+def rnnt_loss_tdt(token_logits, duration_logits, labels, act_lens,
+                  label_lens, durations=(0, 1, 2, 3, 4), blank=0, sigma=0.0,
+                  reduction="mean", fastemit_lambda=0.0, delay_penalty=0.0):
+    """Token-and-Duration Transducer loss (arXiv 2304.06795) on CPU torch
+    tensors; differentiable w.r.t. BOTH logits tensors (semantics match
+    the JAX ``rnnt_loss_tdt``)."""
+    if reduction not in ("none", "sum", "mean"):
+        raise ValueError(f"reduction must be none|sum|mean, got {reduction!r}")
+    return _RNNTTDTFunction.apply(
+        token_logits, duration_logits, labels, act_lens, label_lens,
+        tuple(int(d) for d in durations), blank, float(sigma), reduction,
+        fastemit_lambda, delay_penalty,
     )
