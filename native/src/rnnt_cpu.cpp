@@ -865,7 +865,14 @@ wttStatus_t run_tdt(const T* tok, const T* dur, T* g_tok, T* g_dur,
                       static_cast<T>(options.delay_penalty));
     lat.setup(t_b, d_b, lab_b);
     const T ll = lat.forward();
-    if (!std::isfinite(ll)) ok = false;
+    if (std::isnan(ll)) ok = false;
+    if (ll == kNegInf<T>) {
+      // no duration combination consumes the frames exactly: infeasible
+      // utterance -> huge finite cost, zero gradients (the pruned-loss
+      // convention; grads blocks are already zeroed)
+      costs[b] = T(1e30);
+      continue;
+    }
     costs[b] = -ll;
     if (g_tok) {
       lat.backward();

@@ -201,3 +201,113 @@ def test_pruned_fused_full_band_vs_oracle(seed):
     (de_ref,) = vjp(jnp.asarray(ref_g, jnp.float32))
     np.testing.assert_allclose(np.asarray(de), np.asarray(de_ref),
                                rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_multiblank_vs_oracle(seed):
+    """Random shapes/durations/sigma/lambda vs the float64 multi-blank
+    oracle (big blanks on the last K columns, blank=0)."""
+    from warp_transducer_tpu import rnnt_loss_multiblank
+    from warp_transducer_tpu.bindings import native
+    from warp_transducer_tpu.utils import numpy_oracle_multiblank as omb
+
+    rng = np.random.RandomState(1000 + seed)
+    B = int(rng.randint(1, 4))
+    T = int(rng.randint(1, 12))
+    U = int(rng.randint(1, 6))
+    K = int(rng.randint(0, 3))
+    V = int(rng.randint(3 + K, 16 + K))
+    if seed == 0:
+        T = 1
+    elif seed == 1:
+        U = 1
+    durs = tuple(int(d) for d in
+                 rng.choice(np.arange(2, 8), size=K, replace=False))
+    sigma = float(np.round(rng.uniform(0, 0.2), 3)) if rng.rand() < 0.5 else 0.0
+    lam = float(np.round(rng.uniform(0.05, 0.6), 3)) if rng.rand() < 0.5 else 0.0
+    dp = float(np.round(rng.uniform(0.005, 0.05), 4)) if rng.rand() < 0.5 else 0.0
+    acts = rng.randn(B, T, U, V).astype(np.float32)
+    labels = rng.randint(1, V - K, (B, max(U - 1, 0))).astype(np.int32)
+    il = rng.randint(1, T + 1, (B,)).astype(np.int32)
+    ll = rng.randint(0, U, (B,)).astype(np.int32)
+    il[0], ll[0] = T, U - 1
+
+    ref_c, ref_g = omb.multiblank_batch(acts, labels, il, ll, durs,
+                                        sigma=sigma, fastemit_lambda=lam,
+                                        delay_penalty=dp)
+
+    def f(a):
+        return rnnt_loss_multiblank(
+            a, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll), durs,
+            sigma=sigma, fastemit_lambda=lam, delay_penalty=dp,
+            reduction="none")
+
+    costs = f(jnp.asarray(acts))
+    np.testing.assert_allclose(np.asarray(costs), ref_c, rtol=1e-4, atol=1e-4)
+    grads = jax.grad(lambda a: jnp.sum(f(a)))(jnp.asarray(acts))
+    np.testing.assert_allclose(np.asarray(grads), ref_g, rtol=1e-3, atol=1e-4)
+
+    if native.available():
+        c_n, g_n = native.rnnt_loss_multiblank_native(
+            acts, labels, il, ll, durs, sigma=sigma, fastemit_lambda=lam,
+            delay_penalty=dp)
+        np.testing.assert_allclose(c_n, ref_c, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(g_n, ref_g, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_tdt_vs_oracle(seed):
+    """Random shapes/duration-sets/sigma/lambda vs the float64 TDT oracle,
+    JAX and native engines, both heads' gradients."""
+    from warp_transducer_tpu import rnnt_loss_tdt
+    from warp_transducer_tpu.bindings import native
+    from warp_transducer_tpu.utils import numpy_oracle_tdt as otdt
+
+    rng = np.random.RandomState(2000 + seed)
+    B = int(rng.randint(1, 4))
+    T = int(rng.randint(1, 12))
+    U = int(rng.randint(1, 6))
+    V = int(rng.randint(2, 14))
+    if seed == 0:
+        T = 1
+    elif seed == 1:
+        U = 1
+    pos = rng.choice(np.arange(1, 6), size=int(rng.randint(1, 4)),
+                     replace=False)
+    durs = tuple(sorted(int(d) for d in pos)) if rng.rand() < 0.4 \
+        else (0,) + tuple(sorted(int(d) for d in pos))
+    D = len(durs)
+    sigma = float(np.round(rng.uniform(0, 0.2), 3)) if rng.rand() < 0.5 else 0.0
+    lam = float(np.round(rng.uniform(0.05, 0.6), 3)) if rng.rand() < 0.5 else 0.0
+    dp = float(np.round(rng.uniform(0.005, 0.05), 4)) if rng.rand() < 0.5 else 0.0
+    tok = rng.randn(B, T, U, V).astype(np.float32)
+    dur = rng.randn(B, T, U, D).astype(np.float32)
+    labels = rng.randint(1, V, (B, max(U - 1, 0))).astype(np.int32)
+    il = rng.randint(1, T + 1, (B,)).astype(np.int32)
+    ll = rng.randint(0, U, (B,)).astype(np.int32)
+    il[0], ll[0] = T, U - 1
+
+    ref_c, ref_gt, ref_gd = otdt.tdt_batch(
+        tok, dur, labels, il, ll, durs, sigma=sigma, fastemit_lambda=lam,
+        delay_penalty=dp)
+
+    def f(t, d):
+        return rnnt_loss_tdt(
+            t, d, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll),
+            durs, sigma=sigma, fastemit_lambda=lam, delay_penalty=dp,
+            reduction="none")
+
+    costs = f(jnp.asarray(tok), jnp.asarray(dur))
+    np.testing.assert_allclose(np.asarray(costs), ref_c, rtol=1e-4, atol=1e-4)
+    gt, gd = jax.grad(lambda t, d: jnp.sum(f(t, d)), argnums=(0, 1))(
+        jnp.asarray(tok), jnp.asarray(dur))
+    np.testing.assert_allclose(np.asarray(gt), ref_gt, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gd), ref_gd, rtol=1e-3, atol=1e-4)
+
+    if native.available():
+        c_n, gt_n, gd_n = native.rnnt_loss_tdt_native(
+            tok, dur, labels, il, ll, durs, sigma=sigma, fastemit_lambda=lam,
+            delay_penalty=dp)
+        np.testing.assert_allclose(c_n, ref_c, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(gt_n, ref_gt, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(gd_n, ref_gd, rtol=1e-3, atol=1e-4)

@@ -167,6 +167,43 @@ def test_model_train_and_decode():
     assert np.all((arr >= 0) & (arr < cfg.vocab_size))
 
 
+def test_infeasible_utterance_sentinel():
+    """durations (2,) with odd T: no combination consumes the frames
+    exactly -> huge finite cost and ZERO gradients (the pruned-loss
+    convention), on the JAX engine, the native engine and the oracle."""
+    rng = np.random.default_rng(0)
+    B, T, U, V = 2, 5, 3, 6  # T=5 odd; durs=(2,): infeasible
+    tok = rng.standard_normal((B, T, U, V))
+    dur = rng.standard_normal((B, T, U, 1))
+    labels = rng.integers(1, V, size=(B, U - 1)).astype(np.int32)
+    il = np.array([5, 4], np.int32)  # utt 0 infeasible, utt 1 feasible
+    ll = np.array([2, 1], np.int32)
+
+    oc, ogt, ogd = otdt.tdt_batch(tok, dur, labels, il, ll, (2,))
+    assert oc[0] == 1e30 and np.isfinite(oc[1])
+    assert not ogt[0].any() and ogt[1].any()
+
+    def f(t, d):
+        return rnnt_loss_tdt(t, d, jnp.asarray(labels), jnp.asarray(il),
+                             jnp.asarray(ll), (2,), reduction="none")
+
+    costs = f(jnp.asarray(tok), jnp.asarray(dur))
+    assert float(costs[0]) > 1e29
+    np.testing.assert_allclose(float(costs[1]), oc[1], rtol=1e-10)
+    gt, gd = jax.grad(lambda t, d: jnp.sum(f(t, d)), argnums=(0, 1))(
+        jnp.asarray(tok), jnp.asarray(dur))
+    assert not np.asarray(gt)[0].any() and not np.asarray(gd)[0].any()
+    np.testing.assert_allclose(np.asarray(gt)[1], ogt[1], rtol=1e-10,
+                               atol=1e-12)
+
+    from warp_transducer_tpu.bindings import native
+    if native.available():
+        c_n, gt_n, gd_n = native.rnnt_loss_tdt_native(
+            tok, dur, labels, il, ll, (2,))
+        assert c_n[0] == 1e30 and not gt_n[0].any() and not gd_n[0].any()
+        np.testing.assert_allclose(c_n[1], oc[1], rtol=1e-10)
+
+
 def test_validation():
     tok, dur, labels, il, ll = _rand_problem(1)
     a = (jnp.asarray(tok), jnp.asarray(dur), jnp.asarray(labels),

@@ -132,12 +132,18 @@ def _tdt_lattice(lpb, lpe, lpd, durations, input_lengths,
         (ta, lpb_a, lpe_a, lpd_a), (tb, lpb_b, lpe_b, lpd_b) = xs
 
         # ---- alpha on row ta ----
-        w_emit_a = lpe_a + lpd_a[..., j0] if has0 else jnp.full(
-            (B, U), neg, dtype)
         ne = P[:, 0]
         ne = jnp.where((ta == 0) & (u_iota == 0), 0.0, ne)
-        c = excl_prefix(w_emit_a)
-        a_t = c + _cum_lse(ne - c, axis=1)
+        if has0:
+            # within-row chain = the d=0 token arcs, solved by the
+            # exclusive-prefix trick
+            c = excl_prefix(lpe_a + lpd_a[..., j0])
+            a_t = c + _cum_lse(ne - c, axis=1)
+        else:
+            # no d=0 arcs -> no within-row moves; the clamp-based chain
+            # would leak impossible paths at ~e^-1e4 and break the
+            # infeasibility sentinel
+            a_t = ne
         a_t = jnp.where(valid(ta), a_t, neg)
         P = jnp.concatenate([P[:, 1:], jnp.full((B, 1, U), neg, dtype)],
                             axis=1)
@@ -161,11 +167,12 @@ def _tdt_lattice(lpb, lpe, lpd, durations, input_lengths,
             nb = jnp.logaddexp(
                 nb, jnp.where((tb + d == Tb[:, None]) & at_last_u,
                               lpb_b + lpd_b[..., j], neg))
-        w_emit_b = lpe_b + lpd_b[..., j0] if has0 else jnp.full(
-            (B, U), neg, dtype)
-        cb = excl_prefix(w_emit_b)
-        p = nb + cb
-        b_t = _cum_lse(p[:, ::-1], axis=1)[:, ::-1] - cb
+        if has0:
+            cb = excl_prefix(lpe_b + lpd_b[..., j0])
+            p = nb + cb
+            b_t = _cum_lse(p[:, ::-1], axis=1)[:, ::-1] - cb
+        else:
+            b_t = nb
         b_t = jnp.where(valid(tb), b_t, neg)
         bw = jnp.concatenate([b_t[:, None], bw[:, :-1]], axis=1)
 
@@ -239,6 +246,13 @@ def _tdt_grads(token_logits, duration_logits, denom, denom_d, lpb, lpe, lpd,
 
     alphas, betas, ll = lat.alphas, lat.betas, lat.ll_forward
     valid = _valid_cells((B, T, U), input_lengths, label_lengths)
+    # infeasible utterances (no duration combination consumes the frames
+    # exactly): ll is the NEG sentinel and the a_ll cancellation is garbage
+    # — zero their gradient (pruned-loss convention)
+    feasible = ll > NEG / 2
+    if scale is None:
+        scale = jnp.ones((B,), dtype)
+    scale = jnp.where(feasible, scale.astype(dtype), 0.0)
     a_ll = alphas - ll[:, None, None]
 
     cb_js, ce_js = [], []

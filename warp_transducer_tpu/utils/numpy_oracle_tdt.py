@@ -116,6 +116,11 @@ def tdt_grads(token_logits, duration_logits, labels, durations, blank=0,
     st = tdt_single(lp_tok, lp_dur, labels, durs, blank=blank,
                     delay_penalty=delay_penalty)
     a, b, ll = st["alphas"], st["betas"], st["ll_fwd"]
+    if np.isneginf(ll):
+        # no duration combination consumes the frames exactly: infeasible
+        # utterance. Convention (shared with the pruned loss and the JAX /
+        # native engines): huge finite cost, zero gradients.
+        return 1e30, np.zeros((T, U, V)), np.zeros((T, U, D))
     lpb, lpe, lpd = st["lpb"], st["lpe"], st["lpd"]
 
     # per-arc posteriors
