@@ -259,3 +259,55 @@ class TestPrunedFusedSharded:
         for name, a, b in zip(("de", "dp", "dW", "db"), g_dp, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+class TestMultiblankTDTSharded:
+    def test_multiblank_costs_and_grads_match(self, mesh):
+        from warp_transducer_tpu import rnnt_loss_multiblank
+        from warp_transducer_tpu.parallel.sharding import (
+            data_parallel_multiblank_loss,
+        )
+
+        acts, labels, il, ll = _problem(V=8)
+        durs = (2, 4)
+        ref = rnnt_loss_multiblank(acts, labels, il, ll, durs, sigma=0.05,
+                                   reduction="none")
+        out = data_parallel_multiblank_loss(acts, labels, il, ll, durs,
+                                            mesh, sigma=0.05,
+                                            reduction="none")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5)
+        g_ref = jax.grad(lambda a: rnnt_loss_multiblank(
+            a, labels, il, ll, durs, sigma=0.05, reduction="mean"))(acts)
+        g_out = jax.grad(lambda a: data_parallel_multiblank_loss(
+            a, labels, il, ll, durs, mesh, sigma=0.05,
+            reduction="mean"))(acts)
+        np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                                   atol=1e-6)
+
+    def test_tdt_costs_and_grads_match(self, mesh):
+        from warp_transducer_tpu import rnnt_loss_tdt
+        from warp_transducer_tpu.parallel.sharding import (
+            data_parallel_tdt_loss,
+        )
+
+        acts, labels, il, ll = _problem(V=7)
+        durs = (0, 1, 2)
+        rng = np.random.RandomState(9)
+        dur = jnp.asarray(rng.randn(*acts.shape[:3], len(durs)), jnp.float32)
+        ref = rnnt_loss_tdt(acts, dur, labels, il, ll, durs, sigma=0.02,
+                            reduction="none")
+        out = data_parallel_tdt_loss(acts, dur, labels, il, ll, durs, mesh,
+                                     sigma=0.02, reduction="none")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5)
+        gt_ref, gd_ref = jax.grad(lambda t, d: rnnt_loss_tdt(
+            t, d, labels, il, ll, durs, sigma=0.02, reduction="mean"),
+            argnums=(0, 1))(acts, dur)
+        gt, gd = jax.grad(lambda t, d: data_parallel_tdt_loss(
+            t, d, labels, il, ll, durs, mesh, sigma=0.02,
+            reduction="mean"), argnums=(0, 1))(acts, dur)
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_ref),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gd_ref),
+                                   atol=1e-6)

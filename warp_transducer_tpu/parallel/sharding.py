@@ -240,3 +240,104 @@ def data_parallel_pruned_fused_loss(
         return total
 
     return _local(e, p, W, bias, ranges, labels, input_lengths, label_lengths)
+
+
+def data_parallel_multiblank_loss(
+    acts: jax.Array,
+    labels: jax.Array,
+    input_lengths: jax.Array,
+    label_lengths: jax.Array,
+    big_blank_durations,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+    blank: int = 0,
+    big_blank_indices=None,
+    sigma: float = 0.0,
+    reduction: str = "mean",
+) -> jax.Array:
+    """Multi-blank transducer loss (arXiv 2211.03541) with the utterance
+    batch sharded over ``mesh[axis]``; same contract as
+    ``data_parallel_rnnt_loss``."""
+    from ..ops.multiblank import rnnt_loss_multiblank
+
+    if reduction not in ("none", "sum", "mean"):
+        raise ValueError(f"reduction must be none|sum|mean, got {reduction!r}")
+    n_shards = mesh.shape[axis]
+    B = acts.shape[0]
+    if B % n_shards:
+        raise ValueError(
+            f"batch {B} not divisible by mesh axis {axis!r} size {n_shards}")
+
+    in_specs = (P(axis), P(axis), P(axis), P(axis))
+    out_specs = P(axis) if reduction == "none" else P()
+    durs = tuple(int(m) for m in big_blank_durations)
+    idx = (None if big_blank_indices is None
+           else tuple(int(i) for i in big_blank_indices))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    def _local(a, l, il, ll):
+        costs = rnnt_loss_multiblank(
+            a, l, il, ll, durs, blank=blank, big_blank_indices=idx,
+            sigma=sigma, reduction="none",
+        )
+        if reduction == "none":
+            return costs
+        total = jax.lax.psum(jnp.sum(costs), axis)
+        if reduction == "mean":
+            total = total / B
+        return total
+
+    return _local(acts, labels, input_lengths, label_lengths)
+
+
+def data_parallel_tdt_loss(
+    token_logits: jax.Array,
+    duration_logits: jax.Array,
+    labels: jax.Array,
+    input_lengths: jax.Array,
+    label_lengths: jax.Array,
+    durations,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+    blank: int = 0,
+    sigma: float = 0.0,
+    reduction: str = "mean",
+) -> jax.Array:
+    """Token-and-Duration Transducer loss (arXiv 2304.06795) with the
+    utterance batch sharded over ``mesh[axis]``; differentiable w.r.t.
+    both logits tensors (gradients stay sharded like their inputs)."""
+    from ..ops.tdt import rnnt_loss_tdt
+
+    if reduction not in ("none", "sum", "mean"):
+        raise ValueError(f"reduction must be none|sum|mean, got {reduction!r}")
+    n_shards = mesh.shape[axis]
+    B = token_logits.shape[0]
+    if B % n_shards:
+        raise ValueError(
+            f"batch {B} not divisible by mesh axis {axis!r} size {n_shards}")
+
+    in_specs = (P(axis),) * 5
+    out_specs = P(axis) if reduction == "none" else P()
+    durs = tuple(int(d) for d in durations)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    def _local(t, d, l, il, ll):
+        costs = rnnt_loss_tdt(
+            t, d, l, il, ll, durs, blank=blank, sigma=sigma,
+            reduction="none",
+        )
+        if reduction == "none":
+            return costs
+        total = jax.lax.psum(jnp.sum(costs), axis)
+        if reduction == "mean":
+            total = total / B
+        return total
+
+    return _local(token_logits, duration_logits, labels, input_lengths,
+                  label_lengths)
