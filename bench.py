@@ -363,6 +363,71 @@ def bench_extras(B, T, L, V, s_range=5, seed=0):
     return rows
 
 
+def bench_variants(B, T, L, V, seed=0):
+    """The duration-arc loss families (multi-blank, TDT): loss+grad slope
+    times on this shape. XLA t-major scan engines (no Pallas operand-layout
+    trap, so the fori-loop harness is exact)."""
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    import jax.numpy as jnp
+    from warp_transducer_tpu import rnnt_loss_multiblank, rnnt_loss_tdt
+
+    U = L + 1
+    K = 2           # big blanks (durations 2 and 4) on the last 2 columns
+    durs_tdt = (0, 1, 2, 4)
+    rng = np.random.RandomState(seed)
+    acts = jnp.asarray(rng.uniform(0, 1, (B, T, U, V)), jnp.float32)
+    dur = jnp.asarray(rng.uniform(0, 1, (B, T, U, len(durs_tdt))), jnp.float32)
+    labels = jnp.asarray(rng.randint(1, V - K, (B, L)), jnp.int32)
+    il = jnp.full((B,), T, jnp.int32)
+    ll = jnp.full((B,), L, jnp.int32)
+
+    rows = []
+
+    mb_lg = jax.value_and_grad(lambda a: rnnt_loss_multiblank(
+        a, labels, il, ll, (2, 4), sigma=0.05, reduction="sum"))
+
+    @jax.jit
+    def run_mb(a, n):
+        def body(i, c):
+            loss, g = mb_lg(a * (1.0 + c * 1e-30))
+            return loss * 1e-12 + g[0, 0, 0, 0] * 1e-12
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    ms = slope_time_ms(lambda n: run_mb(acts, n))
+    rows.append({
+        "metric": f"rnnt_loss_multiblank+grad ms, B={B},T={T},L={L},V={V},K={K}",
+        "value": round(ms, 3), "unit": "ms", "vs_baseline": None,
+    })
+
+    tdt_lg = jax.value_and_grad(
+        lambda t, d: rnnt_loss_tdt(t, d, labels, il, ll, durs_tdt,
+                                   sigma=0.05, reduction="sum"),
+        argnums=(0, 1),
+    )
+
+    @jax.jit
+    def run_tdt(t, d, n):
+        def body(i, c):
+            loss, (gt, gd) = tdt_lg(t * (1.0 + c * 1e-30), d)
+            return loss * 1e-12 + gt[0, 0, 0, 0] * 1e-12 + gd[0, 0, 0, 0] * 1e-12
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    ms = slope_time_ms(lambda n: run_tdt(acts, dur, n))
+    rows.append({
+        "metric": f"rnnt_loss_tdt+grad ms, B={B},T={T},L={L},V={V},D={len(durs_tdt)}",
+        "value": round(ms, 3), "unit": "ms", "vs_baseline": None,
+    })
+    return rows
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("B", nargs="?", type=int, default=128)
@@ -377,6 +442,8 @@ def main():
     p.add_argument("--all", action="store_true", help="run every baseline config")
     p.add_argument("--extras", action="store_true",
                    help="bench the factorised/pruned losses on this shape")
+    p.add_argument("--variants", action="store_true",
+                   help="bench the multi-blank and TDT losses on this shape")
     p.add_argument("--fused", action="store_true",
                    help="bench the fused joint+loss on this shape")
     p.add_argument("--pruned-fused", action="store_true",
@@ -401,6 +468,11 @@ def main():
 
     if args.extras:
         for row in bench_extras(args.B, args.T, args.L, args.V):
+            print(json.dumps(row), flush=True)
+        return
+
+    if args.variants:
+        for row in bench_variants(args.B, args.T, args.L, args.V):
             print(json.dumps(row), flush=True)
         return
 
