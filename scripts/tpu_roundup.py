@@ -56,6 +56,10 @@ ITEMS = [
     ("bench --pruned-fused big-vocab",
      [PY, "bench.py", "128", "1500", "300", "5000", "--pruned-fused",
       "--dtype", "bf16"], 3600),
+    ("multiblank/TDT parity on TPU",
+     [PY, "scripts/tpu_variants_check.py"], 3600),
+    ("bench --variants headline",
+     [PY, "bench.py", "128", "150", "40", "28", "--variants"], 3600),
 ]
 
 
