@@ -222,3 +222,103 @@ def test_validation():
         rnnt_loss_tdt(a[0], a[1][:, :-1], *a[2:], (0, 1, 2, 4))
     with pytest.raises(ValueError, match="reduction"):
         rnnt_loss_tdt(*a, (0, 1, 2, 4), reduction="avg")
+
+
+class TestTDTFusedJoint:
+    def test_matches_unfused_with_all_grads(self):
+        from warp_transducer_tpu import rnnt_loss_tdt_fused_joint
+
+        rng = np.random.default_rng(3)
+        B, T, U, V, H, durs = 3, 9, 4, 11, 8, (0, 1, 2, 4)
+        e = jnp.asarray(rng.standard_normal((B, T, H)) * 0.5, jnp.float32)
+        p = jnp.asarray(rng.standard_normal((B, U, H)) * 0.5, jnp.float32)
+        W = jnp.asarray(rng.standard_normal((H, V)) / np.sqrt(H), jnp.float32)
+        b = jnp.asarray(rng.standard_normal(V) * 0.1, jnp.float32)
+        Wd = jnp.asarray(rng.standard_normal((H, len(durs))) / np.sqrt(H),
+                         jnp.float32)
+        bd = jnp.asarray(rng.standard_normal(len(durs)) * 0.1, jnp.float32)
+        labels = jnp.asarray(rng.integers(1, V, size=(B, U - 1)), jnp.int32)
+        il = jnp.asarray([9, 6, 8], jnp.int32)
+        ll = jnp.asarray([3, 2, 0], jnp.int32)
+
+        def ref(e, p, W, b, Wd, bd):
+            h = jnp.tanh(e[:, :, None, :] + p[:, None, :, :])
+            return jnp.sum(rnnt_loss_tdt(
+                h @ W + b, h @ Wd + bd, labels, il, ll, durs, sigma=0.05,
+                fastemit_lambda=0.1, delay_penalty=0.02, reduction="none"))
+
+        def fus(e, p, W, b, Wd, bd):
+            return jnp.sum(rnnt_loss_tdt_fused_joint(
+                e, p, W, b, Wd, bd, labels, il, ll, durs, sigma=0.05,
+                fastemit_lambda=0.1, delay_penalty=0.02, reduction="none"))
+
+        ins = (e, p, W, b, Wd, bd)
+        np.testing.assert_allclose(float(fus(*ins)), float(ref(*ins)),
+                                   rtol=1e-5)
+        gr = jax.grad(ref, argnums=tuple(range(6)))(*ins)
+        gf = jax.grad(fus, argnums=tuple(range(6)))(*ins)
+        for name, a, r in zip(("de", "dp", "dW", "db", "dWd", "dbd"), gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       rtol=1e-4, atol=1e-5, err_msg=name)
+
+    def test_infeasible_zero_grads(self):
+        from warp_transducer_tpu import rnnt_loss_tdt_fused_joint
+
+        rng = np.random.default_rng(5)
+        B, T, U, V, H = 1, 5, 2, 6, 4  # durs=(2,): T=5 odd -> infeasible
+        e = jnp.asarray(rng.standard_normal((B, T, H)), jnp.float32)
+        p = jnp.asarray(rng.standard_normal((B, U, H)), jnp.float32)
+        W = jnp.asarray(rng.standard_normal((H, V)), jnp.float32)
+        b = jnp.zeros((V,), jnp.float32)
+        Wd = jnp.asarray(rng.standard_normal((H, 1)), jnp.float32)
+        bd = jnp.zeros((1,), jnp.float32)
+        labels = jnp.asarray([[1]], jnp.int32)
+        il = jnp.asarray([5], jnp.int32)
+        ll = jnp.asarray([1], jnp.int32)
+
+        def f(e):
+            return jnp.sum(rnnt_loss_tdt_fused_joint(
+                e, p, W, b, Wd, bd, labels, il, ll, (2,), reduction="none"))
+
+        assert float(f(e)) > 1e29
+        g = jax.grad(f)(e)
+        assert not np.asarray(g).any()
+
+    def test_model_fused_train_step(self):
+        import optax
+
+        from warp_transducer_tpu.models.transducer import (
+            TransducerConfig, init_params, make_model,
+            make_tdt_fused_train_step, tdt_loss_fn,
+        )
+
+        cfg = TransducerConfig(
+            vocab_size=8, encoder_dim=16, encoder_layers=1, encoder_heads=2,
+            prediction_dim=16, joint_dim=16, input_dim=6, conv_kernel=3,
+            dtype=jnp.float32, tdt_durations=(0, 1, 2),
+        )
+        model = make_model(cfg)
+        B, T, U = 3, 7, 4
+        rng = np.random.RandomState(0)
+        params = init_params(cfg, jax.random.PRNGKey(2), B=B, T=T, U=U)
+        batch = {
+            "feats": jnp.asarray(rng.randn(B, T, cfg.input_dim), jnp.float32),
+            "feat_lengths": jnp.asarray([7, 5, 3], jnp.int32),
+            "labels": jnp.asarray(rng.randint(1, 8, (B, U - 1)), jnp.int32),
+            "label_lengths": jnp.asarray([3, 2, 1], jnp.int32),
+        }
+        # fused loss == unfused model loss on the same params
+        fused = model.apply(params, batch["feats"], batch["feat_lengths"],
+                            batch["labels"], batch["label_lengths"],
+                            sigma=0.02, method=model.tdt_fused_loss)
+        unfused = tdt_loss_fn(params, model, batch, sigma=0.02)
+        np.testing.assert_allclose(float(fused), float(unfused), rtol=1e-5)
+
+        opt = optax.adam(1e-2)
+        step = jax.jit(make_tdt_fused_train_step(model, opt, sigma=0.02))
+        opt_state = opt.init(params)
+        losses = []
+        for _ in range(6):
+            params, opt_state, loss = step(params, opt_state, batch)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all() and losses[-1] < losses[0]

@@ -16,6 +16,7 @@ from .ops.pruned_fused import rnnt_loss_pruned_fused
 from .ops.rnnt import RNNTLoss, rnnt_loss, rnnt_loss_and_grad, rnnt_score
 from .ops.simple import rnnt_loss_simple
 from .ops.tdt import rnnt_loss_tdt
+from .ops.tdt_fused import rnnt_loss_tdt_fused_joint
 from .utils.options import RNNTOptions
 
 __version__ = "0.2.0"
@@ -27,6 +28,7 @@ __all__ = [
     "rnnt_loss_simple",
     "rnnt_loss_multiblank",
     "rnnt_loss_tdt",
+    "rnnt_loss_tdt_fused_joint",
     "rnnt_loss_pruned",
     "rnnt_loss_fused_joint",
     "rnnt_loss_pruned_fused",

@@ -206,6 +206,33 @@ class Joint(nn.Module):
         joint = jnp.tanh(e + p)
         return self.out_proj(joint), self.dur_proj(joint)
 
+    def tdt_fused_loss(self, enc, pred, labels, input_lengths,
+                       label_lengths, reduction="mean", sigma=0.0):
+        """TDT loss with the joint projection fused in: the (B,T,U,V)
+        token logits and the (B,T,U,H) joint features never materialise
+        (ops/tdt_fused.py). Requires ``cfg.tdt_durations``."""
+        from ..ops.tdt_fused import rnnt_loss_tdt_fused_joint
+
+        c = self.cfg
+        e = self.enc_proj(enc)
+        p = self.pred_proj(pred)
+        if self.is_initializing():
+            z = jnp.zeros((1, c.joint_dim), c.dtype)
+            self.out_proj(z)
+            self.dur_proj(z)
+        W = self.out_proj.variables["params"]["kernel"]
+        b = self.out_proj.variables["params"]["bias"]
+        Wd = self.dur_proj.variables["params"]["kernel"]
+        bd = self.dur_proj.variables["params"]["bias"]
+        return rnnt_loss_tdt_fused_joint(
+            e.astype(jnp.float32), p.astype(jnp.float32),
+            W.astype(jnp.float32), b.astype(jnp.float32),
+            Wd.astype(jnp.float32), bd.astype(jnp.float32),
+            labels, input_lengths, label_lengths,
+            durations=c.tdt_durations, blank=c.blank, reduction=reduction,
+            sigma=sigma,
+        )
+
     def fused_loss(self, enc, pred, labels, input_lengths, label_lengths,
                    reduction="mean", implementation="auto"):
         """RNN-T loss with the output projection fused in: the (B,T,U,V)
@@ -330,6 +357,17 @@ class Transducer(nn.Module):
             reduction=reduction, implementation=implementation,
         )
 
+    def tdt_fused_loss(self, feats, feat_lengths, labels, label_lengths,
+                       reduction="mean", sigma=0.0):
+        """End-to-end TDT loss with the joint projection fused in — the
+        large-vocab TDT training path (requires ``cfg.tdt_durations``)."""
+        enc = self.encoder(feats, feat_lengths)
+        pred = self.prediction(labels)
+        return self.joint.tdt_fused_loss(
+            enc, pred, labels, feat_lengths, label_lengths,
+            reduction=reduction, sigma=sigma,
+        )
+
     def pruned_fused_loss(self, enc, pred, ranges, labels, input_lengths,
                           label_lengths, s_range: int, reduction="mean",
                           implementation="auto"):
@@ -438,6 +476,27 @@ def make_tdt_train_step(model, optimizer, blank=0, sigma=0.0):
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    return step
+
+
+def make_tdt_fused_train_step(model, optimizer, sigma=0.0):
+    """Jittable TDT train step over the fused joint+loss op: the (B,T,U,V)
+    token logits and the (B,T,U,H) joint features never touch HBM
+    (ops/tdt_fused.py)."""
+
+    def loss(params, batch):
+        return model.apply(
+            params, batch["feats"], batch["feat_lengths"], batch["labels"],
+            batch["label_lengths"], sigma=sigma,
+            method=model.tdt_fused_loss,
+        )
+
+    def step(params, opt_state, batch):
+        l, grads = jax.value_and_grad(loss)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, l
 
     return step
 

@@ -232,23 +232,21 @@ def _tdt_shifts(betas, d, input_lengths, label_lengths):
     return bs_blank, bs_tok
 
 
-def _tdt_grads(token_logits, duration_logits, denom, denom_d, lpb, lpe, lpd,
-               lat, labels_full, durations, input_lengths, label_lengths,
-               blank, scale=None, fastemit_lambda=0.0):
-    """Dense (d cost/d token_logits, d cost/d duration_logits), one fused
-    pass per head: g_head = p_head * W - per-class arc posteriors (both
-    heads share W = exp(alpha+beta-ll); every arc carries exactly one
-    factor from each head)."""
-    B, T, U, V = token_logits.shape
-    D = duration_logits.shape[-1]
+def _tdt_coefs(lpb, lpe, lpd, lat, durations, input_lengths, label_lengths,
+               scale=None, fastemit_lambda=0.0):
+    """The cotangent-scaled coefficient fields of both heads' gradients:
+    (coef, cb, ce, cb_js, ce_js) — all (B, T, U), per-duration lists for
+    the duration head. coef = exp(α+β−ll) (+ λ·ce under FastEmit) is the
+    shared occupation; cb/ce are the summed blank/token arc posteriors
+    (ce NOT yet (1+λ)-scaled — callers apply it where the token/duration
+    selects consume it). Infeasible utterances (ll at the NEG sentinel)
+    get zero fields (the pruned-loss convention)."""
+    B, T, U = lpb.shape
     dtype = lat.alphas.dtype
     from .gradients import _valid_cells
 
     alphas, betas, ll = lat.alphas, lat.betas, lat.ll_forward
     valid = _valid_cells((B, T, U), input_lengths, label_lengths)
-    # infeasible utterances (no duration combination consumes the frames
-    # exactly): ll is the NEG sentinel and the a_ll cancellation is garbage
-    # — zero their gradient (pruned-loss convention)
     feasible = ll > NEG / 2
     if scale is None:
         scale = jnp.ones((B,), dtype)
@@ -268,11 +266,28 @@ def _tdt_grads(token_logits, duration_logits, denom, denom_d, lpb, lpe, lpd,
     lam = float(fastemit_lambda)
     if lam:
         coef = coef + lam * ce
-    if scale is not None:
-        s = scale.astype(dtype)[:, None, None]
-        coef, cb, ce = coef * s, cb * s, ce * s
-        cb_js = [c * s for c in cb_js]
-        ce_js = [c * s for c in ce_js]
+    s = scale.astype(dtype)[:, None, None]
+    return (coef * s, cb * s, ce * s,
+            [c * s for c in cb_js], [c * s for c in ce_js])
+
+
+def _tdt_grads(token_logits, duration_logits, denom, denom_d, lpb, lpe, lpd,
+               lat, labels_full, durations, input_lengths, label_lengths,
+               blank, scale=None, fastemit_lambda=0.0):
+    """Dense (d cost/d token_logits, d cost/d duration_logits), one fused
+    pass per head: g_head = p_head * W - per-class arc posteriors (both
+    heads share W = exp(alpha+beta-ll); every arc carries exactly one
+    factor from each head)."""
+    B, T, U, V = token_logits.shape
+    D = duration_logits.shape[-1]
+    dtype = lat.alphas.dtype
+    from .gradients import _valid_cells
+
+    valid = _valid_cells((B, T, U), input_lengths, label_lengths)
+    lam = float(fastemit_lambda)
+    coef, cb, ce, cb_js, ce_js = _tdt_coefs(
+        lpb, lpe, lpd, lat, durations, input_lengths, label_lengths,
+        scale=scale, fastemit_lambda=fastemit_lambda)
 
     # token head
     logp = token_logits.astype(dtype) + denom[..., None]
