@@ -428,6 +428,60 @@ def bench_variants(B, T, L, V, seed=0):
     return rows
 
 
+def bench_tdt_fused(B, T, L, V, H=256, dtype="f32", seed=0):
+    """Fused TDT joint+loss+grad at large V: the (B,T,U,V) token logits
+    and (B,T,U,H) joint features never materialise."""
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    import jax.numpy as jnp
+    from warp_transducer_tpu import rnnt_loss_tdt_fused_joint
+
+    U = L + 1
+    durs = (0, 1, 2, 4)
+    dt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 6)
+    e = jax.random.normal(ks[0], (B, T, H), dt)
+    p = jax.random.normal(ks[1], (B, U, H), dt)
+    W = jax.random.normal(ks[2], (H, V), dt) / np.sqrt(H)
+    bias = jax.random.normal(ks[3], (V,), jnp.float32) * 0.1
+    Wd = jax.random.normal(ks[4], (H, len(durs)), jnp.float32) / np.sqrt(H)
+    bd = jax.random.normal(ks[5], (len(durs),), jnp.float32) * 0.1
+    labels = jax.random.randint(ks[0], (B, L), 1, V).astype(jnp.int32)
+    il = jnp.full((B,), T, jnp.int32)
+    ll = jnp.full((B,), L, jnp.int32)
+
+    lg = jax.value_and_grad(
+        lambda e_, p_, W_, b_, Wd_, bd_: rnnt_loss_tdt_fused_joint(
+            e_, p_, W_, b_, Wd_, bd_, labels, il, ll, durs, sigma=0.05,
+            reduction="sum"),
+        argnums=(0, 1, 2, 3, 4, 5),
+    )
+
+    @jax.jit
+    def run(e_, p_, W_, b_, Wd_, bd_, n):
+        def body(i, c):
+            loss, gs = lg(e_ * (1.0 + c * 1e-30), p_, W_, b_, Wd_, bd_)
+            out = loss * 1e-12
+            for g in gs:
+                out = out + g.reshape(-1)[0].astype(jnp.float32) * 1e-12
+            return out
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    ms = slope_time_ms(lambda n: run(e, p, W, bias, Wd, bd, n))
+    return {
+        "metric": (f"rnnt_loss_tdt_fused_joint+grad ms, B={B},T={T},L={L},"
+                   f"V={V},H={H},{dtype}"),
+        "value": round(ms, 3), "unit": "ms", "vs_baseline": None,
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("B", nargs="?", type=int, default=128)
@@ -444,6 +498,8 @@ def main():
                    help="bench the factorised/pruned losses on this shape")
     p.add_argument("--variants", action="store_true",
                    help="bench the multi-blank and TDT losses on this shape")
+    p.add_argument("--tdt-fused", action="store_true",
+                   help="bench the fused TDT joint+loss on this shape")
     p.add_argument("--fused", action="store_true",
                    help="bench the fused joint+loss on this shape")
     p.add_argument("--pruned-fused", action="store_true",
@@ -474,6 +530,12 @@ def main():
     if args.variants:
         for row in bench_variants(args.B, args.T, args.L, args.V):
             print(json.dumps(row), flush=True)
+        return
+
+    if args.tdt_fused:
+        print(json.dumps(bench_tdt_fused(args.B, args.T, args.L, args.V,
+                                         H=args.joint_dim,
+                                         dtype=args.dtype)), flush=True)
         return
 
     if args.all:

@@ -60,6 +60,8 @@ ITEMS = [
      [PY, "scripts/tpu_variants_check.py"], 3600),
     ("bench --variants headline",
      [PY, "bench.py", "128", "150", "40", "28", "--variants"], 3600),
+    ("bench --tdt-fused big-vocab",
+     [PY, "bench.py", "64", "150", "20", "5000", "--tdt-fused"], 3600),
 ]
 
 

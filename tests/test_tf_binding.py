@@ -268,3 +268,40 @@ class TestMultiblankTDT:
         np.testing.assert_allclose(costs.numpy(), oc, rtol=1e-5)
         np.testing.assert_allclose(gt.numpy(), ogt, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(gd.numpy(), ogd, rtol=1e-4, atol=1e-5)
+
+    def test_tdt_fused_matches_tdt_with_grads(self):
+        rng = np.random.RandomState(41)
+        B, T, U, V, H, durs = 2, 5, 3, 8, 6, (0, 1, 2)
+        e_np = (rng.randn(B, T, H) * 0.5).astype(np.float32)
+        p_np = (rng.randn(B, U, H) * 0.5).astype(np.float32)
+        W_np = (rng.randn(H, V) / np.sqrt(H)).astype(np.float32)
+        b_np = (rng.randn(V) * 0.1).astype(np.float32)
+        Wd_np = (rng.randn(H, len(durs)) / np.sqrt(H)).astype(np.float32)
+        bd_np = (rng.randn(len(durs)) * 0.1).astype(np.float32)
+        labels = tf.constant(rng.randint(1, V, (B, U - 1)).astype(np.int32))
+        il = tf.constant(np.array([5, 4], np.int32))
+        ll = tf.constant(np.array([2, 1], np.int32))
+        ins = [tf.constant(x) for x in
+               (e_np, p_np, W_np, b_np, Wd_np, bd_np)]
+
+        with tf.GradientTape() as tape:
+            tape.watch(ins)
+            costs = tf_binding.rnnt_loss_tdt_fused_joint(
+                *ins, labels, il, ll, durs, sigma=0.02)
+            total = tf.reduce_sum(costs)
+        gf = tape.gradient(total, ins)
+
+        with tf.GradientTape() as tape2:
+            tape2.watch(ins)
+            e, p, W, b, Wd, bd = ins
+            h = tf.tanh(e[:, :, None, :] + p[:, None, :, :])
+            tok = tf.einsum("btuh,hv->btuv", h, W) + b
+            dur = tf.einsum("btuh,hd->btud", h, Wd) + bd
+            ref = tf_binding.rnnt_loss_tdt(tok, dur, labels, il, ll, durs,
+                                           sigma=0.02)
+            tref = tf.reduce_sum(ref)
+        gr = tape2.gradient(tref, ins)
+        np.testing.assert_allclose(costs.numpy(), ref.numpy(), rtol=1e-5)
+        for name, a, r in zip(("de", "dp", "dW", "db", "dWd", "dbd"), gf, gr):
+            np.testing.assert_allclose(a.numpy(), r.numpy(),
+                                       rtol=1e-4, atol=1e-4, err_msg=name)

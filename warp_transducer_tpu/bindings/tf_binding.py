@@ -385,3 +385,43 @@ def rnnt_loss_native_op(acts, labels, input_lengths, label_lengths, blank=0,
         return costs, grad_fn
 
     return _loss(acts)
+
+
+@functools.lru_cache(maxsize=None)
+def _converted_tdt_fused(blank: int, durations: tuple, sigma: float,
+                         platforms: tuple, fastemit_lambda: float,
+                         delay_penalty: float):
+    from jax.experimental import jax2tf
+
+    from ..ops.tdt_fused import rnnt_loss_tdt_fused_joint as jax_tdt_fused
+
+    def fn(e, p, W, bias, Wd, bias_d, labels, input_lengths, label_lengths):
+        return jax_tdt_fused(
+            e, p, W, bias, Wd, bias_d, labels, input_lengths, label_lengths,
+            durations, blank=blank, sigma=sigma, reduction="none",
+            fastemit_lambda=fastemit_lambda, delay_penalty=delay_penalty,
+        )
+
+    return jax2tf.convert(
+        fn, with_gradient=True, native_serialization_platforms=platforms
+    )
+
+
+def rnnt_loss_tdt_fused_joint(e, p, W, bias, Wd, bias_d, labels,
+                              input_lengths, label_lengths,
+                              durations=(0, 1, 2, 3, 4), blank=0, sigma=0.0,
+                              platforms=("cpu",), fastemit_lambda=0.0,
+                              delay_penalty=0.0):
+    """Fused TDT joint+loss for TF graphs: the (B,T,U,V) token logits and
+    (B,T,U,H) joint features never materialise (ops/tdt_fused.py).
+    Differentiable w.r.t. e, p, W, bias, Wd and bias_d."""
+    tf = _tf()
+    fn = _converted_tdt_fused(int(blank), tuple(int(d) for d in durations),
+                              float(sigma), tuple(platforms),
+                              float(fastemit_lambda), float(delay_penalty))
+    return fn(
+        e, p, W, bias, Wd, bias_d,
+        tf.cast(labels, tf.int32),
+        tf.cast(input_lengths, tf.int32),
+        tf.cast(label_lengths, tf.int32),
+    )
