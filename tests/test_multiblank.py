@@ -212,3 +212,75 @@ def test_explicit_indices_match_default():
                                rtol=1e-12, atol=1e-12)
     g = jax.grad(lambda a: jnp.sum(f(a)))(jnp.asarray(acts))
     np.testing.assert_allclose(np.asarray(g), og, rtol=1e-10, atol=1e-12)
+
+
+class TestMultiblankFusedJoint:
+    def test_matches_unfused_with_all_grads(self):
+        from warp_transducer_tpu import rnnt_loss_multiblank_fused_joint
+
+        rng = np.random.default_rng(3)
+        B, T, U, V, H, durs = 3, 9, 4, 11, 8, (2, 4)
+        e = jnp.asarray(rng.standard_normal((B, T, H)) * 0.5, jnp.float32)
+        p = jnp.asarray(rng.standard_normal((B, U, H)) * 0.5, jnp.float32)
+        W = jnp.asarray(rng.standard_normal((H, V)) / np.sqrt(H), jnp.float32)
+        b = jnp.asarray(rng.standard_normal(V) * 0.1, jnp.float32)
+        labels = jnp.asarray(rng.integers(1, V - 2, size=(B, U - 1)),
+                             jnp.int32)
+        il = jnp.asarray([9, 6, 8], jnp.int32)
+        ll = jnp.asarray([3, 2, 0], jnp.int32)
+
+        def ref(e, p, W, b):
+            h = jnp.tanh(e[:, :, None, :] + p[:, None, :, :])
+            return jnp.sum(rnnt_loss_multiblank(
+                h @ W + b, labels, il, ll, durs, sigma=0.05,
+                fastemit_lambda=0.1, delay_penalty=0.02, reduction="none"))
+
+        def fus(e, p, W, b):
+            return jnp.sum(rnnt_loss_multiblank_fused_joint(
+                e, p, W, b, labels, il, ll, durs, sigma=0.05,
+                fastemit_lambda=0.1, delay_penalty=0.02, reduction="none"))
+
+        ins = (e, p, W, b)
+        np.testing.assert_allclose(float(fus(*ins)), float(ref(*ins)),
+                                   rtol=1e-5)
+        gr = jax.grad(ref, argnums=(0, 1, 2, 3))(*ins)
+        gf = jax.grad(fus, argnums=(0, 1, 2, 3))(*ins)
+        for name, a, r in zip(("de", "dp", "dW", "db"), gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       rtol=1e-4, atol=1e-5, err_msg=name)
+
+    def test_model_wrapper(self):
+        from warp_transducer_tpu.models.transducer import (
+            TransducerConfig, init_params, make_model,
+        )
+
+        cfg = TransducerConfig(
+            vocab_size=10, encoder_dim=16, encoder_layers=1, encoder_heads=2,
+            prediction_dim=16, joint_dim=16, input_dim=6, conv_kernel=3,
+            dtype=jnp.float32,
+        )
+        model = make_model(cfg)
+        B, T, U = 3, 7, 4
+        rng = np.random.RandomState(0)
+        params = init_params(cfg, jax.random.PRNGKey(2), B=B, T=T, U=U)
+        feats = jnp.asarray(rng.randn(B, T, cfg.input_dim), jnp.float32)
+        fl = jnp.asarray([7, 5, 3], jnp.int32)
+        labels = jnp.asarray(rng.randint(1, 8, (B, U - 1)), jnp.int32)
+        lal = jnp.asarray([3, 2, 1], jnp.int32)
+
+        acts = model.apply(params, feats, fl, labels)
+        ref = rnnt_loss_multiblank(acts.astype(jnp.float32), labels, fl, lal,
+                                   (2, 3), sigma=0.02, reduction="mean")
+
+        def fused_loss(prm):
+            enc = model.apply(prm, feats, fl, method=model.encode)
+            # drive through the Joint submodule method via the full model
+            return model.apply(
+                prm, feats, fl, labels, lal,
+                method=lambda m, f, l, lab, lal_: m.joint.multiblank_fused_loss(
+                    m.encoder(f, l), m.prediction(lab), lab, l, lal_,
+                    (2, 3), sigma=0.02),
+            )
+
+        out = fused_loss(params)
+        np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)

@@ -11,6 +11,7 @@ sharding over TPU meshes.
 from .ops.alignment import ViterbiAlignment, rnnt_viterbi_align
 from .ops.fused_joint import rnnt_loss_fused_joint
 from .ops.multiblank import rnnt_loss_multiblank
+from .ops.multiblank_fused import rnnt_loss_multiblank_fused_joint
 from .ops.pruned import gather_banded, rnnt_loss_pruned, rnnt_prune_ranges
 from .ops.pruned_fused import rnnt_loss_pruned_fused
 from .ops.rnnt import RNNTLoss, rnnt_loss, rnnt_loss_and_grad, rnnt_score
@@ -27,6 +28,7 @@ __all__ = [
     "rnnt_loss_and_grad",
     "rnnt_loss_simple",
     "rnnt_loss_multiblank",
+    "rnnt_loss_multiblank_fused_joint",
     "rnnt_loss_tdt",
     "rnnt_loss_tdt_fused_joint",
     "rnnt_loss_pruned",

@@ -206,6 +206,28 @@ class Joint(nn.Module):
         joint = jnp.tanh(e + p)
         return self.out_proj(joint), self.dur_proj(joint)
 
+    def multiblank_fused_loss(self, enc, pred, labels, input_lengths,
+                              label_lengths, big_blank_durations,
+                              reduction="mean", sigma=0.0):
+        """Multi-blank loss with the joint projection fused in (the big
+        blanks live on the last K vocab columns of the standard joint;
+        ops/multiblank_fused.py)."""
+        from ..ops.multiblank_fused import rnnt_loss_multiblank_fused_joint
+
+        c = self.cfg
+        e = self.enc_proj(enc)
+        p = self.pred_proj(pred)
+        if self.is_initializing():
+            self.out_proj(jnp.zeros((1, c.joint_dim), c.dtype))
+        W = self.out_proj.variables["params"]["kernel"]
+        b = self.out_proj.variables["params"]["bias"]
+        return rnnt_loss_multiblank_fused_joint(
+            e.astype(jnp.float32), p.astype(jnp.float32),
+            W.astype(jnp.float32), b.astype(jnp.float32),
+            labels, input_lengths, label_lengths, big_blank_durations,
+            blank=c.blank, reduction=reduction, sigma=sigma,
+        )
+
     def tdt_fused_loss(self, enc, pred, labels, input_lengths,
                        label_lengths, reduction="mean", sigma=0.0):
         """TDT loss with the joint projection fused in: the (B,T,U,V)

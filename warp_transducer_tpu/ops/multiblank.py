@@ -208,14 +208,12 @@ def _beta_shift_m(betas, m, input_lengths, label_lengths):
     return jnp.where(terminal, jnp.zeros((), dtype), shifted)
 
 
-def _multiblank_grad(acts, denom, lpb, lpe, lpB, lat, labels_u, durations,
-                     bb_indices, input_lengths, label_lengths, blank,
-                     out_dtype, scale=None, fastemit_lambda=0.0):
-    """Dense d(cost)/d(acts) in one fused pass:
-    g = p·W − [v==blank]·cb − [v==y_u]·ce − Σ_k [v==idx_k]·cB_k, with
-    W = exp(α+β−ll) (= the sum of all outgoing-arc posteriors; σ is
-    constant w.r.t. acts so the softmax Jacobian is the standard one)."""
-    B, T, U, V = acts.shape
+def _mb_coefs(lpb, lpe, lpB, lat, durations, input_lengths, label_lengths,
+              scale=None, fastemit_lambda=0.0):
+    """The cotangent-scaled coefficient fields (coef, cb, ce, cBs) of the
+    multi-blank gradient — ce already (1+λ)-scaled, coef carrying the
+    FastEmit + λ·ce fold (cf. gradients.grad_wrt_acts)."""
+    B, T, U = lpb.shape
     K = len(durations)
     dtype = lat.alphas.dtype
     alphas, betas, ll = lat.alphas, lat.betas, lat.ll_forward
@@ -241,6 +239,25 @@ def _multiblank_grad(acts, denom, lpb, lpe, lpB, lat, labels_u, durations,
         s = scale.astype(dtype)[:, None, None]
         coef, cb, ce = coef * s, cb * s, ce * s
         cBs = [c * s for c in cBs]
+    return coef, cb, ce, cBs
+
+
+def _multiblank_grad(acts, denom, lpb, lpe, lpB, lat, labels_u, durations,
+                     bb_indices, input_lengths, label_lengths, blank,
+                     out_dtype, scale=None, fastemit_lambda=0.0):
+    """Dense d(cost)/d(acts) in one fused pass:
+    g = p·W − [v==blank]·cb − [v==y_u]·ce − Σ_k [v==idx_k]·cB_k, with
+    W = exp(α+β−ll) (= the sum of all outgoing-arc posteriors; σ is
+    constant w.r.t. acts so the softmax Jacobian is the standard one)."""
+    B, T, U, V = acts.shape
+    K = len(durations)
+    dtype = lat.alphas.dtype
+    from .gradients import _valid_cells
+
+    valid = _valid_cells((B, T, U), input_lengths, label_lengths)
+    coef, cb, ce, cBs = _mb_coefs(
+        lpb, lpe, lpB, lat, durations, input_lengths, label_lengths,
+        scale=scale, fastemit_lambda=fastemit_lambda)
 
     logp = acts.astype(dtype) + denom[..., None]
     probs = jnp.exp(logp)
