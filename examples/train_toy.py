@@ -106,6 +106,33 @@ def main():
     print(f"decode: greedy exact-match {greedy_ok}/{B}, "
           f"beam exact-match {beam_ok}/{B} (loss {float(loss):.3f})")
 
+    # --- Token-and-Duration Transducer (arXiv 2304.06795) ---------------
+    # A duration head on the joint decides how many frames each emission
+    # consumes; greedy decode then skips frames by the duration argmax.
+    import dataclasses
+
+    from warp_transducer_tpu.models.decoding import greedy_decode_tdt
+    from warp_transducer_tpu.models.transducer import make_tdt_train_step
+
+    tdt_cfg = dataclasses.replace(cfg, tdt_durations=(0, 1, 2, 4))
+    tdt_model = make_model(tdt_cfg)
+    params = init_params(tdt_cfg, jax.random.PRNGKey(0), B=B, T=T, U=L + 1)
+    opt_state = opt.init(params)
+    jstep = jax.jit(make_tdt_train_step(tdt_model, opt, sigma=0.02))
+    losses = []
+    for i in range(150):
+        params, opt_state, loss = jstep(params, opt_state, batch)
+        losses.append(float(loss))
+    tt, tn = greedy_decode_tdt(tdt_model, params, batch["feats"],
+                               batch["feat_lengths"], max_symbols=L + 2)
+    tdt_ok = sum(
+        np.array_equal(np.asarray(tt[b, : int(tn[b])]), ref[b])
+        for b in range(B)
+    )
+    print(f"tdt   : loss {losses[0]:.3f} -> {losses[-1]:.3f}, "
+          f"greedy exact-match {tdt_ok}/{B}")
+    assert losses[-1] < losses[0], "tdt did not learn"
+
 
 if __name__ == "__main__":
     main()
