@@ -69,7 +69,8 @@ def test_embeds_dense_paths():
     c_dense = rnnt_loss(jnp.asarray(tok), jnp.asarray(labels),
                         jnp.asarray(il), jnp.asarray(ll), reduction="none",
                         implementation="xla")
-    bound = np.asarray(c_dense) + (il + ll + 1) * np.log(2.0)
+    # a dense path has T_b blank + (U_b - 1) token arcs = il + ll arcs
+    bound = np.asarray(c_dense) + (il + ll) * np.log(2.0)
     assert np.all(np.asarray(c_tdt) <= bound + 1e-9), (c_tdt, bound)
 
 

@@ -288,6 +288,14 @@ def rnnt_loss_multiblank_native(
         labels = fixed
     il = np.ascontiguousarray(input_lengths, dtype=np.int32)
     ll = np.ascontiguousarray(label_lengths, dtype=np.int32)
+    if K:
+        # labels may not use the big-blank columns — the emit and big-blank
+        # posteriors would silently collide (only the valid label positions
+        # count; padding is ignored)
+        pos = np.arange(U - 1)[None, :] < np.asarray(ll)[:, None]
+        if np.isin(labels[pos], idx).any():
+            raise ValueError(
+                f"labels use big-blank vocab entries {sorted(idx.tolist())}")
     costs = np.zeros((B,), acts.dtype)
     grads = np.zeros_like(acts) if compute_grads else None
     gptr = grads.ctypes.data_as(ctypes.c_void_p) if compute_grads else None

@@ -63,8 +63,9 @@ def greedy_decode(
     if durs:
         from ..ops.multiblank import _resolve_indices
 
-        # one joint eval just to learn V statically (shapes are traced)
-        V = joint_step(enc[:, 0, :], pred0).shape[-1]
+        V = getattr(getattr(model, "cfg", None), "vocab_size", None)
+        if V is None:  # fallback: learn V from a traced joint eval
+            V = joint_step(enc[:, 0, :], pred0).shape[-1]
         durs, bb_idx = _resolve_indices(V, blank, durs, big_blank_indices)
     else:
         bb_idx = ()

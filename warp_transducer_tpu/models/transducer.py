@@ -208,7 +208,8 @@ class Joint(nn.Module):
 
     def multiblank_fused_loss(self, enc, pred, labels, input_lengths,
                               label_lengths, big_blank_durations,
-                              reduction="mean", sigma=0.0):
+                              reduction="mean", sigma=0.0,
+                              fastemit_lambda=0.0, delay_penalty=0.0):
         """Multi-blank loss with the joint projection fused in (the big
         blanks live on the last K vocab columns of the standard joint;
         ops/multiblank_fused.py)."""
@@ -226,10 +227,12 @@ class Joint(nn.Module):
             W.astype(jnp.float32), b.astype(jnp.float32),
             labels, input_lengths, label_lengths, big_blank_durations,
             blank=c.blank, reduction=reduction, sigma=sigma,
+            fastemit_lambda=fastemit_lambda, delay_penalty=delay_penalty,
         )
 
     def tdt_fused_loss(self, enc, pred, labels, input_lengths,
-                       label_lengths, reduction="mean", sigma=0.0):
+                       label_lengths, reduction="mean", sigma=0.0,
+                       fastemit_lambda=0.0, delay_penalty=0.0):
         """TDT loss with the joint projection fused in: the (B,T,U,V)
         token logits and the (B,T,U,H) joint features never materialise
         (ops/tdt_fused.py). Requires ``cfg.tdt_durations``."""
@@ -252,7 +255,8 @@ class Joint(nn.Module):
             Wd.astype(jnp.float32), bd.astype(jnp.float32),
             labels, input_lengths, label_lengths,
             durations=c.tdt_durations, blank=c.blank, reduction=reduction,
-            sigma=sigma,
+            sigma=sigma, fastemit_lambda=fastemit_lambda,
+            delay_penalty=delay_penalty,
         )
 
     def fused_loss(self, enc, pred, labels, input_lengths, label_lengths,
@@ -380,7 +384,8 @@ class Transducer(nn.Module):
         )
 
     def tdt_fused_loss(self, feats, feat_lengths, labels, label_lengths,
-                       reduction="mean", sigma=0.0):
+                       reduction="mean", sigma=0.0, fastemit_lambda=0.0,
+                       delay_penalty=0.0):
         """End-to-end TDT loss with the joint projection fused in — the
         large-vocab TDT training path (requires ``cfg.tdt_durations``)."""
         enc = self.encoder(feats, feat_lengths)
@@ -388,6 +393,7 @@ class Transducer(nn.Module):
         return self.joint.tdt_fused_loss(
             enc, pred, labels, feat_lengths, label_lengths,
             reduction=reduction, sigma=sigma,
+            fastemit_lambda=fastemit_lambda, delay_penalty=delay_penalty,
         )
 
     def pruned_fused_loss(self, enc, pred, ranges, labels, input_lengths,
@@ -471,7 +477,8 @@ def make_fused_train_step(model, optimizer, implementation="auto"):
     return step
 
 
-def tdt_loss_fn(params, model, batch, blank=0, sigma=0.0):
+def tdt_loss_fn(params, model, batch, blank=0, sigma=0.0,
+                fastemit_lambda=0.0, delay_penalty=0.0):
     """Token-and-Duration Transducer objective (arXiv:2304.06795); requires
     ``cfg.tdt_durations`` non-empty."""
     from ..ops.tdt import rnnt_loss_tdt
@@ -484,17 +491,20 @@ def tdt_loss_fn(params, model, batch, blank=0, sigma=0.0):
         tok.astype(jnp.float32), dur.astype(jnp.float32), batch["labels"],
         batch["feat_lengths"], batch["label_lengths"],
         durations=model.cfg.tdt_durations, blank=blank, sigma=sigma,
-        reduction="mean",
+        reduction="mean", fastemit_lambda=fastemit_lambda,
+        delay_penalty=delay_penalty,
     )
 
 
-def make_tdt_train_step(model, optimizer, blank=0, sigma=0.0):
+def make_tdt_train_step(model, optimizer, blank=0, sigma=0.0,
+                        fastemit_lambda=0.0, delay_penalty=0.0):
     """Jittable TDT train step (both heads trained through the fused
     two-head gradient of ``rnnt_loss_tdt``)."""
 
     def step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(tdt_loss_fn)(
-            params, model, batch, blank=blank, sigma=sigma)
+            params, model, batch, blank=blank, sigma=sigma,
+            fastemit_lambda=fastemit_lambda, delay_penalty=delay_penalty)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

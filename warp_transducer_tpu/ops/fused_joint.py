@@ -127,10 +127,20 @@ def _pad_t(x, T_pad, fill=0.0):
     return jnp.pad(x, pad, constant_values=fill)
 
 
-def _fused_prep_xla(e, p, W, bias, labels, blank):
+def _fused_prep_xla(e, p, W, bias, labels, blank, extra_cols=(),
+                    dur_head=None):
+    """T-chunked fused prep. Base outputs (denom, lpb, lpe); the two
+    optional hooks serve the duration-arc loss families:
+
+    * ``extra_cols``: K static vocab columns whose log-probs are also
+      cached — appends lpX (B, T, U, K) (multi-blank's big blanks);
+    * ``dur_head``: (Wd, bias_d) — a second tiny head on the same joint
+      features; appends its raw logits (B, T, U, D) (TDT).
+    """
     B, T, H = e.shape
     U = p.shape[1]
     V = W.shape[1]
+    K = len(extra_cols)
     f32 = jnp.float32
     mm = jnp.bfloat16 if W.dtype == jnp.bfloat16 else f32
     Tc = _xla_t_chunk(B, T, U, H, V)
@@ -139,6 +149,9 @@ def _fused_prep_xla(e, p, W, bias, labels, blank):
     p32 = p.astype(f32)
     W_mm = W.astype(mm)
     bias32 = bias.astype(f32)
+    if dur_head is not None:
+        Wd32 = dur_head[0].astype(f32)
+        bias_d32 = dur_head[1].astype(f32)
     # lab == -1 matches no column -> masked max stays NEG -> lpe ~ NEG
     sel = _lab_full(labels, U)[..., None] == jnp.arange(V, dtype=jnp.int32)
 
@@ -154,13 +167,30 @@ def _fused_prep_xla(e, p, W, bias, labels, blank):
         ))
         lpb = logits[..., blank] + denom
         le = jnp.max(jnp.where(sel[:, None], logits, NEG), axis=-1)
-        return denom, lpb, le + denom
+        out = (denom, lpb, le + denom)
+        if K:
+            out += ((jnp.stack([logits[..., i] for i in extra_cols],
+                               axis=-1) + denom[..., None]),)
+        if dur_head is not None:
+            out += (lax.dot_general(
+                h, Wd32, (((3,), (0,)), ((), ())),
+                preferred_element_type=f32) + bias_d32,)
+        return out
 
-    denom, lpb, lpe = lax.map(one, ec)
-    return tuple(_unchunk_t(x, T) for x in (denom, lpb, lpe))
+    outs = lax.map(one, ec)
+    return tuple(_unchunk_t(x, T) for x in outs)
 
 
-def _fused_grad_xla(e, p, W, bias, labels, denom, coef, cb, ce, blank):
+def _fused_grad_xla(e, p, W, bias, labels, denom, coef, cb, ce, blank,
+                    extra=None, dur_head=None):
+    """T-chunked fused gradient. Base returns (de, dp, dW, db); the two
+    optional hooks mirror ``_fused_prep_xla``:
+
+    * ``extra``: (indices, cX (B, T, U, K)) — K more coefficient fields
+      subtracted at static columns (multi-blank);
+    * ``dur_head``: (Wd, g_dur (B, T, U, D)) — the duration head's
+      cotangent joins dh before the tanh backprop and dWd is accumulated
+      per chunk; appends dWd to the return (TDT)."""
     B, T, H = e.shape
     U = p.shape[1]
     V = W.shape[1]
@@ -172,16 +202,30 @@ def _fused_grad_xla(e, p, W, bias, labels, denom, coef, cb, ce, blank):
     chunk = lambda x: _chunk_t(_pad_t(x.astype(f32), T_pad), nc, Tc)
     # padded-T rows: coef/cb/ce are zero there, so g vanishes and they
     # contribute nothing to any accumulator
-    xs = (_chunk_t(_pad_t(e, T_pad), nc, Tc), chunk(denom), chunk(coef),
-          chunk(cb), chunk(ce))
+    xs = [_chunk_t(_pad_t(e, T_pad), nc, Tc), chunk(denom), chunk(coef),
+          chunk(cb), chunk(ce)]
+    bb_indices = ()
+    if extra is not None:
+        bb_indices, cX = extra
+        xs.append(chunk(cX))
+    else:
+        xs.append(chunk(jnp.zeros(coef.shape + (0,), f32)))
+    if dur_head is not None:
+        Wd, g_dur = dur_head
+        Wd32 = Wd.astype(f32)
+        D = Wd.shape[1]
+        xs.append(chunk(g_dur))
+    else:
+        D = 0
+        xs.append(chunk(jnp.zeros(coef.shape + (0,), f32)))
     p32 = p.astype(f32)
     W_mm = W.astype(mm)
     bias32 = bias.astype(f32)
     sel = _lab_full(labels, U)[..., None] == jnp.arange(V, dtype=jnp.int32)
 
     def step(carry, x):
-        dp_a, dW_a, db_a = carry
-        ec_i, den_i, coef_i, cb_i, ce_i = x
+        dp_a, dW_a, db_a, dWd_a = carry
+        ec_i, den_i, coef_i, cb_i, ce_i, cX_i, gd_i = x
         h = jnp.tanh(ec_i.astype(f32)[:, :, None, :] + p32[:, None, :, :])
         hm = h.astype(mm)
         logits = lax.dot_general(
@@ -190,23 +234,37 @@ def _fused_grad_xla(e, p, W, bias, labels, denom, coef, cb, ce, blank):
         g = coef_i[..., None] * jnp.exp(logits + den_i[..., None])
         g = g.at[..., blank].add(-cb_i)
         g = g - jnp.where(sel[:, None], ce_i[..., None], 0.0)
+        for k, idx in enumerate(bb_indices):
+            g = g.at[..., idx].add(-cX_i[..., k])
         g_mm = g.astype(mm)
         dh = lax.dot_general(
             g_mm, W_mm, (((3,), (1,)), ((), ())), preferred_element_type=f32
-        ) * (1.0 - h * h)
+        )
+        if D:
+            dh = dh + lax.dot_general(
+                gd_i, Wd32, (((3,), (1,)), ((), ())),
+                preferred_element_type=f32)
+            dWd_a = dWd_a + lax.dot_general(
+                h.reshape(-1, H), gd_i.reshape(-1, D),
+                (((0,), (0,)), ((), ())), preferred_element_type=f32,
+            )
+        dh = dh * (1.0 - h * h)
         dp_a = dp_a + jnp.sum(dh, axis=1)
         dW_a = dW_a + lax.dot_general(
             hm.reshape(-1, H), g_mm.reshape(-1, V),
             (((0,), (0,)), ((), ())), preferred_element_type=f32,
         )
         db_a = db_a + jnp.sum(g, axis=(0, 1, 2))
-        return (dp_a, dW_a, db_a), jnp.sum(dh, axis=2)
+        return (dp_a, dW_a, db_a, dWd_a), jnp.sum(dh, axis=2)
 
     init = (jnp.zeros((B, U, H), f32), jnp.zeros((H, V), f32),
-            jnp.zeros((V,), f32))
-    (dp, dW, db), de = lax.scan(step, init, xs)
-    return (_unchunk_t(de, T).astype(e.dtype), dp.astype(p.dtype),
-            dW.astype(W.dtype), db.astype(bias.dtype))
+            jnp.zeros((V,), f32), jnp.zeros((H, D), f32))
+    (dp, dW, db, dWd), de = lax.scan(step, init, tuple(xs))
+    out = (_unchunk_t(de, T).astype(e.dtype), dp.astype(p.dtype),
+           dW.astype(W.dtype), db.astype(bias.dtype))
+    if dur_head is not None:
+        out += (dWd.astype(dur_head[0].dtype),)
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))

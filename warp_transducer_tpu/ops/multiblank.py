@@ -341,7 +341,11 @@ def rnnt_loss_multiblank(
     Args:
       acts: (B, T, U, V) raw joint activations (log-softmax fused).
       labels / input_lengths / label_lengths / blank / reduction: as in
-        ``rnnt_loss``. Labels must not use the big-blank vocab entries.
+        ``rnnt_loss``. Labels must not use the big-blank vocab entries —
+        label values are traced arrays so this cannot be validated under
+        jit (the native binding does validate it); a collision silently
+        merges the emit and big-blank posteriors on that column, like a
+        label equal to ``blank`` in the reference.
       big_blank_durations: K distinct durations, each >= 2 — emitting big
         blank k advances t by m_k and keeps u. The path may also END on a
         big blank that consumes the remaining frames exactly.

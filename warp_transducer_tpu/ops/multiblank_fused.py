@@ -23,112 +23,22 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from . import prep as _prep
-from .fused_joint import (
-    NEG, _chunk_t, _lab_full, _pad_t, _unchunk_t, _xla_t_chunk,
-)
+from .fused_joint import NEG, _fused_grad_xla, _fused_prep_xla
 from .multiblank import _mb_coefs, _multiblank_lattice, _resolve_indices
-
-
-def _mb_fused_prep_xla(e, p, W, bias, labels, blank, bb_indices):
-    """(denom, lpb, lpe, lpB) with the logits consumed chunk-wise;
-    all are logit + denom (no sigma yet); lpB (B,T,U,K)."""
-    B, T, H = e.shape
-    U = p.shape[1]
-    V = W.shape[1]
-    K = len(bb_indices)
-    f32 = jnp.float32
-    mm = jnp.bfloat16 if W.dtype == jnp.bfloat16 else f32
-    Tc = _xla_t_chunk(B, T, U, H, V)
-    nc = -(-T // Tc)
-    ec = _chunk_t(_pad_t(e, nc * Tc), nc, Tc)
-    p32 = p.astype(f32)
-    W_mm = W.astype(mm)
-    bias32 = bias.astype(f32)
-    sel = _lab_full(labels, U)[..., None] == jnp.arange(V, dtype=jnp.int32)
-
-    def one(ec_i):
-        h = jnp.tanh(ec_i.astype(f32)[:, :, None, :] + p32[:, None, :, :])
-        logits = lax.dot_general(
-            h.astype(mm), W_mm, (((3,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        ) + bias32
-        m = jnp.max(logits, axis=-1)
-        denom = -(m + jnp.log(
-            jnp.sum(jnp.exp(logits - m[..., None]), axis=-1)
-        ))
-        lpb = logits[..., blank] + denom
-        le = jnp.max(jnp.where(sel[:, None], logits, NEG), axis=-1)
-        lpB = (jnp.stack([logits[..., i] for i in bb_indices], axis=-1)
-               + denom[..., None]) if K else jnp.zeros(
-                   logits.shape[:-1] + (0,), f32)
-        return denom, lpb, le + denom, lpB
-
-    denom, lpb, lpe, lpB = lax.map(one, ec)
-    return tuple(_unchunk_t(x, T) for x in (denom, lpb, lpe, lpB))
-
-
-def _mb_fused_grad_xla(e, p, W, bias, labels, denom, coef, cb, ce, cBs,
-                       blank, bb_indices):
-    """(de, dp, dW, db): ``fused_joint._fused_grad_xla`` with K extra
-    static-column subtractions for the big blanks."""
-    B, T, H = e.shape
-    U = p.shape[1]
-    V = W.shape[1]
-    f32 = jnp.float32
-    mm = jnp.bfloat16 if W.dtype == jnp.bfloat16 else f32
-    Tc = _xla_t_chunk(B, T, U, H, V)
-    nc = -(-T // Tc)
-    T_pad = nc * Tc
-    chunk = lambda x: _chunk_t(_pad_t(x.astype(f32), T_pad), nc, Tc)
-    cB = (jnp.stack(cBs, axis=-1) if cBs
-          else jnp.zeros(coef.shape + (0,), f32))
-    xs = (_chunk_t(_pad_t(e, T_pad), nc, Tc), chunk(denom), chunk(coef),
-          chunk(cb), chunk(ce), chunk(cB))
-    p32 = p.astype(f32)
-    W_mm = W.astype(mm)
-    bias32 = bias.astype(f32)
-    sel = _lab_full(labels, U)[..., None] == jnp.arange(V, dtype=jnp.int32)
-
-    def step(carry, x):
-        dp_a, dW_a, db_a = carry
-        ec_i, den_i, coef_i, cb_i, ce_i, cB_i = x
-        h = jnp.tanh(ec_i.astype(f32)[:, :, None, :] + p32[:, None, :, :])
-        hm = h.astype(mm)
-        logits = lax.dot_general(
-            hm, W_mm, (((3,), (0,)), ((), ())), preferred_element_type=f32
-        ) + bias32
-        g = coef_i[..., None] * jnp.exp(logits + den_i[..., None])
-        g = g.at[..., blank].add(-cb_i)
-        g = g - jnp.where(sel[:, None], ce_i[..., None], 0.0)
-        for k, idx in enumerate(bb_indices):
-            g = g.at[..., idx].add(-cB_i[..., k])
-        g_mm = g.astype(mm)
-        dh = lax.dot_general(
-            g_mm, W_mm, (((3,), (1,)), ((), ())), preferred_element_type=f32
-        ) * (1.0 - h * h)
-        dp_a = dp_a + jnp.sum(dh, axis=1)
-        dW_a = dW_a + lax.dot_general(
-            hm.reshape(-1, H), g_mm.reshape(-1, V),
-            (((0,), (0,)), ((), ())), preferred_element_type=f32,
-        )
-        db_a = db_a + jnp.sum(g, axis=(0, 1, 2))
-        return (dp_a, dW_a, db_a), jnp.sum(dh, axis=2)
-
-    init = (jnp.zeros((B, U, H), f32), jnp.zeros((H, V), f32),
-            jnp.zeros((V,), f32))
-    (dp, dW, db), de = lax.scan(step, init, xs)
-    return (_unchunk_t(de, T).astype(e.dtype), dp.astype(p.dtype),
-            dW.astype(W.dtype), db.astype(bias.dtype))
 
 
 def _mb_prep_and_lattice(e, p, W, bias, labels, input_lengths,
                          label_lengths, blank, durations, bb_indices,
                          sigma, delay_penalty):
-    denom, lpb, lpe, lpB = _mb_fused_prep_xla(
-        e, p, W, bias, labels.astype(jnp.int32), blank, bb_indices)
+    out = _fused_prep_xla(e, p, W, bias, labels.astype(jnp.int32), blank,
+                          extra_cols=bb_indices)
+    if bb_indices:
+        denom, lpb, lpe, lpB = out
+    else:
+        denom, lpb, lpe = out
+        lpB = jnp.zeros(lpb.shape + (0,), lpb.dtype)
     sg = jnp.asarray(sigma, lpb.dtype)
     lpb = lpb - sg
     lpe = jnp.maximum(lpe - sg, NEG)
@@ -169,9 +79,12 @@ def _mb_fused_bwd(blank, durations, bb_indices, sigma, fastemit_lambda,
     coef, cb, ce, cBs = _mb_coefs(
         lpb, lpe, lpB, lat, durations, input_lengths, label_lengths,
         scale=g.astype(lat.alphas.dtype), fastemit_lambda=fastemit_lambda)
-    de, dp, dW, db = _mb_fused_grad_xla(
-        e, p, W, bias, labels.astype(jnp.int32), denom, coef, cb, ce, cBs,
-        blank, bb_indices)
+    extra = None
+    if bb_indices:
+        extra = (bb_indices, jnp.stack(cBs, axis=-1))
+    de, dp, dW, db = _fused_grad_xla(
+        e, p, W, bias, labels.astype(jnp.int32), denom, coef, cb, ce,
+        blank, extra=extra)
 
     def int_zero(x):
         return np.zeros(x.shape, dtype=jax.dtypes.float0)

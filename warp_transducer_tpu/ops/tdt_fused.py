@@ -33,111 +33,8 @@ import numpy as np
 from jax import lax
 
 from . import prep as _prep
-from .fused_joint import (
-    NEG, _chunk_t, _lab_full, _pad_t, _unchunk_t, _xla_t_chunk,
-)
+from .fused_joint import NEG, _fused_grad_xla, _fused_prep_xla
 from .tdt import _check_durations, _tdt_coefs, _tdt_lattice
-
-
-def _tdt_fused_prep_xla(e, p, W, bias, Wd, bias_d, labels, blank):
-    """(denom, lpb, lpe, dur_logits) with the token logits consumed
-    chunk-wise; lpb/lpe are token log-probs + denom (no sigma yet)."""
-    B, T, H = e.shape
-    U = p.shape[1]
-    V = W.shape[1]
-    f32 = jnp.float32
-    mm = jnp.bfloat16 if W.dtype == jnp.bfloat16 else f32
-    Tc = _xla_t_chunk(B, T, U, H, V)
-    nc = -(-T // Tc)
-    ec = _chunk_t(_pad_t(e, nc * Tc), nc, Tc)
-    p32 = p.astype(f32)
-    W_mm = W.astype(mm)
-    bias32 = bias.astype(f32)
-    Wd32 = Wd.astype(f32)
-    bias_d32 = bias_d.astype(f32)
-    sel = _lab_full(labels, U)[..., None] == jnp.arange(V, dtype=jnp.int32)
-
-    def one(ec_i):
-        h = jnp.tanh(ec_i.astype(f32)[:, :, None, :] + p32[:, None, :, :])
-        logits = lax.dot_general(
-            h.astype(mm), W_mm, (((3,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        ) + bias32
-        m = jnp.max(logits, axis=-1)
-        denom = -(m + jnp.log(
-            jnp.sum(jnp.exp(logits - m[..., None]), axis=-1)
-        ))
-        lpb = logits[..., blank] + denom
-        le = jnp.max(jnp.where(sel[:, None], logits, NEG), axis=-1)
-        dlog = lax.dot_general(
-            h, Wd32, (((3,), (0,)), ((), ())), preferred_element_type=f32,
-        ) + bias_d32
-        return denom, lpb, le + denom, dlog
-
-    denom, lpb, lpe, dlog = lax.map(one, ec)
-    return tuple(_unchunk_t(x, T) for x in (denom, lpb, lpe, dlog))
-
-
-def _tdt_fused_grad_xla(e, p, W, bias, Wd, labels, denom, coef, cb, ce_eff,
-                        g_dur, blank):
-    """(de, dp, dW, db, dWd) — ``ops/fused_joint.py::_fused_grad_xla``
-    extended with the duration head: each chunk's dh also collects
-    g_dur @ Wd^T, and dWd accumulates h^T g_dur. d(bias_d) is the plain
-    sum of g_dur (computed by the caller — no chunk state needed)."""
-    B, T, H = e.shape
-    U = p.shape[1]
-    V = W.shape[1]
-    D = Wd.shape[1]
-    f32 = jnp.float32
-    mm = jnp.bfloat16 if W.dtype == jnp.bfloat16 else f32
-    Tc = _xla_t_chunk(B, T, U, H, V)
-    nc = -(-T // Tc)
-    T_pad = nc * Tc
-    chunk = lambda x: _chunk_t(_pad_t(x.astype(f32), T_pad), nc, Tc)
-    xs = (_chunk_t(_pad_t(e, T_pad), nc, Tc), chunk(denom), chunk(coef),
-          chunk(cb), chunk(ce_eff), chunk(g_dur))
-    p32 = p.astype(f32)
-    W_mm = W.astype(mm)
-    bias32 = bias.astype(f32)
-    Wd32 = Wd.astype(f32)
-    sel = _lab_full(labels, U)[..., None] == jnp.arange(V, dtype=jnp.int32)
-
-    def step(carry, x):
-        dp_a, dW_a, db_a, dWd_a = carry
-        ec_i, den_i, coef_i, cb_i, ce_i, gd_i = x
-        h = jnp.tanh(ec_i.astype(f32)[:, :, None, :] + p32[:, None, :, :])
-        hm = h.astype(mm)
-        logits = lax.dot_general(
-            hm, W_mm, (((3,), (0,)), ((), ())), preferred_element_type=f32
-        ) + bias32
-        g = coef_i[..., None] * jnp.exp(logits + den_i[..., None])
-        g = g.at[..., blank].add(-cb_i)
-        g = g - jnp.where(sel[:, None], ce_i[..., None], 0.0)
-        g_mm = g.astype(mm)
-        dh = lax.dot_general(
-            g_mm, W_mm, (((3,), (1,)), ((), ())), preferred_element_type=f32
-        )
-        dh = dh + lax.dot_general(
-            gd_i, Wd32, (((3,), (1,)), ((), ())), preferred_element_type=f32
-        )
-        dh = dh * (1.0 - h * h)
-        dp_a = dp_a + jnp.sum(dh, axis=1)
-        dW_a = dW_a + lax.dot_general(
-            hm.reshape(-1, H), g_mm.reshape(-1, V),
-            (((0,), (0,)), ((), ())), preferred_element_type=f32,
-        )
-        db_a = db_a + jnp.sum(g, axis=(0, 1, 2))
-        dWd_a = dWd_a + lax.dot_general(
-            h.reshape(-1, H), gd_i.reshape(-1, D),
-            (((0,), (0,)), ((), ())), preferred_element_type=f32,
-        )
-        return (dp_a, dW_a, db_a, dWd_a), jnp.sum(dh, axis=2)
-
-    init = (jnp.zeros((B, U, H), f32), jnp.zeros((H, V), f32),
-            jnp.zeros((V,), f32), jnp.zeros((H, D), f32))
-    (dp, dW, db, dWd), de = lax.scan(step, init, xs)
-    return (_unchunk_t(de, T).astype(e.dtype), dp.astype(p.dtype),
-            dW.astype(W.dtype), db.astype(bias.dtype), dWd.astype(Wd.dtype))
 
 
 def _lpd_from(dlog):
@@ -148,8 +45,9 @@ def _lpd_from(dlog):
 
 def _prep_and_lattice(e, p, W, bias, Wd, bias_d, labels, input_lengths,
                       label_lengths, blank, durations, sigma, delay_penalty):
-    denom, lpb, lpe, dlog = _tdt_fused_prep_xla(
-        e, p, W, bias, Wd, bias_d, labels.astype(jnp.int32), blank)
+    denom, lpb, lpe, dlog = _fused_prep_xla(
+        e, p, W, bias, labels.astype(jnp.int32), blank,
+        dur_head=(Wd, bias_d))
     sg = jnp.asarray(sigma, lpb.dtype)
     lpb = lpb - sg
     lpe = jnp.maximum(lpe - sg, NEG)
@@ -198,9 +96,9 @@ def _tdt_fused_bwd(blank, durations, sigma, fastemit_lambda, delay_penalty,
         [cb_js[j] + (1.0 + lam) * ce_js[j] for j in range(len(durations))],
         axis=-1)
     dbd = jnp.sum(g_dur, axis=(0, 1, 2)).astype(bias_d.dtype)
-    de, dp, dW, db, dWd = _tdt_fused_grad_xla(
-        e, p, W, bias, Wd, labels.astype(jnp.int32), denom, coef, cb,
-        ce_eff, g_dur, blank)
+    de, dp, dW, db, dWd = _fused_grad_xla(
+        e, p, W, bias, labels.astype(jnp.int32), denom, coef, cb, ce_eff,
+        blank, dur_head=(Wd, g_dur))
 
     def int_zero(x):
         return np.zeros(x.shape, dtype=jax.dtypes.float0)

@@ -254,6 +254,8 @@ def data_parallel_multiblank_loss(
     big_blank_indices=None,
     sigma: float = 0.0,
     reduction: str = "mean",
+    fastemit_lambda: float = 0.0,
+    delay_penalty: float = 0.0,
 ) -> jax.Array:
     """Multi-blank transducer loss (arXiv 2211.03541) with the utterance
     batch sharded over ``mesh[axis]``; same contract as
@@ -281,7 +283,8 @@ def data_parallel_multiblank_loss(
     def _local(a, l, il, ll):
         costs = rnnt_loss_multiblank(
             a, l, il, ll, durs, blank=blank, big_blank_indices=idx,
-            sigma=sigma, reduction="none",
+            sigma=sigma, reduction="none", fastemit_lambda=fastemit_lambda,
+            delay_penalty=delay_penalty,
         )
         if reduction == "none":
             return costs
@@ -305,6 +308,8 @@ def data_parallel_tdt_loss(
     blank: int = 0,
     sigma: float = 0.0,
     reduction: str = "mean",
+    fastemit_lambda: float = 0.0,
+    delay_penalty: float = 0.0,
 ) -> jax.Array:
     """Token-and-Duration Transducer loss (arXiv 2304.06795) with the
     utterance batch sharded over ``mesh[axis]``; differentiable w.r.t.
@@ -330,7 +335,8 @@ def data_parallel_tdt_loss(
     def _local(t, d, l, il, ll):
         costs = rnnt_loss_tdt(
             t, d, l, il, ll, durs, blank=blank, sigma=sigma,
-            reduction="none",
+            reduction="none", fastemit_lambda=fastemit_lambda,
+            delay_penalty=delay_penalty,
         )
         if reduction == "none":
             return costs
