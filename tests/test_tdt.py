@@ -323,3 +323,73 @@ class TestTDTFusedJoint:
             params, opt_state, loss = step(params, opt_state, batch)
             losses.append(float(loss))
         assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+class TestTDTViterbi:
+    def _brute_force(self, lp_tok, lp_dur, labels, durs, blank=0):
+        """Enumerate every complete TDT path; return (best score, best
+        token (frame, duration) list)."""
+        T, U, V = lp_tok.shape
+        best = [-np.inf, None]
+
+        def go(t, u, s, emits):
+            for j, d in enumerate(durs):
+                if u == U - 1 and d >= 1 and t + d == T:
+                    cand = s + lp_tok[t, u, blank] + lp_dur[t, u, j]
+                    if cand > best[0]:
+                        best[0], best[1] = cand, list(emits)
+                if d >= 1 and t + d <= T - 1:
+                    go(t + d, u, s + lp_tok[t, u, blank] + lp_dur[t, u, j],
+                       emits)
+                if u < U - 1 and t + d <= T - 1:
+                    go(t + d, u + 1,
+                       s + lp_tok[t, u, labels[u]] + lp_dur[t, u, j],
+                       emits + [(t, d)])
+
+        go(0, 0, 0.0, [])
+        return best
+
+    @pytest.mark.parametrize("durs", [(0, 1, 2), (1, 2)])
+    def test_matches_brute_force(self, durs):
+        from warp_transducer_tpu.ops.alignment import tdt_viterbi_align
+        from warp_transducer_tpu.utils.numpy_oracle import log_softmax
+
+        rng = np.random.default_rng(0)
+        B, T, U, V = 3, 6, 3, 5
+        tok = rng.standard_normal((B, T, U, V)) * 2
+        dur = rng.standard_normal((B, T, U, len(durs))) * 2
+        labels = rng.integers(1, V, size=(B, U - 1)).astype(np.int32)
+        il = np.array([6, 4, 5], np.int32)
+        ll = np.array([2, 1, 2], np.int32)
+
+        out = tdt_viterbi_align(
+            jnp.asarray(tok), jnp.asarray(dur), jnp.asarray(labels),
+            jnp.asarray(il), jnp.asarray(ll), durs, sigma=0.03)
+        for b in range(B):
+            t, u = int(il[b]), int(ll[b]) + 1
+            lp_t = log_softmax(tok[b, :t, :u]) - 0.03
+            lp_d = log_softmax(dur[b, :t, :u])
+            ref_score, ref_emits = self._brute_force(
+                lp_t, lp_d, labels[b], durs)
+            np.testing.assert_allclose(float(out.score[b]), ref_score,
+                                       rtol=1e-5)
+            got = [(int(out.emit_frames[b, i]),
+                    int(out.emit_durations[b, i]))
+                   for i in range(int(ll[b]))]
+            assert got == ref_emits, (b, got, ref_emits)
+            # padding stays -1
+            for i in range(int(ll[b]), U - 1):
+                assert int(out.emit_frames[b, i]) == -1
+
+    def test_score_bounded_by_loss(self):
+        from warp_transducer_tpu.ops.alignment import tdt_viterbi_align
+
+        tok, dur, labels, il, ll = _rand_problem(21, durs=(0, 1, 2))
+        out = tdt_viterbi_align(
+            jnp.asarray(tok), jnp.asarray(dur), jnp.asarray(labels),
+            jnp.asarray(il), jnp.asarray(ll), (0, 1, 2))
+        costs = rnnt_loss_tdt(jnp.asarray(tok), jnp.asarray(dur),
+                              jnp.asarray(labels), jnp.asarray(il),
+                              jnp.asarray(ll), (0, 1, 2), reduction="none")
+        # best single path <= sum over all paths
+        assert np.all(np.asarray(out.score) <= -np.asarray(costs) + 1e-9)

@@ -8,7 +8,8 @@ reductions, a loss-only scoring path, and first-class data-parallel
 sharding over TPU meshes.
 """
 
-from .ops.alignment import ViterbiAlignment, rnnt_viterbi_align
+from .ops.alignment import (TDTViterbiAlignment, ViterbiAlignment,
+                            rnnt_viterbi_align, tdt_viterbi_align)
 from .ops.fused_joint import rnnt_loss_fused_joint
 from .ops.multiblank import rnnt_loss_multiblank
 from .ops.multiblank_fused import rnnt_loss_multiblank_fused_joint
@@ -39,6 +40,8 @@ __all__ = [
     "rnnt_score",
     "rnnt_viterbi_align",
     "ViterbiAlignment",
+    "tdt_viterbi_align",
+    "TDTViterbiAlignment",
     "RNNTOptions",
     "__version__",
 ]

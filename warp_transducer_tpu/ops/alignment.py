@@ -138,3 +138,162 @@ def rnnt_viterbi_align(
             jnp.where(emitted_u >= 0, frames, -1), mode="drop"
         )
     return ViterbiAlignment(score=score.astype(acts.dtype), emit_frames=emit_frames, path=path)
+
+
+class TDTViterbiAlignment(NamedTuple):
+    score: jax.Array           # (B,) log-prob of the best path
+    emit_frames: jax.Array     # (B, U-1) int32: frame where label u was
+                               # emitted (-1 beyond label_lengths)
+    emit_durations: jax.Array  # (B, U-1) int32: duration chosen by that
+                               # emission (-1 beyond label_lengths)
+
+
+def tdt_viterbi_align(
+    token_logits, duration_logits, labels, input_lengths, label_lengths,
+    durations, blank=0, sigma=0.0,
+) -> TDTViterbiAlignment:
+    """Best TDT alignment: the max-plus analog of ``rnnt_loss_tdt``'s
+    recursion (``ops/tdt.py``) plus a backtrace that recovers, for every
+    emitted label, the frame it was emitted at and the duration the
+    duration head assigned it — the forced-alignment tool for TDT models
+    (durations are part of the path, unlike the standard transducer).
+
+    Args mirror ``rnnt_loss_tdt``. ``score`` is the log-probability of the
+    single best path (<= -rnnt_loss_tdt, which integrates over all paths).
+    """
+    from .tdt import _check_durations, _tdt_prep
+
+    durs = _check_durations(durations)
+    B, T, U, V = token_logits.shape
+    D = len(durs)
+    cdtype = (jnp.float64 if token_logits.dtype == jnp.float64
+              else jnp.float32)
+    lpb, lpe, lpd, _, _ = _tdt_prep(token_logits, duration_logits, labels,
+                                    int(blank), sigma, cdtype)
+    neg = jnp.asarray(-jnp.inf, cdtype)
+    lpe = jnp.where(lpe < -1e29, neg, lpe)  # exact -inf for max-plus
+    Tb = input_lengths.astype(jnp.int32)
+    Ub = label_lengths.astype(jnp.int32) + 1
+    batch = jnp.arange(B)
+    u_iota = jnp.arange(U, dtype=jnp.int32)[None, :]
+    has0 = 0 in durs
+    j0 = durs.index(0) if has0 else -1
+    W = max(durs)
+
+    # ---- max-plus forward (the LSE scan of ops/tdt.py with max) ----------
+    def valid(t):
+        return (t < Tb[:, None]) & (u_iota < Ub[:, None])
+
+    def step(P, xs):
+        t, lpb_t, lpe_t, lpd_t = xs
+        ne = P[:, 0]
+        ne = jnp.where((t == 0) & (u_iota == 0), 0.0, ne)
+        if has0:
+            w = lpe_t + lpd_t[..., j0]
+            c = jnp.cumsum(jnp.where(jnp.isfinite(w), w, -1e9), axis=1)
+            c = jnp.pad(c[:, :-1], ((0, 0), (1, 0)))
+            v_t = c + lax.associative_scan(jnp.maximum, ne - c, axis=1)
+        else:
+            v_t = ne
+        v_t = jnp.where(valid(t), v_t, neg)
+        P = jnp.concatenate([P[:, 1:], jnp.full((B, 1, U), neg, cdtype)],
+                            axis=1)
+        for j, d in enumerate(durs):
+            if d < 1:
+                continue
+            dep = jnp.maximum(
+                v_t + lpb_t + lpd_t[..., j],
+                jnp.concatenate([jnp.full((B, 1), neg, cdtype),
+                                 (v_t + lpe_t + lpd_t[..., j])[:, :-1]],
+                                axis=1))
+            P = P.at[:, d - 1].set(jnp.maximum(P[:, d - 1], dep))
+        return P, v_t
+
+    mv = lambda x: jnp.moveaxis(x, 1, 0)
+    ts = jnp.arange(T, dtype=jnp.int32)[:, None, None]
+    init = jnp.full((B, W, U), neg, cdtype)
+    _, v_rows = lax.scan(step, init, (ts, mv(lpb), mv(lpe), mv(lpd)))
+    v = jnp.moveaxis(v_rows, 0, 1)  # (B, T, U)
+
+    u_star = jnp.clip(Ub - 1, 0, U - 1)
+    score = jnp.full((B,), neg, cdtype)
+    for j, d in enumerate(durs):
+        if d < 1:
+            continue
+        tk = jnp.clip(Tb - d, 0, T - 1)
+        cand = v[batch, tk, u_star] + lpb[batch, tk, u_star] \
+            + lpd[batch, tk, u_star, j]
+        score = jnp.maximum(score, jnp.where(Tb - d >= 0, cand, neg))
+
+    # ---- backtrace --------------------------------------------------------
+    # Start from the best final blank arc, then repeatedly pick the argmax
+    # incoming arc of the current cell. <= T + U steps; finished utterances
+    # idle at (0, 0).
+    final_t = jnp.zeros((B,), jnp.int32)
+    best = jnp.full((B,), neg, cdtype)
+    for j, d in enumerate(durs):
+        if d < 1:
+            continue
+        tk = jnp.clip(Tb - d, 0, T - 1)
+        cand = v[batch, tk, u_star] + lpb[batch, tk, u_star] \
+            + lpd[batch, tk, u_star, j]
+        cand = jnp.where(Tb - d >= 0, cand, neg)
+        final_t = jnp.where(cand > best, tk, final_t)
+        best = jnp.maximum(best, cand)
+
+    Um1 = max(U - 1, 1)
+    ef0 = jnp.full((B, Um1), -1, jnp.int32)
+    ed0 = jnp.full((B, Um1), -1, jnp.int32)
+
+    def back(carry, _):
+        t, u, ef, ed = carry
+        active = (t > 0) | (u > 0)
+        best_s = jnp.full((B,), neg, cdtype)
+        best_tok = jnp.zeros((B,), bool)
+        best_t = jnp.zeros((B,), jnp.int32)
+        best_d = jnp.zeros((B,), jnp.int32)
+        for j, d in enumerate(durs):
+            tp = t - d
+            ok_t = tp >= 0
+            tpc = jnp.clip(tp, 0, T - 1)
+            # token arc from (t-d, u-1)
+            upc = jnp.clip(u - 1, 0, U - 1)
+            s_tok = jnp.where(
+                ok_t & (u - 1 >= 0),
+                v[batch, tpc, upc] + lpe[batch, tpc, upc]
+                + lpd[batch, tpc, upc, j], neg)
+            upd = s_tok > best_s
+            best_s = jnp.maximum(best_s, s_tok)
+            best_tok = jnp.where(upd, True, best_tok)
+            best_t = jnp.where(upd, tpc, best_t)
+            best_d = jnp.where(upd, d, best_d)
+            # blank arc from (t-d, u), d >= 1
+            if d >= 1:
+                s_bl = jnp.where(
+                    ok_t, v[batch, tpc, jnp.clip(u, 0, U - 1)]
+                    + lpb[batch, tpc, jnp.clip(u, 0, U - 1)]
+                    + lpd[batch, tpc, jnp.clip(u, 0, U - 1), j], neg)
+                upd = s_bl > best_s
+                best_s = jnp.maximum(best_s, s_bl)
+                best_tok = jnp.where(upd, False, best_tok)
+                best_t = jnp.where(upd, tpc, best_t)
+                best_d = jnp.where(upd, d, best_d)
+        took_tok = active & best_tok
+        if U > 1:
+            lab_u = jnp.clip(u - 1, 0, Um1 - 1)
+            sel = (jnp.arange(Um1)[None, :] == lab_u[:, None]) \
+                & took_tok[:, None]
+            ef = jnp.where(sel, best_t[:, None], ef)
+            ed = jnp.where(sel, best_d[:, None], ed)
+        t = jnp.where(active, best_t, t)
+        u = jnp.where(took_tok, u - 1, u)
+        return (t, u, ef, ed), None
+
+    (t_end, u_end, ef, ed), _ = lax.scan(
+        back, (final_t, u_star, ef0, ed0), None, length=T + U)
+    if U == 1:
+        ef = jnp.zeros((B, 0), jnp.int32)
+        ed = jnp.zeros((B, 0), jnp.int32)
+    return TDTViterbiAlignment(
+        score=score.astype(token_logits.dtype), emit_frames=ef,
+        emit_durations=ed)
