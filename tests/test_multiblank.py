@@ -284,3 +284,80 @@ class TestMultiblankFusedJoint:
 
         out = fused_loss(params)
         np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+
+
+class TestMultiblankViterbi:
+    def _brute_force(self, lp, labels, durs, idx, blank=0):
+        """Enumerate every complete multi-blank path; return (best score,
+        emit frames, path adv codes)."""
+        T, U, V = lp.shape
+        best = [-np.inf, None, None]
+
+        def go(t, u, s, emits, steps):
+            term = s + lp[t, u, blank] if t == T - 1 and u == U - 1 else None
+            if term is not None and term > best[0]:
+                best[0], best[1], best[2] = term, list(emits), steps + [1]
+            for k, m in enumerate(durs):
+                if u == U - 1 and t + m == T:
+                    cand = s + lp[t, u, idx[k]]
+                    if cand > best[0]:
+                        best[0], best[1], best[2] = (cand, list(emits),
+                                                     steps + [m])
+            if t + 1 <= T - 1:
+                go(t + 1, u, s + lp[t, u, blank], emits, steps + [1])
+            for k, m in enumerate(durs):
+                if t + m <= T - 1:
+                    go(t + m, u, s + lp[t, u, idx[k]], emits, steps + [m])
+            if u < U - 1:
+                go(t, u + 1, s + lp[t, u, labels[u]], emits + [t],
+                   steps + [0])
+
+        go(0, 0, 0.0, [], [])
+        return best
+
+    def test_matches_brute_force(self):
+        from warp_transducer_tpu.ops.alignment import multiblank_viterbi_align
+        from warp_transducer_tpu.utils.numpy_oracle import log_softmax
+
+        rng = np.random.default_rng(2)
+        B, T, U, V, durs = 3, 6, 3, 7, (2, 3)
+        acts = rng.standard_normal((B, T, U, V)) * 2
+        labels = rng.integers(1, V - 2, size=(B, U - 1)).astype(np.int32)
+        il = np.array([6, 4, 5], np.int32)
+        ll = np.array([2, 1, 2], np.int32)
+
+        out = multiblank_viterbi_align(
+            jnp.asarray(acts), jnp.asarray(labels), jnp.asarray(il),
+            jnp.asarray(ll), durs, sigma=0.05)
+        idx = (V - 2, V - 1)
+        for b in range(B):
+            t, u = int(il[b]), int(ll[b]) + 1
+            lp = log_softmax(acts[b, :t, :u]) - 0.05
+            ref_score, ref_emits, ref_steps = self._brute_force(
+                lp, labels[b], durs, idx)
+            np.testing.assert_allclose(float(out.score[b]), ref_score,
+                                       rtol=1e-5)
+            got_e = [int(out.emit_frames[b, i]) for i in range(int(ll[b]))]
+            assert got_e == ref_emits, (b, got_e, ref_emits)
+            n = len(ref_steps)
+            got_p = [int(out.path[b, i]) for i in range(n)]
+            assert got_p == ref_steps, (b, got_p, ref_steps)
+            assert all(int(x) == -1 for x in np.asarray(out.path[b, n:]))
+
+    def test_k0_matches_dense_viterbi(self):
+        from warp_transducer_tpu.ops.alignment import (
+            multiblank_viterbi_align, rnnt_viterbi_align,
+        )
+
+        rng = np.random.default_rng(5)
+        B, T, U, V = 2, 7, 4, 6
+        acts = jnp.asarray(rng.standard_normal((B, T, U, V)) * 2)
+        labels = jnp.asarray(rng.integers(1, V, size=(B, U - 1)), jnp.int32)
+        il = jnp.asarray([7, 5], jnp.int32)
+        ll = jnp.asarray([3, 2], jnp.int32)
+        mb = multiblank_viterbi_align(acts, labels, il, ll, ())
+        dn = rnnt_viterbi_align(acts, labels, il, ll)
+        np.testing.assert_allclose(np.asarray(mb.score), np.asarray(dn.score),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(mb.emit_frames),
+                                      np.asarray(dn.emit_frames))

@@ -9,7 +9,8 @@ sharding over TPU meshes.
 """
 
 from .ops.alignment import (TDTViterbiAlignment, ViterbiAlignment,
-                            rnnt_viterbi_align, tdt_viterbi_align)
+                            multiblank_viterbi_align, rnnt_viterbi_align,
+                            tdt_viterbi_align)
 from .ops.fused_joint import rnnt_loss_fused_joint
 from .ops.multiblank import rnnt_loss_multiblank
 from .ops.multiblank_fused import rnnt_loss_multiblank_fused_joint
@@ -40,6 +41,7 @@ __all__ = [
     "rnnt_score",
     "rnnt_viterbi_align",
     "ViterbiAlignment",
+    "multiblank_viterbi_align",
     "tdt_viterbi_align",
     "TDTViterbiAlignment",
     "RNNTOptions",

@@ -297,3 +297,133 @@ def tdt_viterbi_align(
     return TDTViterbiAlignment(
         score=score.astype(token_logits.dtype), emit_frames=ef,
         emit_durations=ed)
+
+
+def multiblank_viterbi_align(
+    acts, labels, input_lengths, label_lengths, big_blank_durations,
+    blank=0, big_blank_indices=None, sigma=0.0,
+) -> ViterbiAlignment:
+    """Best multi-blank alignment (arXiv 2211.03541): the max-plus analog
+    of ``rnnt_loss_multiblank``'s recursion plus a backtrace. Returns the
+    standard ``ViterbiAlignment``; in ``path``, a blank step records the
+    number of frames it consumed (1 for the standard blank, m_k for big
+    blank k) and an emit records 0 — so ``path`` entries are
+    {0 = emit, m >= 1 = blank advancing m frames, -1 = padding}, a
+    superset of the dense encoding (which uses {1 = emit, 0 = advance}).
+
+    Args mirror ``rnnt_loss_multiblank``.
+    """
+    from .multiblank import _multiblank_prep, _resolve_indices
+
+    B, T, U, V = acts.shape
+    durs, idx = _resolve_indices(V, int(blank), big_blank_durations,
+                                 big_blank_indices)
+    K = len(durs)
+    cdtype = jnp.float64 if acts.dtype == jnp.float64 else jnp.float32
+    lpb, lpe, lpB, _, _ = _multiblank_prep(acts, labels, int(blank), idx,
+                                           sigma, cdtype)
+    neg = jnp.asarray(-jnp.inf, cdtype)
+    lpe = jnp.where(lpe < -1e29, neg, lpe)
+    Tb = input_lengths.astype(jnp.int32)
+    Ub = label_lengths.astype(jnp.int32) + 1
+    batch = jnp.arange(B)
+    u_iota = jnp.arange(U, dtype=jnp.int32)[None, :]
+    W = max(durs) if K else 1
+    all_durs = (1,) + durs  # blank arc families: standard then big blanks
+
+    def arc_w(lpb_t, lpB_t, j):
+        return lpb_t if j == 0 else lpB_t[..., j - 1]
+
+    def valid(t):
+        return (t < Tb[:, None]) & (u_iota < Ub[:, None])
+
+    def step(P, xs):
+        t, lpb_t, lpe_t, lpB_t = xs
+        ne = P[:, 0]
+        ne = jnp.where((t == 0) & (u_iota == 0), 0.0, ne)
+        c = jnp.cumsum(jnp.where(jnp.isfinite(lpe_t), lpe_t, -1e9), axis=1)
+        c = jnp.pad(c[:, :-1], ((0, 0), (1, 0)))
+        v_t = c + lax.associative_scan(jnp.maximum, ne - c, axis=1)
+        v_t = jnp.where(valid(t), v_t, neg)
+        P = jnp.concatenate([P[:, 1:], jnp.full((B, 1, U), neg, cdtype)],
+                            axis=1)
+        for j, m in enumerate(all_durs):
+            P = P.at[:, m - 1].set(
+                jnp.maximum(P[:, m - 1], v_t + arc_w(lpb_t, lpB_t, j)))
+        return P, v_t
+
+    mv = lambda x: jnp.moveaxis(x, 1, 0)
+    ts = jnp.arange(T, dtype=jnp.int32)[:, None, None]
+    init = jnp.full((B, W, U), neg, cdtype)
+    _, v_rows = lax.scan(step, init, (ts, mv(lpb), mv(lpe), mv(lpB)))
+    v = jnp.moveaxis(v_rows, 0, 1)
+
+    u_star = jnp.clip(Ub - 1, 0, U - 1)
+    score = jnp.full((B,), neg, cdtype)
+    final_t = jnp.zeros((B,), jnp.int32)
+    for j, m in enumerate(all_durs):
+        tk = jnp.clip(Tb - m, 0, T - 1)
+        w = (lpb if j == 0 else lpB[..., j - 1])[batch, tk, u_star]
+        cand = jnp.where(Tb - m >= 0, v[batch, tk, u_star] + w, neg)
+        final_t = jnp.where(cand > score, tk, final_t)
+        score = jnp.maximum(score, cand)
+
+    N = T + U - 1
+    Um1 = max(U - 1, 1)
+    path0 = jnp.full((B, N), -1, jnp.int32)
+    ef0 = jnp.full((B, Um1), -1, jnp.int32)
+
+    def back(carry, _):
+        t, u, k, path, ef = carry  # k = step counter from the path END
+        active = (t > 0) | (u > 0)
+        best_s = jnp.full((B,), neg, cdtype)
+        best_adv = jnp.zeros((B,), jnp.int32)  # 0 = emit
+        best_t = jnp.zeros((B,), jnp.int32)
+        # emit arc from (t, u-1)
+        upc = jnp.clip(u - 1, 0, U - 1)
+        s_e = jnp.where(u - 1 >= 0,
+                        v[batch, t, upc] + lpe[batch, t, upc], neg)
+        upd = s_e > best_s
+        best_s = jnp.maximum(best_s, s_e)
+        best_t = jnp.where(upd, t, best_t)
+        for j, m in enumerate(all_durs):
+            tp = t - m
+            tpc = jnp.clip(tp, 0, T - 1)
+            w = (lpb if j == 0 else lpB[..., j - 1])[batch, tpc, u]
+            s_b = jnp.where(tp >= 0, v[batch, tpc, u] + w, neg)
+            upd = s_b > best_s
+            best_s = jnp.maximum(best_s, s_b)
+            best_adv = jnp.where(upd, m, best_adv)
+            best_t = jnp.where(upd, tpc, best_t)
+        took_emit = active & (best_adv == 0)
+        # record at slot k from the end; inactive -> index N (dropped)
+        slot = jnp.where(active, k, N)
+        path = path.at[batch, slot].set(
+            jnp.where(active, best_adv, -1), mode="drop")
+        if U > 1:
+            lab_u = jnp.clip(u - 1, 0, Um1 - 1)
+            sel = (jnp.arange(Um1)[None, :] == lab_u[:, None]) \
+                & took_emit[:, None]
+            ef = jnp.where(sel, t[:, None], ef)
+        t = jnp.where(active & ~took_emit, best_t, t)
+        u = jnp.where(took_emit, u - 1, u)
+        k = jnp.where(active, k + 1, k)
+        return (t, u, k, path, ef), None
+
+    # the terminal blank arc (source = final_t) consumes the remaining
+    # Tb - final_t frames; record it as the path's last step (slot 0 from
+    # the end), then backtrace the rest
+    path0 = path0.at[batch, 0].set(Tb - final_t)
+    k0 = jnp.ones((B,), jnp.int32)
+    (t_e, u_e, k_e, path_rev, ef), _ = lax.scan(
+        back, (final_t, u_star, k0, path0, ef0), None, length=N)
+    # path_rev[k] is the k-th step counted from the END; flip per utterance
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    src = k_e[:, None] - 1 - pos
+    path = jnp.where(
+        src >= 0,
+        jnp.take_along_axis(path_rev, jnp.clip(src, 0, N - 1), axis=1), -1)
+    if U == 1:
+        ef = jnp.zeros((B, 0), jnp.int32)
+    return ViterbiAlignment(score=score.astype(acts.dtype),
+                            emit_frames=ef, path=path)
