@@ -223,8 +223,8 @@ class Joint(nn.Module):
         W = self.out_proj.variables["params"]["kernel"]
         b = self.out_proj.variables["params"]["bias"]
         return rnnt_loss_multiblank_fused_joint(
-            e.astype(jnp.float32), p.astype(jnp.float32),
-            W.astype(jnp.float32), b.astype(jnp.float32),
+            e.astype(c.dtype), p.astype(c.dtype),
+            W.astype(c.dtype), b.astype(jnp.float32),
             labels, input_lengths, label_lengths, big_blank_durations,
             blank=c.blank, reduction=reduction, sigma=sigma,
             fastemit_lambda=fastemit_lambda, delay_penalty=delay_penalty,
@@ -250,8 +250,8 @@ class Joint(nn.Module):
         Wd = self.dur_proj.variables["params"]["kernel"]
         bd = self.dur_proj.variables["params"]["bias"]
         return rnnt_loss_tdt_fused_joint(
-            e.astype(jnp.float32), p.astype(jnp.float32),
-            W.astype(jnp.float32), b.astype(jnp.float32),
+            e.astype(c.dtype), p.astype(c.dtype),
+            W.astype(c.dtype), b.astype(jnp.float32),
             Wd.astype(jnp.float32), bd.astype(jnp.float32),
             labels, input_lengths, label_lengths,
             durations=c.tdt_durations, blank=c.blank, reduction=reduction,
