@@ -141,6 +141,20 @@ check("pruned fused (pallas band) fwd+bwd",
           argnums=(0, 1, 2, 3)),
       e_pf, p_pf, W_pf, b_pf)
 
+# fused TDT: the kernels with the duration head enabled
+from warp_transducer_tpu.ops.tdt_fused import rnnt_loss_tdt_fused_joint
+
+durs = (0, 1, 2, 4)
+Wd = jnp.asarray(rng.randn(H, len(durs)) / np.sqrt(H), jnp.float32)
+bd = jnp.zeros((len(durs),), jnp.float32)
+check("fused TDT fwd+bwd",
+      jax.value_and_grad(
+          lambda e, p, W, bias, Wd, bd: rnnt_loss_tdt_fused_joint(
+              e, p, W, bias, Wd, bd, lab2, il, ll, durs, sigma=0.05,
+              reduction="sum", implementation="pallas"),
+          argnums=(0, 1, 2, 3, 4, 5)),
+      e, p, W, bias, Wd, bd)
+
 if FAILED:
     print("\nFAILURES:")
     for name, msg in FAILED:

@@ -85,26 +85,40 @@ def _row_geometry(T: int, U: int):
 # Forward: (e, p, W, bias, labels) -> (denom, lpb, lpe) row-flat
 # ---------------------------------------------------------------------------
 
-def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, lab_ref,
-                 *out_refs,
+def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
                  blank: int, n_vt: int, v_tile: int, t_t: int, u_pad: int,
-                 mm_dtype, v_base: int = 0, partial: bool = False):
+                 mm_dtype, v_base: int = 0, partial: bool = False,
+                 with_dur: bool = False):
     """One (batch, T-tile) row block.
 
     Default outputs: (denom, lpb, lpe).  With ``partial=True`` the outputs
     are the raw online-reduction state (max, sum-exp-rel-max, blank logit,
     label logit) so a V-chunked caller can merge several invocations whose
     W slices each fit VMEM; ``v_base`` is the global column id of this
-    kernel's first V column (blank/label ids stay global)."""
+    kernel's first V column (blank/label ids stay global). With
+    ``with_dur`` (the TDT path) the inputs gain (w_d, bias_d) before the
+    labels and the outputs gain the duration head's raw logits (R, D_pad)
+    — one extra tiny MXU matmul on the same joint features."""
     f32 = jnp.float32
     neg = jnp.asarray(NEG, f32)
     R = t_t * u_pad
     H = e_ref.shape[2]
+    if with_dur:
+        wd_ref, bd_ref, lab_ref, *out_refs = refs
+        *out_refs, dlog_ref = out_refs
+    else:
+        lab_ref, *out_refs = refs
 
     e_t = e_ref[0].astype(f32)  # (T_t, H)
     p_t = p_ref[0].astype(f32)  # (U_pad, H)
     h3 = jnp.tanh(e_t[:, None, :] + p_t[None, :, :])  # (T_t, U_pad, H)
-    hm = h3.reshape(R, H).astype(mm_dtype)
+    hm3 = h3.reshape(R, H)
+    hm = hm3.astype(mm_dtype)
+    if with_dur:
+        dlog_ref[...] = jax.lax.dot_general(
+            hm3, wd_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) + bd_ref[...]
 
     lab = lab_ref[...]  # (R, 1) int32; -1 where no label defined
 
@@ -160,16 +174,20 @@ def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, lab_ref,
 # Backward: recompute tiles, contract the in-register dense gradient
 # ---------------------------------------------------------------------------
 
-def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, lab_ref,
-                 denom_ref, coef_ref, cb_ref, ce_ref,
-                 de_ref, dp_ref, dw_ref, db_ref,
-                 *, blank: int, n_vt: int, v_tile: int, t_t: int, u_pad: int,
-                 mm_dtype, v_base: int = 0):
+def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
+                 blank: int, n_vt: int, v_tile: int, t_t: int, u_pad: int,
+                 mm_dtype, v_base: int = 0, with_dur: bool = False):
     f32 = jnp.float32
     R = t_t * u_pad
     H = e_ref.shape[2]
     b = pl.program_id(0)
     i = pl.program_id(1)
+    if with_dur:
+        (wd_ref, lab_ref, denom_ref, coef_ref, cb_ref, ce_ref, gd_ref,
+         de_ref, dp_ref, dw_ref, db_ref, dwd_ref) = refs
+    else:
+        (lab_ref, denom_ref, coef_ref, cb_ref, ce_ref,
+         de_ref, dp_ref, dw_ref, db_ref) = refs
 
     e_t = e_ref[0].astype(f32)
     p_t = p_ref[0].astype(f32)
@@ -187,12 +205,25 @@ def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, lab_ref,
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
+        if with_dur:
+            dwd_ref[...] = jnp.zeros_like(dwd_ref)
 
     @pl.when(i == 0)
     def _():
         dp_ref[...] = jnp.zeros_like(dp_ref)
 
     dh = jnp.zeros((R, H), f32)
+    if with_dur:
+        # duration head: its cotangent joins dh before the tanh backprop
+        # (padded D columns of gd are zero, so they contribute nothing)
+        gd = gd_ref[...]  # (R, D_pad)
+        dh = dh + jax.lax.dot_general(
+            gd, wd_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        dwd_ref[...] += jax.lax.dot_general(
+            hm32, gd, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        )
     for k in range(n_vt):
         w_k = w_ref[:, k * v_tile:(k + 1) * v_tile]
         logits = jax.lax.dot_general(
@@ -400,6 +431,172 @@ def fused_grad(e, p, W, bias, labels, label_lengths, denom, coef, cb, ce,
 
     return (de[:, :T].astype(e.dtype), dp[:, :U].astype(p.dtype),
             dW[:, :V].astype(W.dtype), db[0, :V].astype(bias.dtype))
+
+
+# ---------------------------------------------------------------------------
+# TDT drivers: the same kernels with the duration head enabled
+# ---------------------------------------------------------------------------
+
+_D_PAD = _LANES  # the duration head (D <= 8) pads to one lane tile
+
+
+def _pad_dur_head(Wd, bias_d, H):
+    D = Wd.shape[1]
+    Wd_p = jnp.pad(Wd.astype(jnp.float32), ((0, 0), (0, _D_PAD - D)))
+    bd_p = jnp.pad(bias_d.astype(jnp.float32)[None, :],
+                   ((0, 0), (0, _D_PAD - D)))
+    return Wd_p, bd_p
+
+
+@functools.partial(jax.jit, static_argnames=("blank", "interpret"))
+def fused_prep_tdt(e, p, W, bias, Wd, bias_d, labels, label_lengths,
+                   blank=0, interpret=False):
+    """(denom, lpb, lpe, dur_logits) — ``fused_prep`` plus the TDT duration
+    head computed tile-wise on the same joint features (dur_logits
+    (B, T, U, D) raw; softmax them on the host)."""
+    B, T, U, H, V, T_t, U_pad, R, T_pad, v_tile, V_pad, n_vt = (
+        _common_geometry(e, p, W))
+    D = Wd.shape[1]
+    f32 = jnp.float32
+    mm_dtype = jnp.bfloat16 if W.dtype == jnp.bfloat16 else f32
+    T_tiles = T_pad // T_t
+
+    e_p = jnp.pad(e, ((0, 0), (0, T_pad - T), (0, 0)))
+    p_p = jnp.pad(p, ((0, 0), (0, U_pad - U), (0, 0)))
+    W_p = jnp.pad(W, ((0, 0), (0, V_pad - V)))
+    bias_p = jnp.pad(bias.astype(f32)[None, :], ((0, 0), (0, V_pad - V)),
+                     constant_values=NEG)
+    Wd_p, bd_p = _pad_dur_head(Wd, bias_d, H)
+    lab_rows = _labels_rows(labels, label_lengths.astype(jnp.int32),
+                            B, T_pad, U, U_pad, T_t)
+    rows_total = B * T_pad * U_pad
+
+    kernel = functools.partial(
+        _prep_kernel, blank=blank, n_vt=n_vt, v_tile=v_tile,
+        t_t=T_t, u_pad=U_pad, mm_dtype=mm_dtype, with_dur=True,
+    )
+    row_spec = pl.BlockSpec((R, 1), lambda b, i: (b * T_tiles + i, 0),
+                            memory_space=pltpu.VMEM)
+    drow_spec = pl.BlockSpec((R, _D_PAD), lambda b, i: (b * T_tiles + i, 0),
+                             memory_space=pltpu.VMEM)
+    denom, lpb, lpe, dlog = pl.pallas_call(
+        kernel,
+        grid=(B, T_tiles),
+        in_specs=[
+            pl.BlockSpec((1, T_t, H), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, V_pad), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V_pad), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, _D_PAD), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _D_PAD), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec,
+        ],
+        out_specs=(row_spec, row_spec, row_spec, drow_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows_total, 1), f32),
+            jax.ShapeDtypeStruct((rows_total, 1), f32),
+            jax.ShapeDtypeStruct((rows_total, 1), f32),
+            jax.ShapeDtypeStruct((rows_total, _D_PAD), f32),
+        ),
+        interpret=interpret,
+    )(e_p, p_p, W_p, bias_p, Wd_p, bd_p, lab_rows)
+
+    unflat = lambda x: x.reshape(B, T_pad, U_pad)[:, :T, :U]
+    dlog = dlog.reshape(B, T_pad, U_pad, _D_PAD)[:, :T, :U, :D]
+    return unflat(denom), unflat(lpb), unflat(lpe), dlog
+
+
+@functools.partial(jax.jit, static_argnames=("blank", "interpret"))
+def fused_grad_tdt(e, p, W, bias, Wd, labels, label_lengths, denom, coef,
+                   cb, ce, g_dur, blank=0, interpret=False):
+    """(de, dp, dW, db, dWd) — ``fused_grad`` plus the duration head:
+    g_dur (B, T, U, D) must already be valid-masked and cotangent-scaled;
+    its cotangent joins dh in-kernel and dWd is accumulated per block
+    (d(bias_d) is a plain XLA sum on the host side)."""
+    B, T, U, H, V, T_t, U_pad, R, T_pad, v_tile, V_pad, n_vt = (
+        _common_geometry(e, p, W))
+    D = Wd.shape[1]
+    f32 = jnp.float32
+    mm_dtype = jnp.bfloat16 if W.dtype == jnp.bfloat16 else f32
+    T_tiles = T_pad // T_t
+
+    e_p = jnp.pad(e, ((0, 0), (0, T_pad - T), (0, 0)))
+    p_p = jnp.pad(p, ((0, 0), (0, U_pad - U), (0, 0)))
+    W_p = jnp.pad(W, ((0, 0), (0, V_pad - V)))
+    bias_p = jnp.pad(bias.astype(f32)[None, :], ((0, 0), (0, V_pad - V)),
+                     constant_values=NEG)
+    Wd_p, _ = _pad_dur_head(Wd, jnp.zeros((D,), f32), H)
+    lab_rows = _labels_rows(labels, label_lengths.astype(jnp.int32),
+                            B, T_pad, U, U_pad, T_t)
+    denom_r = _flat_rows(denom, B, T, U, T_pad, U_pad)
+    coef_r = _flat_rows(coef, B, T, U, T_pad, U_pad)
+    cb_r = _flat_rows(cb, B, T, U, T_pad, U_pad)
+    ce_r = _flat_rows(ce, B, T, U, T_pad, U_pad)
+    gd_r = jnp.pad(g_dur.astype(f32),
+                   ((0, 0), (0, T_pad - T), (0, U_pad - U),
+                    (0, _D_PAD - D))).reshape(-1, _D_PAD)
+
+    kernel = functools.partial(
+        _grad_kernel, blank=blank, n_vt=n_vt, v_tile=v_tile,
+        t_t=T_t, u_pad=U_pad, mm_dtype=mm_dtype, with_dur=True,
+    )
+    row_spec = pl.BlockSpec((R, 1), lambda b, i: (b * T_tiles + i, 0),
+                            memory_space=pltpu.VMEM)
+    drow_spec = pl.BlockSpec((R, _D_PAD), lambda b, i: (b * T_tiles + i, 0),
+                             memory_space=pltpu.VMEM)
+    de, dp, dW, db, dWd = pl.pallas_call(
+        kernel,
+        grid=(B, T_tiles),
+        in_specs=[
+            pl.BlockSpec((1, T_t, H), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, V_pad), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V_pad), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, _D_PAD), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec,   # labels
+            row_spec,   # denom
+            row_spec,   # coef
+            row_spec,   # cb
+            row_spec,   # ce
+            drow_spec,  # g_dur
+        ],
+        out_specs=(
+            pl.BlockSpec((1, T_t, H), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, V_pad), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V_pad), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, _D_PAD), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T_pad, H), f32),
+            jax.ShapeDtypeStruct((B, U_pad, H), f32),
+            jax.ShapeDtypeStruct((H, V_pad), f32),
+            jax.ShapeDtypeStruct((1, V_pad), f32),
+            jax.ShapeDtypeStruct((H, _D_PAD), f32),
+        ),
+        interpret=interpret,
+    )(e_p, p_p, W_p, bias_p, Wd_p, lab_rows, denom_r, coef_r, cb_r, ce_r,
+      gd_r)
+
+    return (de[:, :T].astype(e.dtype), dp[:, :U].astype(p.dtype),
+            dW[:, :V].astype(W.dtype), db[0, :V].astype(bias.dtype),
+            dWd[:, :D].astype(Wd.dtype))
 
 
 # ---------------------------------------------------------------------------

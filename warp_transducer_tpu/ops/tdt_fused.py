@@ -43,11 +43,37 @@ def _lpd_from(dlog):
     return dlog + dden[..., None]
 
 
+def _use_pallas(implementation, e, p, W):
+    """'pallas' when requested/auto-on-TPU AND the single-chunk kernel fits
+    (the V-chunked TDT path falls back to the XLA engine)."""
+    if implementation == "xla":
+        return False
+    from .fused_joint import _interpret_default
+    from .pallas.joint_fused import fused_n_chunks
+
+    if implementation == "auto" and _interpret_default():
+        return False
+    # backward=True: the grad kernel's larger working set is the binding
+    # constraint; keep forward/backward on the same engine
+    return fused_n_chunks(e, p, W, backward=True) == 1
+
+
 def _prep_and_lattice(e, p, W, bias, Wd, bias_d, labels, input_lengths,
-                      label_lengths, blank, durations, sigma, delay_penalty):
-    denom, lpb, lpe, dlog = _fused_prep_xla(
-        e, p, W, bias, labels.astype(jnp.int32), blank,
-        dur_head=(Wd, bias_d))
+                      label_lengths, blank, durations, sigma, delay_penalty,
+                      implementation):
+    if _use_pallas(implementation, e, p, W):
+        from .fused_joint import _interpret_default
+        from .pallas.joint_fused import fused_prep_tdt
+
+        U = p.shape[1]
+        lab_len = jnp.full((e.shape[0],), U - 1, jnp.int32)
+        denom, lpb, lpe, dlog = fused_prep_tdt(
+            e, p, W, bias, Wd, bias_d, labels.astype(jnp.int32), lab_len,
+            blank=blank, interpret=_interpret_default())
+    else:
+        denom, lpb, lpe, dlog = _fused_prep_xla(
+            e, p, W, bias, labels.astype(jnp.int32), blank,
+            dur_head=(Wd, bias_d))
     sg = jnp.asarray(sigma, lpb.dtype)
     lpb = lpb - sg
     lpe = jnp.maximum(lpe - sg, NEG)
@@ -59,22 +85,23 @@ def _prep_and_lattice(e, p, W, bias, Wd, bias_d, labels, input_lengths,
     return denom, lpb, lpe, dlog, lpd, lat
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
 def _tdt_fused_costs(e, p, W, bias, Wd, bias_d, labels, input_lengths,
                      label_lengths, blank, durations, sigma, fastemit_lambda,
-                     delay_penalty):
+                     delay_penalty, implementation):
     *_, lat = _prep_and_lattice(e, p, W, bias, Wd, bias_d, labels,
                                 input_lengths, label_lengths, blank,
-                                durations, sigma, delay_penalty)
+                                durations, sigma, delay_penalty,
+                                implementation)
     return (-lat.ll_forward).astype(e.dtype)
 
 
 def _tdt_fused_fwd(e, p, W, bias, Wd, bias_d, labels, input_lengths,
                    label_lengths, blank, durations, sigma, fastemit_lambda,
-                   delay_penalty):
+                   delay_penalty, implementation):
     denom, lpb, lpe, dlog, lpd, lat = _prep_and_lattice(
         e, p, W, bias, Wd, bias_d, labels, input_lengths, label_lengths,
-        blank, durations, sigma, delay_penalty)
+        blank, durations, sigma, delay_penalty, implementation)
     costs = (-lat.ll_forward).astype(e.dtype)
     residuals = (e, p, W, bias, Wd, bias_d, labels, input_lengths,
                  label_lengths, denom, lpb, lpe, dlog, lat)
@@ -82,7 +109,7 @@ def _tdt_fused_fwd(e, p, W, bias, Wd, bias_d, labels, input_lengths,
 
 
 def _tdt_fused_bwd(blank, durations, sigma, fastemit_lambda, delay_penalty,
-                   residuals, g):
+                   implementation, residuals, g):
     (e, p, W, bias, Wd, bias_d, labels, input_lengths, label_lengths,
      denom, lpb, lpe, dlog, lat) = residuals
     lam = float(fastemit_lambda)
@@ -96,9 +123,20 @@ def _tdt_fused_bwd(blank, durations, sigma, fastemit_lambda, delay_penalty,
         [cb_js[j] + (1.0 + lam) * ce_js[j] for j in range(len(durations))],
         axis=-1)
     dbd = jnp.sum(g_dur, axis=(0, 1, 2)).astype(bias_d.dtype)
-    de, dp, dW, db, dWd = _fused_grad_xla(
-        e, p, W, bias, labels.astype(jnp.int32), denom, coef, cb, ce_eff,
-        blank, dur_head=(Wd, g_dur))
+    if _use_pallas(implementation, e, p, W):
+        from .fused_joint import _interpret_default
+        from .pallas.joint_fused import fused_grad_tdt
+
+        U = p.shape[1]
+        lab_len = jnp.full((e.shape[0],), U - 1, jnp.int32)
+        de, dp, dW, db, dWd = fused_grad_tdt(
+            e, p, W, bias, Wd, labels.astype(jnp.int32), lab_len, denom,
+            coef, cb, ce_eff, g_dur, blank=blank,
+            interpret=_interpret_default())
+    else:
+        de, dp, dW, db, dWd = _fused_grad_xla(
+            e, p, W, bias, labels.astype(jnp.int32), denom, coef, cb,
+            ce_eff, blank, dur_head=(Wd, g_dur))
 
     def int_zero(x):
         return np.zeros(x.shape, dtype=jax.dtypes.float0)
@@ -126,6 +164,7 @@ def rnnt_loss_tdt_fused_joint(
     sigma: float = 0.0,
     fastemit_lambda: float = 0.0,
     delay_penalty: float = 0.0,
+    implementation: str = "auto",
 ) -> jax.Array:
     """TDT loss with the joint projection fused in.
 
@@ -137,6 +176,12 @@ def rnnt_loss_tdt_fused_joint(
         ``durations[j]``.
       labels / lengths / durations / blank / reduction / sigma /
       fastemit_lambda / delay_penalty: as in ``rnnt_loss_tdt``.
+      implementation: 'auto' | 'xla' | 'pallas'. 'pallas' runs the fused
+        Pallas kernels extended with the tiny duration head (the TPU fast
+        path; the O(B·T·U) TDT lattice recursion itself stays the XLA
+        scan); 'xla' is the portable T-chunked engine (what the TF
+        binding serialises). 'auto' picks 'pallas' on TPU when the
+        single-chunk kernel fits VMEM, else falls back to 'xla'.
 
     Equals ``rnnt_loss_tdt(h @ W + bias, h @ Wd + bias_d, ...)`` with
     ``h = tanh(e ⊕ p)`` — without materialising the (B,T,U,V) token
@@ -167,10 +212,13 @@ def rnnt_loss_tdt_fused_joint(
         raise ValueError(f"fastemit_lambda must be >= 0, got {fastemit_lambda}")
     if delay_penalty < 0:
         raise ValueError(f"delay_penalty must be >= 0, got {delay_penalty}")
+    if implementation not in ("auto", "xla", "pallas"):
+        raise ValueError(
+            f"implementation must be auto|xla|pallas, got {implementation!r}")
     costs = _tdt_fused_costs(
         e, p, W, bias, Wd, bias_d, labels, input_lengths, label_lengths,
         int(blank), durs, float(sigma), float(fastemit_lambda),
-        float(delay_penalty))
+        float(delay_penalty), implementation)
     if reduction == "sum":
         return jnp.sum(costs)
     if reduction == "mean":
