@@ -155,6 +155,20 @@ check("fused TDT fwd+bwd",
           argnums=(0, 1, 2, 3, 4, 5)),
       e, p, W, bias, Wd, bd)
 
+# fused multi-blank: the kernels with K static big-blank columns
+from warp_transducer_tpu.ops.multiblank_fused import (
+    rnnt_loss_multiblank_fused_joint,
+)
+
+lab_mb = jnp.asarray(rng.randint(1, V2 - 2, (B, U - 1)), jnp.int32)
+check("fused multiblank fwd+bwd",
+      jax.value_and_grad(
+          lambda e, p, W, bias: rnnt_loss_multiblank_fused_joint(
+              e, p, W, bias, lab_mb, il, ll, (2, 4), sigma=0.05,
+              reduction="sum", implementation="pallas"),
+          argnums=(0, 1, 2, 3)),
+      e, p, W, bias)
+
 if FAILED:
     print("\nFAILURES:")
     for name, msg in FAILED:

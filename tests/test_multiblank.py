@@ -361,3 +361,33 @@ class TestMultiblankViterbi:
                                    rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(mb.emit_frames),
                                       np.asarray(dn.emit_frames))
+
+
+def test_fused_pallas_engine_matches_xla():
+    """implementation='pallas' (interpreter on CPU) == the XLA engine,
+    costs and all four gradients."""
+    from warp_transducer_tpu import rnnt_loss_multiblank_fused_joint
+
+    rng = np.random.default_rng(9)
+    B, T, U, V, H, durs = 2, 8, 3, 12, 8, (2, 4)
+    e = jnp.asarray(rng.standard_normal((B, T, H)) * 0.5, jnp.float32)
+    p = jnp.asarray(rng.standard_normal((B, U, H)) * 0.5, jnp.float32)
+    W = jnp.asarray(rng.standard_normal((H, V)) / np.sqrt(H), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(V) * 0.1, jnp.float32)
+    labels = jnp.asarray(rng.integers(1, V - 2, size=(B, U - 1)), jnp.int32)
+    il = jnp.asarray([8, 5], jnp.int32)
+    ll = jnp.asarray([2, 1], jnp.int32)
+
+    def f(impl):
+        return lambda *ins: jnp.sum(rnnt_loss_multiblank_fused_joint(
+            *ins, labels, il, ll, durs, sigma=0.05, fastemit_lambda=0.1,
+            reduction="none", implementation=impl))
+
+    ins = (e, p, W, b)
+    np.testing.assert_allclose(float(f("pallas")(*ins)),
+                               float(f("xla")(*ins)), rtol=1e-5)
+    gx = jax.grad(f("xla"), argnums=(0, 1, 2, 3))(*ins)
+    gp = jax.grad(f("pallas"), argnums=(0, 1, 2, 3))(*ins)
+    for name, a, r in zip(("de", "dp", "dW", "db"), gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)

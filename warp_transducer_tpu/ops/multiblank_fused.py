@@ -29,16 +29,39 @@ from .fused_joint import NEG, _fused_grad_xla, _fused_prep_xla
 from .multiblank import _mb_coefs, _multiblank_lattice, _resolve_indices
 
 
+def _use_pallas(implementation, e, p, W, bb_indices):
+    """'pallas' when requested/auto-on-TPU, the single-chunk kernel fits,
+    and there IS at least one big blank (K=0 uses the standard engines)."""
+    if implementation == "xla" or not bb_indices:
+        return False
+    from .fused_joint import _interpret_default
+    from .pallas.joint_fused import fused_n_chunks
+
+    if implementation == "auto" and _interpret_default():
+        return False
+    return fused_n_chunks(e, p, W, backward=True) == 1
+
+
 def _mb_prep_and_lattice(e, p, W, bias, labels, input_lengths,
                          label_lengths, blank, durations, bb_indices,
-                         sigma, delay_penalty):
-    out = _fused_prep_xla(e, p, W, bias, labels.astype(jnp.int32), blank,
-                          extra_cols=bb_indices)
-    if bb_indices:
-        denom, lpb, lpe, lpB = out
+                         sigma, delay_penalty, implementation):
+    if _use_pallas(implementation, e, p, W, bb_indices):
+        from .fused_joint import _interpret_default
+        from .pallas.joint_fused import fused_prep_mb
+
+        U = p.shape[1]
+        lab_len = jnp.full((e.shape[0],), U - 1, jnp.int32)
+        denom, lpb, lpe, lpB = fused_prep_mb(
+            e, p, W, bias, labels.astype(jnp.int32), lab_len, blank=blank,
+            extra_cols=bb_indices, interpret=_interpret_default())
     else:
-        denom, lpb, lpe = out
-        lpB = jnp.zeros(lpb.shape + (0,), lpb.dtype)
+        out = _fused_prep_xla(e, p, W, bias, labels.astype(jnp.int32),
+                              blank, extra_cols=bb_indices)
+        if bb_indices:
+            denom, lpb, lpe, lpB = out
+        else:
+            denom, lpb, lpe = out
+            lpB = jnp.zeros(lpb.shape + (0,), lpb.dtype)
     sg = jnp.asarray(sigma, lpb.dtype)
     lpb = lpb - sg
     lpe = jnp.maximum(lpe - sg, NEG)
@@ -50,22 +73,24 @@ def _mb_prep_and_lattice(e, p, W, bias, labels, input_lengths,
     return denom, lpb, lpe, lpB, lat
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def _mb_fused_costs(e, p, W, bias, labels, input_lengths, label_lengths,
                     blank, durations, bb_indices, sigma, fastemit_lambda,
-                    delay_penalty):
+                    delay_penalty, implementation):
     *_, lat = _mb_prep_and_lattice(e, p, W, bias, labels, input_lengths,
                                    label_lengths, blank, durations,
-                                   bb_indices, sigma, delay_penalty)
+                                   bb_indices, sigma, delay_penalty,
+                                   implementation)
     return (-lat.ll_forward).astype(e.dtype)
 
 
 def _mb_fused_fwd(e, p, W, bias, labels, input_lengths, label_lengths,
                   blank, durations, bb_indices, sigma, fastemit_lambda,
-                  delay_penalty):
+                  delay_penalty, implementation):
     denom, lpb, lpe, lpB, lat = _mb_prep_and_lattice(
         e, p, W, bias, labels, input_lengths, label_lengths, blank,
-        durations, bb_indices, sigma, delay_penalty)
+        durations, bb_indices, sigma, delay_penalty, implementation)
     costs = (-lat.ll_forward).astype(e.dtype)
     residuals = (e, p, W, bias, labels, input_lengths, label_lengths,
                  denom, lpb, lpe, lpB, lat)
@@ -73,18 +98,29 @@ def _mb_fused_fwd(e, p, W, bias, labels, input_lengths, label_lengths,
 
 
 def _mb_fused_bwd(blank, durations, bb_indices, sigma, fastemit_lambda,
-                  delay_penalty, residuals, g):
+                  delay_penalty, implementation, residuals, g):
     (e, p, W, bias, labels, input_lengths, label_lengths,
      denom, lpb, lpe, lpB, lat) = residuals
     coef, cb, ce, cBs = _mb_coefs(
         lpb, lpe, lpB, lat, durations, input_lengths, label_lengths,
         scale=g.astype(lat.alphas.dtype), fastemit_lambda=fastemit_lambda)
-    extra = None
-    if bb_indices:
-        extra = (bb_indices, jnp.stack(cBs, axis=-1))
-    de, dp, dW, db = _fused_grad_xla(
-        e, p, W, bias, labels.astype(jnp.int32), denom, coef, cb, ce,
-        blank, extra=extra)
+    if _use_pallas(implementation, e, p, W, bb_indices):
+        from .fused_joint import _interpret_default
+        from .pallas.joint_fused import fused_grad_mb
+
+        U = p.shape[1]
+        lab_len = jnp.full((e.shape[0],), U - 1, jnp.int32)
+        de, dp, dW, db = fused_grad_mb(
+            e, p, W, bias, labels.astype(jnp.int32), lab_len, denom, coef,
+            cb, ce, jnp.stack(cBs, axis=-1), blank=blank,
+            extra_cols=bb_indices, interpret=_interpret_default())
+    else:
+        extra = None
+        if bb_indices:
+            extra = (bb_indices, jnp.stack(cBs, axis=-1))
+        de, dp, dW, db = _fused_grad_xla(
+            e, p, W, bias, labels.astype(jnp.int32), denom, coef, cb, ce,
+            blank, extra=extra)
 
     def int_zero(x):
         return np.zeros(x.shape, dtype=jax.dtypes.float0)
@@ -111,6 +147,7 @@ def rnnt_loss_multiblank_fused_joint(
     sigma: float = 0.0,
     fastemit_lambda: float = 0.0,
     delay_penalty: float = 0.0,
+    implementation: str = "auto",
 ) -> jax.Array:
     """Multi-blank transducer loss with the joint projection fused in.
 
@@ -135,12 +172,15 @@ def rnnt_loss_multiblank_fused_joint(
         raise ValueError(f"fastemit_lambda must be >= 0, got {fastemit_lambda}")
     if delay_penalty < 0:
         raise ValueError(f"delay_penalty must be >= 0, got {delay_penalty}")
+    if implementation not in ("auto", "xla", "pallas"):
+        raise ValueError(
+            f"implementation must be auto|xla|pallas, got {implementation!r}")
     durs, idx = _resolve_indices(W.shape[1], int(blank),
                                  big_blank_durations, big_blank_indices)
     costs = _mb_fused_costs(
         e, p, W, bias, labels, input_lengths, label_lengths, int(blank),
         durs, idx, float(sigma), float(fastemit_lambda),
-        float(delay_penalty))
+        float(delay_penalty), implementation)
     if reduction == "sum":
         return jnp.sum(costs)
     if reduction == "mean":

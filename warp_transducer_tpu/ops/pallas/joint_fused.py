@@ -88,7 +88,7 @@ def _row_geometry(T: int, U: int):
 def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
                  blank: int, n_vt: int, v_tile: int, t_t: int, u_pad: int,
                  mm_dtype, v_base: int = 0, partial: bool = False,
-                 with_dur: bool = False):
+                 with_dur: bool = False, extra_cols: tuple = ()):
     """One (batch, T-tile) row block.
 
     Default outputs: (denom, lpb, lpe).  With ``partial=True`` the outputs
@@ -108,6 +108,10 @@ def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
         *out_refs, dlog_ref = out_refs
     else:
         lab_ref, *out_refs = refs
+    if extra_cols:
+        # multi-blank: the K big-blank columns cached into one padded
+        # (R, 128) output (sliced to K on the host)
+        *out_refs, lpx_ref = out_refs
 
     e_t = e_ref[0].astype(f32)  # (T_t, H)
     p_t = p_ref[0].astype(f32)  # (U_pad, H)
@@ -126,6 +130,8 @@ def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
     s = jnp.zeros((R, 1), f32)
     blank_logit = jnp.full((R, 1), neg, f32)
     lab_logit = jnp.full((R, 1), neg, f32)
+    if extra_cols:
+        lpx = jnp.full(lpx_ref.shape, neg, f32)
 
     def tile_logits(k):
         w_k = w_ref[:, k * v_tile:(k + 1) * v_tile].astype(mm_dtype)
@@ -150,6 +156,13 @@ def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
         if k * v_tile <= blank - v_base < (k + 1) * v_tile:
             bl = blank - v_base - k * v_tile
             blank_logit = logits[:, bl:bl + 1]
+        for kk, xcol in enumerate(extra_cols):
+            if k * v_tile <= xcol - v_base < (k + 1) * v_tile:
+                # column write as a lane-iota select: .at[...].set emits a
+                # scatter, which Mosaic cannot lower (interpreter accepts it)
+                c = xcol - v_base - k * v_tile
+                colx = jax.lax.broadcasted_iota(jnp.int32, lpx.shape, 1)
+                lpx = jnp.where(colx == kk, logits[:, c:c + 1], lpx)
         col = jax.lax.broadcasted_iota(jnp.int32, (R, v_tile), 1)
         sel = jnp.where(col == (lab - v_base - k * v_tile), logits, neg)
         lab_logit = jnp.maximum(lab_logit,
@@ -168,6 +181,8 @@ def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
     denom_ref[...] = denom
     lpb_ref[...] = blank_logit + denom
     lpe_ref[...] = lab_logit + denom  # stays ~NEG where lab == -1
+    if extra_cols:
+        lpx_ref[...] = lpx + denom
 
 
 # ---------------------------------------------------------------------------
@@ -176,7 +191,8 @@ def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
 
 def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
                  blank: int, n_vt: int, v_tile: int, t_t: int, u_pad: int,
-                 mm_dtype, v_base: int = 0, with_dur: bool = False):
+                 mm_dtype, v_base: int = 0, with_dur: bool = False,
+                 extra_cols: tuple = ()):
     f32 = jnp.float32
     R = t_t * u_pad
     H = e_ref.shape[2]
@@ -185,6 +201,10 @@ def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
     if with_dur:
         (wd_ref, lab_ref, denom_ref, coef_ref, cb_ref, ce_ref, gd_ref,
          de_ref, dp_ref, dw_ref, db_ref, dwd_ref) = refs
+    elif extra_cols:
+        (lab_ref, denom_ref, coef_ref, cb_ref, ce_ref, cx_ref,
+         de_ref, dp_ref, dw_ref, db_ref) = refs
+        cx = cx_ref[...]  # (R, 128); columns >= K are zero
     else:
         (lab_ref, denom_ref, coef_ref, cb_ref, ce_ref,
          de_ref, dp_ref, dw_ref, db_ref) = refs
@@ -236,6 +256,10 @@ def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
         col = jax.lax.broadcasted_iota(jnp.int32, (R, v_tile), 1)
         if k * v_tile <= blank - v_base < (k + 1) * v_tile:
             g = g - jnp.where(col == (blank - v_base - k * v_tile), cb, 0.0)
+        for kk, xcol in enumerate(extra_cols):
+            if k * v_tile <= xcol - v_base < (k + 1) * v_tile:
+                c = xcol - v_base - k * v_tile
+                g = g - jnp.where(col == c, cx[:, kk:kk + 1], 0.0)
         g = g - jnp.where(col == (lab - v_base - k * v_tile), ce, 0.0)
 
         dh = dh + jax.lax.dot_general(
@@ -597,6 +621,151 @@ def fused_grad_tdt(e, p, W, bias, Wd, labels, label_lengths, denom, coef,
     return (de[:, :T].astype(e.dtype), dp[:, :U].astype(p.dtype),
             dW[:, :V].astype(W.dtype), db[0, :V].astype(bias.dtype),
             dWd[:, :D].astype(Wd.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Multi-blank drivers: the same kernels with K static big-blank columns
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("blank", "extra_cols",
+                                             "interpret"))
+def fused_prep_mb(e, p, W, bias, labels, label_lengths, blank=0,
+                  extra_cols=(), interpret=False):
+    """(denom, lpb, lpe, lpX) — ``fused_prep`` plus the K big-blank column
+    caches lpX (B, T, U, K) (= logit + denom, no sigma). K >= 1 (use
+    ``fused_prep`` for the standard loss)."""
+    assert extra_cols, "fused_prep_mb needs >= 1 extra column"
+    B, T, U, H, V, T_t, U_pad, R, T_pad, v_tile, V_pad, n_vt = (
+        _common_geometry(e, p, W))
+    K = len(extra_cols)
+    f32 = jnp.float32
+    mm_dtype = jnp.bfloat16 if W.dtype == jnp.bfloat16 else f32
+    T_tiles = T_pad // T_t
+
+    e_p = jnp.pad(e, ((0, 0), (0, T_pad - T), (0, 0)))
+    p_p = jnp.pad(p, ((0, 0), (0, U_pad - U), (0, 0)))
+    W_p = jnp.pad(W, ((0, 0), (0, V_pad - V)))
+    bias_p = jnp.pad(bias.astype(f32)[None, :], ((0, 0), (0, V_pad - V)),
+                     constant_values=NEG)
+    lab_rows = _labels_rows(labels, label_lengths.astype(jnp.int32),
+                            B, T_pad, U, U_pad, T_t)
+    rows_total = B * T_pad * U_pad
+
+    kernel = functools.partial(
+        _prep_kernel, blank=blank, n_vt=n_vt, v_tile=v_tile,
+        t_t=T_t, u_pad=U_pad, mm_dtype=mm_dtype, extra_cols=extra_cols,
+    )
+    row_spec = pl.BlockSpec((R, 1), lambda b, i: (b * T_tiles + i, 0),
+                            memory_space=pltpu.VMEM)
+    xrow_spec = pl.BlockSpec((R, _D_PAD), lambda b, i: (b * T_tiles + i, 0),
+                             memory_space=pltpu.VMEM)
+    denom, lpb, lpe, lpx = pl.pallas_call(
+        kernel,
+        grid=(B, T_tiles),
+        in_specs=[
+            pl.BlockSpec((1, T_t, H), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, V_pad), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V_pad), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec,
+        ],
+        out_specs=(row_spec, row_spec, row_spec, xrow_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows_total, 1), f32),
+            jax.ShapeDtypeStruct((rows_total, 1), f32),
+            jax.ShapeDtypeStruct((rows_total, 1), f32),
+            jax.ShapeDtypeStruct((rows_total, _D_PAD), f32),
+        ),
+        interpret=interpret,
+    )(e_p, p_p, W_p, bias_p, lab_rows)
+
+    unflat = lambda x: x.reshape(B, T_pad, U_pad)[:, :T, :U]
+    lpx = lpx.reshape(B, T_pad, U_pad, _D_PAD)[:, :T, :U, :K]
+    return unflat(denom), unflat(lpb), unflat(lpe), lpx
+
+
+@functools.partial(jax.jit, static_argnames=("blank", "extra_cols",
+                                             "interpret"))
+def fused_grad_mb(e, p, W, bias, labels, label_lengths, denom, coef, cb,
+                  ce, cX, blank=0, extra_cols=(), interpret=False):
+    """(de, dp, dW, db) — ``fused_grad`` plus K big-blank coefficient
+    fields cX (B, T, U, K) subtracted at their static columns (K >= 1)."""
+    assert extra_cols, "fused_grad_mb needs >= 1 extra column"
+    B, T, U, H, V, T_t, U_pad, R, T_pad, v_tile, V_pad, n_vt = (
+        _common_geometry(e, p, W))
+    K = len(extra_cols)
+    f32 = jnp.float32
+    mm_dtype = jnp.bfloat16 if W.dtype == jnp.bfloat16 else f32
+    T_tiles = T_pad // T_t
+
+    e_p = jnp.pad(e, ((0, 0), (0, T_pad - T), (0, 0)))
+    p_p = jnp.pad(p, ((0, 0), (0, U_pad - U), (0, 0)))
+    W_p = jnp.pad(W, ((0, 0), (0, V_pad - V)))
+    bias_p = jnp.pad(bias.astype(f32)[None, :], ((0, 0), (0, V_pad - V)),
+                     constant_values=NEG)
+    lab_rows = _labels_rows(labels, label_lengths.astype(jnp.int32),
+                            B, T_pad, U, U_pad, T_t)
+    denom_r = _flat_rows(denom, B, T, U, T_pad, U_pad)
+    coef_r = _flat_rows(coef, B, T, U, T_pad, U_pad)
+    cb_r = _flat_rows(cb, B, T, U, T_pad, U_pad)
+    ce_r = _flat_rows(ce, B, T, U, T_pad, U_pad)
+    cx_r = jnp.pad(cX.astype(f32),
+                   ((0, 0), (0, T_pad - T), (0, U_pad - U),
+                    (0, _D_PAD - K))).reshape(-1, _D_PAD)
+
+    kernel = functools.partial(
+        _grad_kernel, blank=blank, n_vt=n_vt, v_tile=v_tile,
+        t_t=T_t, u_pad=U_pad, mm_dtype=mm_dtype, extra_cols=extra_cols,
+    )
+    row_spec = pl.BlockSpec((R, 1), lambda b, i: (b * T_tiles + i, 0),
+                            memory_space=pltpu.VMEM)
+    xrow_spec = pl.BlockSpec((R, _D_PAD), lambda b, i: (b * T_tiles + i, 0),
+                             memory_space=pltpu.VMEM)
+    de, dp, dW, db = pl.pallas_call(
+        kernel,
+        grid=(B, T_tiles),
+        in_specs=[
+            pl.BlockSpec((1, T_t, H), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, V_pad), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V_pad), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec,   # labels
+            row_spec,   # denom
+            row_spec,   # coef
+            row_spec,   # cb
+            row_spec,   # ce
+            xrow_spec,  # cX
+        ],
+        out_specs=(
+            pl.BlockSpec((1, T_t, H), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, V_pad), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V_pad), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T_pad, H), f32),
+            jax.ShapeDtypeStruct((B, U_pad, H), f32),
+            jax.ShapeDtypeStruct((H, V_pad), f32),
+            jax.ShapeDtypeStruct((1, V_pad), f32),
+        ),
+        interpret=interpret,
+    )(e_p, p_p, W_p, bias_p, lab_rows, denom_r, coef_r, cb_r, ce_r, cx_r)
+
+    return (de[:, :T].astype(e.dtype), dp[:, :U].astype(p.dtype),
+            dW[:, :V].astype(W.dtype), db[0, :V].astype(bias.dtype))
 
 
 # ---------------------------------------------------------------------------
