@@ -311,3 +311,75 @@ class TestMultiblankTDTSharded:
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(gd), np.asarray(gd_ref),
                                    atol=1e-6)
+
+
+class TestFusedVariantsSharded:
+    def test_tdt_fused_costs_and_all_grads_match(self, mesh):
+        from warp_transducer_tpu import rnnt_loss_tdt_fused_joint
+        from warp_transducer_tpu.parallel.sharding import (
+            data_parallel_tdt_fused_loss,
+        )
+
+        rng = np.random.RandomState(3)
+        B, T, U, V, H, durs = 8, 8, 4, 10, 6, (0, 1, 2)
+        e = jnp.asarray(rng.randn(B, T, H) * 0.5, jnp.float32)
+        p = jnp.asarray(rng.randn(B, U, H) * 0.5, jnp.float32)
+        W = jnp.asarray(rng.randn(H, V) / np.sqrt(H), jnp.float32)
+        b = jnp.asarray(rng.randn(V) * 0.1, jnp.float32)
+        Wd = jnp.asarray(rng.randn(H, 3) / np.sqrt(H), jnp.float32)
+        bd = jnp.asarray(rng.randn(3) * 0.1, jnp.float32)
+        labels = jnp.asarray(rng.randint(1, V, (B, U - 1)), jnp.int32)
+        il = jnp.asarray(rng.randint(2, T + 1, (B,)), jnp.int32)
+        ll = jnp.asarray(rng.randint(0, U, (B,)), jnp.int32)
+
+        def ref(*ins):
+            return rnnt_loss_tdt_fused_joint(
+                *ins, labels, il, ll, durs, sigma=0.02, reduction="mean")
+
+        def sharded(*ins):
+            return data_parallel_tdt_fused_loss(
+                *ins, labels, il, ll, durs, mesh, sigma=0.02,
+                reduction="mean")
+
+        ins = (e, p, W, b, Wd, bd)
+        np.testing.assert_allclose(float(sharded(*ins)), float(ref(*ins)),
+                                   rtol=1e-5)
+        gr = jax.grad(ref, argnums=tuple(range(6)))(*ins)
+        gs = jax.grad(sharded, argnums=tuple(range(6)))(*ins)
+        for name, a, r in zip(("de", "dp", "dW", "db", "dWd", "dbd"), gs, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       atol=1e-6, err_msg=name)
+
+    def test_multiblank_fused_costs_and_grads_match(self, mesh):
+        from warp_transducer_tpu import rnnt_loss_multiblank_fused_joint
+        from warp_transducer_tpu.parallel.sharding import (
+            data_parallel_multiblank_fused_loss,
+        )
+
+        rng = np.random.RandomState(5)
+        B, T, U, V, H, durs = 8, 8, 4, 10, 6, (2, 3)
+        e = jnp.asarray(rng.randn(B, T, H) * 0.5, jnp.float32)
+        p = jnp.asarray(rng.randn(B, U, H) * 0.5, jnp.float32)
+        W = jnp.asarray(rng.randn(H, V) / np.sqrt(H), jnp.float32)
+        b = jnp.asarray(rng.randn(V) * 0.1, jnp.float32)
+        labels = jnp.asarray(rng.randint(1, V - 2, (B, U - 1)), jnp.int32)
+        il = jnp.asarray(rng.randint(2, T + 1, (B,)), jnp.int32)
+        ll = jnp.asarray(rng.randint(0, U, (B,)), jnp.int32)
+
+        def ref(*ins):
+            return rnnt_loss_multiblank_fused_joint(
+                *ins, labels, il, ll, durs, sigma=0.05, reduction="mean")
+
+        def sharded(*ins):
+            return data_parallel_multiblank_fused_loss(
+                *ins, labels, il, ll, durs, mesh, sigma=0.05,
+                reduction="mean")
+
+        ins = (e, p, W, b)
+        np.testing.assert_allclose(float(sharded(*ins)), float(ref(*ins)),
+                                   rtol=1e-5)
+        gr = jax.grad(ref, argnums=(0, 1, 2, 3))(*ins)
+        gs = jax.grad(sharded, argnums=(0, 1, 2, 3))(*ins)
+        for name, a, r in zip(("de", "dp", "dW", "db"), gs, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       atol=1e-6, err_msg=name)

@@ -347,3 +347,117 @@ def data_parallel_tdt_loss(
 
     return _local(token_logits, duration_logits, labels, input_lengths,
                   label_lengths)
+
+
+def data_parallel_tdt_fused_loss(
+    e: jax.Array,
+    p: jax.Array,
+    W: jax.Array,
+    bias: jax.Array,
+    Wd: jax.Array,
+    bias_d: jax.Array,
+    labels: jax.Array,
+    input_lengths: jax.Array,
+    label_lengths: jax.Array,
+    durations,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+    blank: int = 0,
+    sigma: float = 0.0,
+    reduction: str = "mean",
+    fastemit_lambda: float = 0.0,
+    delay_penalty: float = 0.0,
+    implementation: str = "auto",
+) -> jax.Array:
+    """Fused TDT joint+loss with the batch sharded over ``mesh[axis]``;
+    W/bias/Wd/bias_d replicated, their gradients psum-reduced by
+    shard_map's transpose (cf. ``data_parallel_fused_joint_loss``)."""
+    from ..ops.tdt_fused import rnnt_loss_tdt_fused_joint
+
+    if reduction not in ("none", "sum", "mean"):
+        raise ValueError(f"reduction must be none|sum|mean, got {reduction!r}")
+    n_shards = mesh.shape[axis]
+    B = e.shape[0]
+    if B % n_shards:
+        raise ValueError(
+            f"batch {B} not divisible by mesh axis {axis!r} size {n_shards}")
+    durs = tuple(int(d) for d in durations)
+    in_specs = (P(axis), P(axis), P(), P(), P(), P(),
+                P(axis), P(axis), P(axis))
+    out_specs = P(axis) if reduction == "none" else P()
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    def _local(e, p, W, bias, Wd, bd, l, il, ll):
+        costs = rnnt_loss_tdt_fused_joint(
+            e, p, W, bias, Wd, bd, l, il, ll, durs, blank=blank,
+            sigma=sigma, reduction="none", fastemit_lambda=fastemit_lambda,
+            delay_penalty=delay_penalty, implementation=implementation,
+        )
+        if reduction == "none":
+            return costs
+        total = jax.lax.psum(jnp.sum(costs), axis)
+        if reduction == "mean":
+            total = total / B
+        return total
+
+    return _local(e, p, W, bias, Wd, bias_d, labels, input_lengths,
+                  label_lengths)
+
+
+def data_parallel_multiblank_fused_loss(
+    e: jax.Array,
+    p: jax.Array,
+    W: jax.Array,
+    bias: jax.Array,
+    labels: jax.Array,
+    input_lengths: jax.Array,
+    label_lengths: jax.Array,
+    big_blank_durations,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+    blank: int = 0,
+    big_blank_indices=None,
+    sigma: float = 0.0,
+    reduction: str = "mean",
+    fastemit_lambda: float = 0.0,
+    delay_penalty: float = 0.0,
+    implementation: str = "auto",
+) -> jax.Array:
+    """Fused multi-blank joint+loss, batch sharded over ``mesh[axis]``."""
+    from ..ops.multiblank_fused import rnnt_loss_multiblank_fused_joint
+
+    if reduction not in ("none", "sum", "mean"):
+        raise ValueError(f"reduction must be none|sum|mean, got {reduction!r}")
+    n_shards = mesh.shape[axis]
+    B = e.shape[0]
+    if B % n_shards:
+        raise ValueError(
+            f"batch {B} not divisible by mesh axis {axis!r} size {n_shards}")
+    durs = tuple(int(m) for m in big_blank_durations)
+    idx = (None if big_blank_indices is None
+           else tuple(int(i) for i in big_blank_indices))
+    in_specs = (P(axis), P(axis), P(), P(), P(axis), P(axis), P(axis))
+    out_specs = P(axis) if reduction == "none" else P()
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    def _local(e, p, W, bias, l, il, ll):
+        costs = rnnt_loss_multiblank_fused_joint(
+            e, p, W, bias, l, il, ll, durs, blank=blank,
+            big_blank_indices=idx, sigma=sigma, reduction="none",
+            fastemit_lambda=fastemit_lambda, delay_penalty=delay_penalty,
+            implementation=implementation,
+        )
+        if reduction == "none":
+            return costs
+        total = jax.lax.psum(jnp.sum(costs), axis)
+        if reduction == "mean":
+            total = total / B
+        return total
+
+    return _local(e, p, W, bias, labels, input_lengths, label_lengths)
