@@ -426,3 +426,43 @@ def test_fused_pallas_engine_matches_xla():
     for name, a, r in zip(("de", "dp", "dW", "db", "dWd", "dbd"), gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_fused_pallas_chunked_matches_xla():
+    """Oversize-W Pallas path (V-chunked token head + standalone duration
+    kernels) == the XLA engine. Forces chunking via the test override."""
+    from warp_transducer_tpu import rnnt_loss_tdt_fused_joint
+    from warp_transducer_tpu.ops.pallas import joint_fused
+
+    rng = np.random.default_rng(11)
+    B, T, U, V, H, durs = 2, 8, 3, 300, 8, (0, 1, 2)
+    e = jnp.asarray(rng.standard_normal((B, T, H)) * 0.5, jnp.float32)
+    p = jnp.asarray(rng.standard_normal((B, U, H)) * 0.5, jnp.float32)
+    W = jnp.asarray(rng.standard_normal((H, V)) / np.sqrt(H), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(V) * 0.1, jnp.float32)
+    Wd = jnp.asarray(rng.standard_normal((H, len(durs))) / np.sqrt(H),
+                     jnp.float32)
+    bd = jnp.asarray(rng.standard_normal(len(durs)) * 0.1, jnp.float32)
+    labels = jnp.asarray(rng.integers(1, V, size=(B, U - 1)), jnp.int32)
+    il = jnp.asarray([8, 5], jnp.int32)
+    ll = jnp.asarray([2, 1], jnp.int32)
+
+    def f(impl):
+        return lambda *ins: jnp.sum(rnnt_loss_tdt_fused_joint(
+            *ins, labels, il, ll, durs, sigma=0.03, reduction="none",
+            implementation=impl))
+
+    ins = (e, p, W, b, Wd, bd)
+    old = joint_fused._N_CHUNKS_OVERRIDE
+    joint_fused._N_CHUNKS_OVERRIDE = 2
+    try:
+        cp = float(f("pallas")(*ins))
+        gp = jax.grad(f("pallas"), argnums=tuple(range(6)))(*ins)
+    finally:
+        joint_fused._N_CHUNKS_OVERRIDE = old
+    cx = float(f("xla")(*ins))
+    gx = jax.grad(f("xla"), argnums=tuple(range(6)))(*ins)
+    np.testing.assert_allclose(cp, cx, rtol=1e-5)
+    for name, a, r in zip(("de", "dp", "dW", "db", "dWd", "dbd"), gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)

@@ -8,7 +8,8 @@ reductions, a loss-only scoring path, and first-class data-parallel
 sharding over TPU meshes.
 """
 
-from .ops.alignment import (TDTViterbiAlignment, ViterbiAlignment,
+from .ops.alignment import (MultiblankViterbiAlignment,
+                            TDTViterbiAlignment, ViterbiAlignment,
                             multiblank_viterbi_align, rnnt_viterbi_align,
                             tdt_viterbi_align)
 from .ops.fused_joint import rnnt_loss_fused_joint
@@ -42,6 +43,7 @@ __all__ = [
     "rnnt_viterbi_align",
     "ViterbiAlignment",
     "multiblank_viterbi_align",
+    "MultiblankViterbiAlignment",
     "tdt_viterbi_align",
     "TDTViterbiAlignment",
     "RNNTOptions",

@@ -396,10 +396,13 @@ def _converted_tdt_fused(blank: int, durations: tuple, sigma: float,
     from ..ops.tdt_fused import rnnt_loss_tdt_fused_joint as jax_tdt_fused
 
     def fn(e, p, W, bias, Wd, bias_d, labels, input_lengths, label_lengths):
+        # implementation='xla': the portable engine — the Pallas kernels
+        # would pin the StableHLO payload to TPU
         return jax_tdt_fused(
             e, p, W, bias, Wd, bias_d, labels, input_lengths, label_lengths,
             durations, blank=blank, sigma=sigma, reduction="none",
             fastemit_lambda=fastemit_lambda, delay_penalty=delay_penalty,
+            implementation="xla",
         )
 
     return jax2tf.convert(

@@ -215,31 +215,24 @@ def tdt_viterbi_align(
     _, v_rows = lax.scan(step, init, (ts, mv(lpb), mv(lpe), mv(lpd)))
     v = jnp.moveaxis(v_rows, 0, 1)  # (B, T, U)
 
+    # terminal arcs: score and the backtrace start cell in one sweep
     u_star = jnp.clip(Ub - 1, 0, U - 1)
     score = jnp.full((B,), neg, cdtype)
+    final_t = jnp.zeros((B,), jnp.int32)
     for j, d in enumerate(durs):
         if d < 1:
             continue
         tk = jnp.clip(Tb - d, 0, T - 1)
-        cand = v[batch, tk, u_star] + lpb[batch, tk, u_star] \
-            + lpd[batch, tk, u_star, j]
-        score = jnp.maximum(score, jnp.where(Tb - d >= 0, cand, neg))
+        cand = jnp.where(Tb - d >= 0,
+                         v[batch, tk, u_star] + lpb[batch, tk, u_star]
+                         + lpd[batch, tk, u_star, j], neg)
+        final_t = jnp.where(cand > score, tk, final_t)
+        score = jnp.maximum(score, cand)
 
     # ---- backtrace --------------------------------------------------------
     # Start from the best final blank arc, then repeatedly pick the argmax
     # incoming arc of the current cell. <= T + U steps; finished utterances
     # idle at (0, 0).
-    final_t = jnp.zeros((B,), jnp.int32)
-    best = jnp.full((B,), neg, cdtype)
-    for j, d in enumerate(durs):
-        if d < 1:
-            continue
-        tk = jnp.clip(Tb - d, 0, T - 1)
-        cand = v[batch, tk, u_star] + lpb[batch, tk, u_star] \
-            + lpd[batch, tk, u_star, j]
-        cand = jnp.where(Tb - d >= 0, cand, neg)
-        final_t = jnp.where(cand > best, tk, final_t)
-        best = jnp.maximum(best, cand)
 
     Um1 = max(U - 1, 1)
     ef0 = jnp.full((B, Um1), -1, jnp.int32)
@@ -299,17 +292,26 @@ def tdt_viterbi_align(
         emit_durations=ed)
 
 
+class MultiblankViterbiAlignment(NamedTuple):
+    score: jax.Array        # (B,) log-prob of the best path
+    emit_frames: jax.Array  # (B, U-1) int32: frame where label u was
+                            # emitted (-1 beyond label_lengths)
+    path: jax.Array         # (B, N) int32 — NOTE: encoding differs from
+                            # ViterbiAlignment.path: 0 = emit, m >= 1 =
+                            # blank advancing m frames, -1 = padding
+
+
 def multiblank_viterbi_align(
     acts, labels, input_lengths, label_lengths, big_blank_durations,
     blank=0, big_blank_indices=None, sigma=0.0,
-) -> ViterbiAlignment:
+) -> MultiblankViterbiAlignment:
     """Best multi-blank alignment (arXiv 2211.03541): the max-plus analog
-    of ``rnnt_loss_multiblank``'s recursion plus a backtrace. Returns the
-    standard ``ViterbiAlignment``; in ``path``, a blank step records the
-    number of frames it consumed (1 for the standard blank, m_k for big
-    blank k) and an emit records 0 — so ``path`` entries are
-    {0 = emit, m >= 1 = blank advancing m frames, -1 = padding}, a
-    superset of the dense encoding (which uses {1 = emit, 0 = advance}).
+    of ``rnnt_loss_multiblank``'s recursion plus a backtrace. Returns a
+    ``MultiblankViterbiAlignment`` — its ``path`` records, per step, the
+    frames that step consumed ({0 = emit, m >= 1 = blank advancing m
+    frames, -1 = padding}); this deliberately differs from the dense
+    ``ViterbiAlignment.path`` encoding ({1 = emit, 0 = advance}), which
+    cannot express multi-frame blanks.
 
     Args mirror ``rnnt_loss_multiblank``.
     """
@@ -418,12 +420,15 @@ def multiblank_viterbi_align(
     (t_e, u_e, k_e, path_rev, ef), _ = lax.scan(
         back, (final_t, u_star, k0, path0, ef0), None, length=N)
     # path_rev[k] is the k-th step counted from the END; flip per utterance
-    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
-    src = k_e[:, None] - 1 - pos
-    path = jnp.where(
-        src >= 0,
-        jnp.take_along_axis(path_rev, jnp.clip(src, 0, N - 1), axis=1), -1)
+    # without a lane-axis gather (playbook rule): one-hot contraction over
+    # the tiny (B, N, N) selector; step codes are small ints, exact in f32
+    pos = jnp.arange(N, dtype=jnp.int32)
+    src = k_e[:, None] - 1 - pos[None, :]  # (B, N)
+    onehot = (src[:, :, None] == pos[None, None, :]).astype(jnp.float32)
+    flipped = jnp.einsum("bjk,bk->bj", onehot,
+                         path_rev.astype(jnp.float32)).astype(jnp.int32)
+    path = jnp.where(src >= 0, flipped, -1)
     if U == 1:
         ef = jnp.zeros((B, 0), jnp.int32)
-    return ViterbiAlignment(score=score.astype(acts.dtype),
-                            emit_frames=ef, path=path)
+    return MultiblankViterbiAlignment(score=score.astype(acts.dtype),
+                                      emit_frames=ef, path=path)

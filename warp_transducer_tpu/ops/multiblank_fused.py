@@ -14,7 +14,12 @@ column reads), and the backward subtracts K extra coefficient fields at
 those columns (``ops/multiblank.py::_mb_coefs``). Gradients flow to all
 four joint inputs.
 
-Engine: the portable T-chunked XLA sweep; a Pallas twin is future work.
+Engines: the portable T-chunked XLA sweep, and on TPU the fused Pallas
+kernels with the K big-blank columns cached in-kernel
+(``pallas/joint_fused.py::fused_prep_mb`` / ``fused_grad_mb``);
+``implementation='auto'`` picks Pallas when the single-chunk kernel fits
+VMEM, falling back to the XLA engine (V-chunked Pallas multi-blank is
+not implemented).
 """
 from __future__ import annotations
 
@@ -30,16 +35,20 @@ from .multiblank import _mb_coefs, _multiblank_lattice, _resolve_indices
 
 
 def _use_pallas(implementation, e, p, W, bb_indices):
-    """'pallas' when requested/auto-on-TPU, the single-chunk kernel fits,
-    and there IS at least one big blank (K=0 uses the standard engines)."""
+    """'pallas' when requested/auto-on-TPU, the single-chunk kernel fits
+    (incl. the big-blank column panel's VMEM), and there IS at least one
+    big blank (K=0 uses the standard engines). V-chunked Pallas
+    multi-blank is not implemented — oversize W falls back to the XLA
+    engine even under explicit 'pallas'."""
     if implementation == "xla" or not bb_indices:
         return False
     from .fused_joint import _interpret_default
-    from .pallas.joint_fused import fused_n_chunks
+    from .pallas.joint_fused import fused_n_chunks, variant_extra_bytes
 
     if implementation == "auto" and _interpret_default():
         return False
-    return fused_n_chunks(e, p, W, backward=True) == 1
+    extra = variant_extra_bytes(e, p, W, n_panels=1, dur_head=False)
+    return fused_n_chunks(e, p, W, backward=True, extra_bytes=extra) == 1
 
 
 def _mb_prep_and_lattice(e, p, W, bias, labels, input_lengths,

@@ -198,6 +198,10 @@ def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
     H = e_ref.shape[2]
     b = pl.program_id(0)
     i = pl.program_id(1)
+    if with_dur and extra_cols:
+        raise NotImplementedError(
+            "_grad_kernel: with_dur + extra_cols (a TDT + multi-blank "
+            "hybrid) has no caller and no ref layout defined")
     if with_dur:
         (wd_ref, lab_ref, denom_ref, coef_ref, cb_ref, ce_ref, gd_ref,
          de_ref, dp_ref, dw_ref, db_ref, dwd_ref) = refs
@@ -624,6 +628,146 @@ def fused_grad_tdt(e, p, W, bias, Wd, labels, label_lengths, denom, coef,
 
 
 # ---------------------------------------------------------------------------
+# Standalone duration-head kernels: compose with the V-CHUNKED token-head
+# drivers (the integrated with_dur kernels need resident W). Exactness:
+# dh_total = g_tok @ W^T + g_dur @ Wd^T multiplies (1 - h^2) LINEARLY, so
+# the duration head's de/dp contributions can be computed in a separate
+# pass over recomputed h and ADDED to the chunked token-head gradients.
+# ---------------------------------------------------------------------------
+
+def _dur_prep_kernel(e_ref, p_ref, wd_ref, bd_ref, dlog_ref,
+                     *, t_t: int, u_pad: int):
+    f32 = jnp.float32
+    R = t_t * u_pad
+    H = e_ref.shape[2]
+    h3 = jnp.tanh(e_ref[0].astype(f32)[:, None, :]
+                  + p_ref[0].astype(f32)[None, :, :])
+    dlog_ref[...] = jax.lax.dot_general(
+        h3.reshape(R, H), wd_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + bd_ref[...]
+
+
+def _dur_grad_kernel(e_ref, p_ref, wd_ref, gd_ref,
+                     de_ref, dp_ref, dwd_ref, *, t_t: int, u_pad: int):
+    f32 = jnp.float32
+    R = t_t * u_pad
+    H = e_ref.shape[2]
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    h3 = jnp.tanh(e_ref[0].astype(f32)[:, None, :]
+                  + p_ref[0].astype(f32)[None, :, :])
+    hm = h3.reshape(R, H)
+
+    @pl.when((b == 0) & (i == 0))
+    def _():
+        dwd_ref[...] = jnp.zeros_like(dwd_ref)
+
+    @pl.when(i == 0)
+    def _():
+        dp_ref[...] = jnp.zeros_like(dp_ref)
+
+    gd = gd_ref[...]
+    dwd_ref[...] += jax.lax.dot_general(
+        hm, gd, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    dh = jax.lax.dot_general(
+        gd, wd_ref[...], (((1,), (1,)), ((), ())), preferred_element_type=f32)
+    dh = (dh * (1.0 - hm * hm)).reshape(t_t, u_pad, H)
+    de_ref[0] = jnp.sum(dh, axis=1)
+    dp_ref[0] += jnp.sum(dh, axis=0)
+
+
+def _dur_geometry(e, p, Wd):
+    B, T, H = e.shape
+    U = p.shape[1]
+    T_t, U_pad, R = _row_geometry(T, U)
+    T_pad = _round_up(T, T_t)
+    return B, T, U, H, T_t, U_pad, R, T_pad
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dur_head_prep(e, p, Wd, bias_d, interpret=False):
+    """dur_logits (B, T, U, D) from recomputed joint features — the
+    V-independent half of the TDT fused forward."""
+    B, T, U, H, T_t, U_pad, R, T_pad = _dur_geometry(e, p, Wd)
+    D = Wd.shape[1]
+    f32 = jnp.float32
+    T_tiles = T_pad // T_t
+    e_p = jnp.pad(e, ((0, 0), (0, T_pad - T), (0, 0)))
+    p_p = jnp.pad(p, ((0, 0), (0, U_pad - U), (0, 0)))
+    Wd_p, bd_p = _pad_dur_head(Wd, bias_d, H)
+    kernel = functools.partial(_dur_prep_kernel, t_t=T_t, u_pad=U_pad)
+    dlog = pl.pallas_call(
+        kernel,
+        grid=(B, T_tiles),
+        in_specs=[
+            pl.BlockSpec((1, T_t, H), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, _D_PAD), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _D_PAD), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, _D_PAD),
+                               lambda b, i: (b * T_tiles + i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * T_pad * U_pad, _D_PAD), f32),
+        interpret=interpret,
+    )(e_p, p_p, Wd_p, bd_p)
+    D_ = D
+    return dlog.reshape(B, T_pad, U_pad, _D_PAD)[:, :T, :U, :D_]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dur_head_grad(e, p, Wd, g_dur, interpret=False):
+    """(de2, dp2, dWd): the duration head's additive contributions to the
+    joint-input gradients (g_dur already valid-masked and scaled)."""
+    B, T, U, H, T_t, U_pad, R, T_pad = _dur_geometry(e, p, Wd)
+    D = Wd.shape[1]
+    f32 = jnp.float32
+    T_tiles = T_pad // T_t
+    e_p = jnp.pad(e, ((0, 0), (0, T_pad - T), (0, 0)))
+    p_p = jnp.pad(p, ((0, 0), (0, U_pad - U), (0, 0)))
+    Wd_p, _ = _pad_dur_head(Wd, jnp.zeros((D,), f32), H)
+    gd_r = jnp.pad(g_dur.astype(f32),
+                   ((0, 0), (0, T_pad - T), (0, U_pad - U),
+                    (0, _D_PAD - D))).reshape(-1, _D_PAD)
+    kernel = functools.partial(_dur_grad_kernel, t_t=T_t, u_pad=U_pad)
+    de, dp, dWd = pl.pallas_call(
+        kernel,
+        grid=(B, T_tiles),
+        in_specs=[
+            pl.BlockSpec((1, T_t, H), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, _D_PAD), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, _D_PAD), lambda b, i: (b * T_tiles + i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, T_t, H), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, _D_PAD), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T_pad, H), f32),
+            jax.ShapeDtypeStruct((B, U_pad, H), f32),
+            jax.ShapeDtypeStruct((H, _D_PAD), f32),
+        ),
+        interpret=interpret,
+    )(e_p, p_p, Wd_p, gd_r)
+    return (de[:, :T].astype(e.dtype), dp[:, :U].astype(p.dtype),
+            dWd[:, :D].astype(Wd.dtype))
+
+
+# ---------------------------------------------------------------------------
 # Multi-blank drivers: the same kernels with K static big-blank columns
 # ---------------------------------------------------------------------------
 
@@ -786,20 +930,37 @@ def fused_grad_mb(e, p, W, bias, labels, label_lengths, denom, coef, cb,
 _N_CHUNKS_OVERRIDE = int(_os.environ.get("WTT_FUSED_FORCE_CHUNKS", 0))
 
 
-def fused_n_chunks(e, p, W, backward: bool = False) -> int:
-    """Number of V chunks needed for the resident-W kernels to fit VMEM."""
+def fused_n_chunks(e, p, W, backward: bool = False,
+                   extra_bytes: int = 0) -> int:
+    """Number of V chunks needed for the resident-W kernels to fit VMEM.
+
+    ``extra_bytes``: additional per-invocation working set beyond the
+    standard kernels' — the TDT/multi-blank variants keep (R, 128) f32
+    row panels (dlog / g_dur / lpX / cX) and the (H, 128) duration head
+    (+ its accumulator) resident; callers pass that footprint here."""
     if _N_CHUNKS_OVERRIDE:
         return _N_CHUNKS_OVERRIDE
     B, T, U, H, V, T_t, U_pad, R, T_pad, v_tile, V_pad, n_vt = (
         _common_geometry(e, p, W))
     w_bytes = 2 if W.dtype == jnp.bfloat16 else 4
-    fixed = R * H * 4 * 2 + R * v_tile * 4 * 2
+    fixed = R * H * 4 * 2 + R * v_tile * 4 * 2 + extra_bytes
     per_col = H * (w_bytes + (4 if backward else 0))  # W (+ dW accumulator)
     if backward:
         fixed += R * H * 4  # dh
     cap = max(_VMEM_BUDGET - fixed, per_col * v_tile) // per_col
     v_c = max(v_tile, (cap // v_tile) * v_tile)
     return -(-V_pad // v_c)  # ceil
+
+
+def variant_extra_bytes(e, p, W, n_panels: int, dur_head: bool) -> int:
+    """VMEM footprint the TDT/multi-blank kernel variants add:
+    ``n_panels`` (R, 128) f32 row panels plus, for the duration head,
+    the (H, 128) weights and their f32 accumulator."""
+    _, _, _, H, _, _, _, R, _, _, _, _ = _common_geometry(e, p, W)
+    extra = n_panels * R * _LANES * 4
+    if dur_head:
+        extra += 2 * H * _LANES * 4
+    return extra
 
 
 def _chunk_slices(e, p, W, bias, n_c):

@@ -19,9 +19,12 @@ posteriors summed, so the fused-joint gradient engine consumes the TDT
 coefficient fields unchanged (see ``ops/tdt.py::_tdt_coefs`` and
 ``docs/rnnt_math.md``).
 
-Engine: the portable T-chunked XLA sweep (``ops/fused_joint.py``'s 'xla'
-engine, extended with the duration head). A Pallas twin is future work —
-the token-head matmuls dominate and are MXU-bound either way.
+Engines: the portable T-chunked XLA sweep (``ops/fused_joint.py``'s 'xla'
+engine, extended with the duration head) and, on TPU, the fused Pallas
+kernels with the duration head computed tile-wise
+(``pallas/joint_fused.py::fused_prep_tdt`` / ``fused_grad_tdt``);
+``implementation='auto'`` picks Pallas when the single-chunk kernel fits
+VMEM and falls back to the XLA engine otherwise.
 """
 from __future__ import annotations
 
@@ -43,33 +46,50 @@ def _lpd_from(dlog):
     return dlog + dden[..., None]
 
 
-def _use_pallas(implementation, e, p, W):
-    """'pallas' when requested/auto-on-TPU AND the single-chunk kernel fits
-    (the V-chunked TDT path falls back to the XLA engine)."""
+def _use_pallas(implementation):
+    """'pallas' when requested, or on 'auto' when running on TPU. Any
+    vocab size: single-chunk shapes use the integrated with_dur kernels;
+    larger W composes the V-chunked token-head drivers with the
+    standalone duration-head kernels (``pallas/joint_fused.py``)."""
     if implementation == "xla":
         return False
+    if implementation == "pallas":
+        return True
     from .fused_joint import _interpret_default
-    from .pallas.joint_fused import fused_n_chunks
 
-    if implementation == "auto" and _interpret_default():
-        return False
-    # backward=True: the grad kernel's larger working set is the binding
-    # constraint; keep forward/backward on the same engine
-    return fused_n_chunks(e, p, W, backward=True) == 1
+    return not _interpret_default()
+
+
+def _tdt_single_chunk(e, p, W):
+    """True when the integrated with_dur kernels fit VMEM (accounting for
+    the duration-head buffers they add)."""
+    from .pallas.joint_fused import fused_n_chunks, variant_extra_bytes
+
+    extra = variant_extra_bytes(e, p, W, n_panels=1, dur_head=True)
+    return fused_n_chunks(e, p, W, backward=True, extra_bytes=extra) == 1
 
 
 def _prep_and_lattice(e, p, W, bias, Wd, bias_d, labels, input_lengths,
                       label_lengths, blank, durations, sigma, delay_penalty,
                       implementation):
-    if _use_pallas(implementation, e, p, W):
+    if _use_pallas(implementation):
         from .fused_joint import _interpret_default
-        from .pallas.joint_fused import fused_prep_tdt
+        from .pallas.joint_fused import (
+            dur_head_prep, fused_prep_chunked, fused_prep_tdt,
+        )
 
         U = p.shape[1]
         lab_len = jnp.full((e.shape[0],), U - 1, jnp.int32)
-        denom, lpb, lpe, dlog = fused_prep_tdt(
-            e, p, W, bias, Wd, bias_d, labels.astype(jnp.int32), lab_len,
-            blank=blank, interpret=_interpret_default())
+        interp = _interpret_default()
+        if _tdt_single_chunk(e, p, W):
+            denom, lpb, lpe, dlog = fused_prep_tdt(
+                e, p, W, bias, Wd, bias_d, labels.astype(jnp.int32),
+                lab_len, blank=blank, interpret=interp)
+        else:
+            denom, lpb, lpe = fused_prep_chunked(
+                e, p, W, bias, labels.astype(jnp.int32), lab_len,
+                blank=blank, interpret=interp)
+            dlog = dur_head_prep(e, p, Wd, bias_d, interpret=interp)
     else:
         denom, lpb, lpe, dlog = _fused_prep_xla(
             e, p, W, bias, labels.astype(jnp.int32), blank,
@@ -123,16 +143,27 @@ def _tdt_fused_bwd(blank, durations, sigma, fastemit_lambda, delay_penalty,
         [cb_js[j] + (1.0 + lam) * ce_js[j] for j in range(len(durations))],
         axis=-1)
     dbd = jnp.sum(g_dur, axis=(0, 1, 2)).astype(bias_d.dtype)
-    if _use_pallas(implementation, e, p, W):
+    if _use_pallas(implementation):
         from .fused_joint import _interpret_default
-        from .pallas.joint_fused import fused_grad_tdt
+        from .pallas.joint_fused import (
+            dur_head_grad, fused_grad_chunked, fused_grad_tdt,
+        )
 
         U = p.shape[1]
         lab_len = jnp.full((e.shape[0],), U - 1, jnp.int32)
-        de, dp, dW, db, dWd = fused_grad_tdt(
-            e, p, W, bias, Wd, labels.astype(jnp.int32), lab_len, denom,
-            coef, cb, ce_eff, g_dur, blank=blank,
-            interpret=_interpret_default())
+        interp = _interpret_default()
+        if _tdt_single_chunk(e, p, W):
+            de, dp, dW, db, dWd = fused_grad_tdt(
+                e, p, W, bias, Wd, labels.astype(jnp.int32), lab_len,
+                denom, coef, cb, ce_eff, g_dur, blank=blank,
+                interpret=interp)
+        else:
+            de, dp, dW, db = fused_grad_chunked(
+                e, p, W, bias, labels.astype(jnp.int32), lab_len, denom,
+                coef, cb, ce_eff, blank=blank, interpret=interp)
+            de2, dp2, dWd = dur_head_grad(e, p, Wd, g_dur, interpret=interp)
+            de = de + de2.astype(de.dtype)
+            dp = dp + dp2.astype(dp.dtype)
     else:
         de, dp, dW, db, dWd = _fused_grad_xla(
             e, p, W, bias, labels.astype(jnp.int32), denom, coef, cb,
