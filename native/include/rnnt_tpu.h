@@ -124,6 +124,50 @@ wttStatus_t wtt_rnnt_loss_tdt_fp64(
     int minibatch, int maxT, int maxU, const int* durations,
     int num_durations, double sigma, double* costs, wttOptions options);
 
+/* Fused-joint variants of the duration-arc losses: logits = tanh(e+p)@W
+ * + bias are recomputed per cell and consumed in place — the (T, U, V)
+ * tensor never exists (JAX twins: rnnt_loss_multiblank_fused_joint /
+ * rnnt_loss_tdt_fused_joint). e: (B, maxT, hidden), p: (B, maxU, hidden),
+ * W: (hidden, V) row-major, bias: (V,). The six/four grad pointers must
+ * be all non-NULL (training) or all NULL (score-only); grad_W/grad_bias
+ * (and grad_Wd/grad_bias_d) accumulate over the minibatch. Raw logits
+ * only (options.from_log_probs must be 0); scratch allocated internally. */
+wttStatus_t wtt_rnnt_loss_multiblank_fused(
+    const float* e, const float* p, const float* W, const float* bias,
+    float* grad_e, float* grad_p, float* grad_W, float* grad_bias,
+    const int* labels, const int* label_lengths, const int* input_lengths,
+    int hidden, int alphabet_size, int minibatch, int maxT, int maxU,
+    const int* big_blank_durations, const int* big_blank_indices,
+    int num_big_blanks, float sigma, float* costs, wttOptions options);
+
+wttStatus_t wtt_rnnt_loss_multiblank_fused_fp64(
+    const double* e, const double* p, const double* W, const double* bias,
+    double* grad_e, double* grad_p, double* grad_W, double* grad_bias,
+    const int* labels, const int* label_lengths, const int* input_lengths,
+    int hidden, int alphabet_size, int minibatch, int maxT, int maxU,
+    const int* big_blank_durations, const int* big_blank_indices,
+    int num_big_blanks, double sigma, double* costs, wttOptions options);
+
+wttStatus_t wtt_rnnt_loss_tdt_fused(
+    const float* e, const float* p, const float* W, const float* bias,
+    const float* Wd, const float* bias_d,
+    float* grad_e, float* grad_p, float* grad_W, float* grad_bias,
+    float* grad_Wd, float* grad_bias_d,
+    const int* labels, const int* label_lengths, const int* input_lengths,
+    int hidden, int alphabet_size, int num_durations, int minibatch,
+    int maxT, int maxU, const int* durations, float sigma, float* costs,
+    wttOptions options);
+
+wttStatus_t wtt_rnnt_loss_tdt_fused_fp64(
+    const double* e, const double* p, const double* W, const double* bias,
+    const double* Wd, const double* bias_d,
+    double* grad_e, double* grad_p, double* grad_W, double* grad_bias,
+    double* grad_Wd, double* grad_bias_d,
+    const int* labels, const int* label_lengths, const int* input_lengths,
+    int hidden, int alphabet_size, int num_durations, int minibatch,
+    int maxT, int maxU, const int* durations, double sigma, double* costs,
+    wttOptions options);
+
 /* Pruned (banded) RNN-T loss: the dense loss restricted to a per-frame
  * band of width s_range (the JAX twin is rnnt_loss_pruned; see
  * warp_transducer_tpu/ops/pruned.py for the math and the band contract).

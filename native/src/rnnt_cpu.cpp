@@ -546,7 +546,14 @@ class MultiblankLattice {
     }
   }
 
- private:
+  // Direct cache access for the fused-joint engine (fills the caches from
+  // recomputed logits instead of calling setup()).
+  Real* lpb() { return lpb_; }
+  Real* lpe() { return lpe_; }
+  Real* lpB() { return lpB_; }
+  const Real* alpha() const { return alpha_; }
+  const Real* beta() const { return beta_; }
+
   // posterior of the duration-m_k arc out of (t, u): interior when
   // t + m <= T-1, terminal (beta = 0) when it consumes the rest exactly
   Real big_post(int k, int t, int u, Real ll, size_t n) const {
@@ -558,6 +565,8 @@ class MultiblankLattice {
       return std::exp(alpha_[idx(t, u)] + w - ll);
     return Real(0);
   }
+
+ private:
 
   size_t idx(int t, int u) const { return static_cast<size_t>(t) * U + u; }
   int T, U, V, maxU_, blank_;
@@ -798,6 +807,13 @@ class TDTLattice {
     }
   }
 
+  // Direct cache access for the fused-joint engine.
+  Real* lpb() { return lpb_; }
+  Real* lpe() { return lpe_; }
+  Real* lpd() { return lpd_; }
+  const Real* alpha() const { return alpha_; }
+  const Real* beta() const { return beta_; }
+
  private:
   size_t idx(int t, int u) const { return static_cast<size_t>(t) * U + u; }
   int T, U, V, D, maxU_, blank_;
@@ -878,6 +894,424 @@ wttStatus_t run_tdt(const T* tok, const T* dur, T* g_tok, T* g_dur,
       lat.backward();
       lat.gradient(g_tok + b * block_t, g_dur + b * block_d, t_b, d_b,
                    lab_b, ll);
+    }
+  }
+  return ok ? WTT_STATUS_SUCCESS : WTT_STATUS_EXECUTION_FAILED;
+}
+
+// ---------------------------------------------------------------------------
+// Fused-joint engines for the duration-arc families: the (T, U, V) logits
+// are recomputed per cell and consumed in place (cf. run_fused_utterance);
+// scalar twins of ops/multiblank_fused.py and ops/tdt_fused.py.
+// ---------------------------------------------------------------------------
+
+template <typename Real>
+void run_mb_fused_utterance(const Real* e, const Real* p, const Real* W,
+                            const Real* bias, Real* de, Real* dp, Real* dW,
+                            Real* db, const int* labels, int Tb, int Ub,
+                            int H, int V, int blank, const int* durs,
+                            const int* bb, int K, Real sigma, Real* cost,
+                            Real lam, Real delay) {
+  MultiblankLattice<Real> lat(Tb, Ub, V, Ub, blank, /*from_log_probs=*/true,
+                              durs, bb, K, /*sigma=*/Real(0), lam, delay);
+  Real* lpb = lat.lpb();
+  Real* lpe = lat.lpe();
+  Real* lpB = lat.lpB();
+  const size_t n = static_cast<size_t>(Tb) * Ub;
+  std::vector<Real> denom(n), h(H), logits(V);
+
+  auto idx = [Ub](int t, int u) { return static_cast<size_t>(t) * Ub + u; };
+  auto cell_logits = [&](int t, int u) {
+    const Real* et = e + static_cast<size_t>(t) * H;
+    const Real* pu = p + static_cast<size_t>(u) * H;
+    for (int i = 0; i < H; ++i) h[i] = std::tanh(et[i] + pu[i]);
+    for (int v = 0; v < V; ++v) logits[v] = bias[v];
+    for (int i = 0; i < H; ++i) {
+      const Real hi = h[i];
+      const Real* wrow = W + static_cast<size_t>(i) * V;
+      for (int v = 0; v < V; ++v) logits[v] += hi * wrow[v];
+    }
+  };
+
+  for (int t = 0; t < Tb; ++t) {
+    for (int u = 0; u < Ub; ++u) {
+      cell_logits(t, u);
+      Real hi = logits[0];
+      for (int v = 1; v < V; ++v) hi = std::max(hi, logits[v]);
+      Real s = 0;
+      for (int v = 0; v < V; ++v) s += std::exp(logits[v] - hi);
+      const Real d = -hi - std::log(s);
+      const size_t cell = idx(t, u);
+      denom[cell] = d;
+      const Real sh = d - sigma;
+      lpb[cell] = logits[blank] + sh;
+      if (u < Ub - 1) lpe[cell] = logits[labels[u]] + sh;
+      for (int k = 0; k < K; ++k) lpB[k * n + cell] = logits[bb[k]] + sh;
+    }
+  }
+  if (delay != Real(0)) {
+    const Real mid = Real(Tb - 1) / Real(2);
+    for (int t = 0; t < Tb; ++t)
+      for (int u = 0; u < Ub - 1; ++u)
+        lpe[idx(t, u)] += delay * (mid - Real(t));
+  }
+
+  const Real ll = lat.forward();
+  *cost = -ll;
+  if (!de) return;
+
+  lat.backward();
+  const Real* alpha = lat.alpha();
+  const Real* beta = lat.beta();
+  std::vector<Real> g(V), dh(H);
+  for (int t = 0; t < Tb; ++t) {
+    for (int u = 0; u < Ub; ++u) {
+      cell_logits(t, u);
+      const size_t cell = idx(t, u);
+      const Real a = alpha[cell];
+      const Real bt = (t < Tb - 1) ? beta[idx(t + 1, u)]
+                                   : ((u == Ub - 1) ? Real(0) : kNegInf<Real>);
+      const Real bu = (u < Ub - 1) ? beta[idx(t, u + 1)] : kNegInf<Real>;
+      const Real gb = std::exp(a + lpb[cell] + bt - ll);
+      const Real ge = (u < Ub - 1) ? std::exp(a + lpe[cell] + bu - ll)
+                                   : Real(0);
+      const Real coef = std::exp(a + beta[cell] - ll) + lam * ge;
+      const Real d = denom[cell];
+      for (int v = 0; v < V; ++v) g[v] = coef * std::exp(logits[v] + d);
+      g[blank] -= gb;
+      for (int k = 0; k < K; ++k) g[bb[k]] -= lat.big_post(k, t, u, ll, n);
+      if (u < Ub - 1) g[labels[u]] -= (Real(1) + lam) * ge;
+
+      for (int i = 0; i < H; ++i) {
+        const Real* wrow = W + static_cast<size_t>(i) * V;
+        Real acc = 0;
+        for (int v = 0; v < V; ++v) acc += wrow[v] * g[v];
+        dh[i] = acc * (Real(1) - h[i] * h[i]);
+      }
+      Real* det = de + static_cast<size_t>(t) * H;
+      Real* dpu = dp + static_cast<size_t>(u) * H;
+      for (int i = 0; i < H; ++i) {
+        det[i] += dh[i];
+        dpu[i] += dh[i];
+      }
+      for (int i = 0; i < H; ++i) {
+        const Real hi2 = h[i];
+        Real* dwrow = dW + static_cast<size_t>(i) * V;
+        for (int v = 0; v < V; ++v) dwrow[v] += hi2 * g[v];
+      }
+      for (int v = 0; v < V; ++v) db[v] += g[v];
+    }
+  }
+}
+
+template <typename Real>
+void run_tdt_fused_utterance(const Real* e, const Real* p, const Real* W,
+                             const Real* bias, const Real* Wd,
+                             const Real* bias_d, Real* de, Real* dp,
+                             Real* dW, Real* db, Real* dWd, Real* dbd,
+                             const int* labels, int Tb, int Ub, int H,
+                             int V, int D, int blank, const int* durs,
+                             Real sigma, Real* cost, Real lam, Real delay) {
+  TDTLattice<Real> lat(Tb, Ub, V, D, Ub, blank, durs, /*sigma=*/Real(0),
+                       lam, delay);
+  Real* lpb = lat.lpb();
+  Real* lpe = lat.lpe();
+  Real* lpd = lat.lpd();
+  const size_t n = static_cast<size_t>(Tb) * Ub;
+  std::vector<Real> denom(n), dden(n), h(H), logits(V), dlog(D);
+
+  auto idx = [Ub](int t, int u) { return static_cast<size_t>(t) * Ub + u; };
+  auto cell_logits = [&](int t, int u) {
+    const Real* et = e + static_cast<size_t>(t) * H;
+    const Real* pu = p + static_cast<size_t>(u) * H;
+    for (int i = 0; i < H; ++i) h[i] = std::tanh(et[i] + pu[i]);
+    for (int v = 0; v < V; ++v) logits[v] = bias[v];
+    for (int j = 0; j < D; ++j) dlog[j] = bias_d[j];
+    for (int i = 0; i < H; ++i) {
+      const Real hi = h[i];
+      const Real* wrow = W + static_cast<size_t>(i) * V;
+      for (int v = 0; v < V; ++v) logits[v] += hi * wrow[v];
+      const Real* wdrow = Wd + static_cast<size_t>(i) * D;
+      for (int j = 0; j < D; ++j) dlog[j] += hi * wdrow[j];
+    }
+  };
+
+  for (int t = 0; t < Tb; ++t) {
+    for (int u = 0; u < Ub; ++u) {
+      cell_logits(t, u);
+      Real hi = logits[0];
+      for (int v = 1; v < V; ++v) hi = std::max(hi, logits[v]);
+      Real s = 0;
+      for (int v = 0; v < V; ++v) s += std::exp(logits[v] - hi);
+      const Real d = -hi - std::log(s);
+      const size_t cell = idx(t, u);
+      denom[cell] = d;
+      const Real sh = d - sigma;
+      lpb[cell] = logits[blank] + sh;
+      if (u < Ub - 1) lpe[cell] = logits[labels[u]] + sh;
+      Real dhi = dlog[0];
+      for (int j = 1; j < D; ++j) dhi = std::max(dhi, dlog[j]);
+      Real ds = 0;
+      for (int j = 0; j < D; ++j) ds += std::exp(dlog[j] - dhi);
+      const Real dd = -dhi - std::log(ds);
+      dden[cell] = dd;
+      for (int j = 0; j < D; ++j) lpd[j * n + cell] = dlog[j] + dd;
+    }
+  }
+  if (delay != Real(0)) {
+    const Real mid = Real(Tb - 1) / Real(2);
+    for (int t = 0; t < Tb; ++t)
+      for (int u = 0; u < Ub - 1; ++u)
+        lpe[idx(t, u)] += delay * (mid - Real(t));
+  }
+
+  const Real ll = lat.forward();
+  if (ll == kNegInf<Real>) {  // infeasible: sentinel cost, zero grads
+    *cost = Real(1e30);
+    return;
+  }
+  *cost = -ll;
+  if (!de) return;
+
+  lat.backward();
+  const Real* alpha = lat.alpha();
+  const Real* beta = lat.beta();
+  std::vector<Real> g(V), gd(D), dh(H);
+  std::vector<Real> cb_j(D), ce_j(D);
+  for (int t = 0; t < Tb; ++t) {
+    for (int u = 0; u < Ub; ++u) {
+      cell_logits(t, u);
+      const size_t cell = idx(t, u);
+      const Real a = alpha[cell];
+      Real cb_total = 0, ce_total = 0;
+      for (int j = 0; j < D; ++j) {
+        const int dn = durs[j];
+        const Real w = lpd[j * n + cell];
+        Real ce = 0, cb = 0;
+        if (u < Ub - 1 && t + dn <= Tb - 1)
+          ce = std::exp(a + lpe[cell] + w + beta[idx(t + dn, u + 1)] - ll);
+        if (dn >= 1) {
+          if (t + dn <= Tb - 1)
+            cb = std::exp(a + lpb[cell] + w + beta[idx(t + dn, u)] - ll);
+          else if (t + dn == Tb && u == Ub - 1)
+            cb = std::exp(a + lpb[cell] + w - ll);
+        }
+        cb_j[j] = cb;
+        ce_j[j] = ce;
+        cb_total += cb;
+        ce_total += ce;
+      }
+      const Real coef = std::exp(a + beta[cell] - ll) + lam * ce_total;
+      const Real d = denom[cell];
+      for (int v = 0; v < V; ++v) g[v] = coef * std::exp(logits[v] + d);
+      g[blank] -= cb_total;
+      if (u < Ub - 1) g[labels[u]] -= (Real(1) + lam) * ce_total;
+      const Real dd = dden[cell];
+      for (int j = 0; j < D; ++j)
+        gd[j] = coef * std::exp(dlog[j] + dd)
+                - (cb_j[j] + (Real(1) + lam) * ce_j[j]);
+
+      for (int i = 0; i < H; ++i) {
+        const Real* wrow = W + static_cast<size_t>(i) * V;
+        Real acc = 0;
+        for (int v = 0; v < V; ++v) acc += wrow[v] * g[v];
+        const Real* wdrow = Wd + static_cast<size_t>(i) * D;
+        for (int j = 0; j < D; ++j) acc += wdrow[j] * gd[j];
+        dh[i] = acc * (Real(1) - h[i] * h[i]);
+      }
+      Real* det = de + static_cast<size_t>(t) * H;
+      Real* dpu = dp + static_cast<size_t>(u) * H;
+      for (int i = 0; i < H; ++i) {
+        det[i] += dh[i];
+        dpu[i] += dh[i];
+      }
+      for (int i = 0; i < H; ++i) {
+        const Real hi2 = h[i];
+        Real* dwrow = dW + static_cast<size_t>(i) * V;
+        for (int v = 0; v < V; ++v) dwrow[v] += hi2 * g[v];
+        Real* dwdrow = dWd + static_cast<size_t>(i) * D;
+        for (int j = 0; j < D; ++j) dwdrow[j] += hi2 * gd[j];
+      }
+      for (int v = 0; v < V; ++v) db[v] += g[v];
+      for (int j = 0; j < D; ++j) dbd[j] += gd[j];
+    }
+  }
+}
+
+template <typename T>
+wttStatus_t run_mb_fused(const T* e, const T* p, const T* W, const T* bias,
+                         T* de, T* dp, T* dW, T* db, const int* labels,
+                         const int* label_lengths, const int* input_lengths,
+                         int H, int V, int B, int maxT, int maxU,
+                         const int* durs, const int* bb, int K, T sigma,
+                         T* costs, wttOptions options) {
+  if (!e || !p || !W || !bias || !labels || !label_lengths ||
+      !input_lengths || !costs)
+    return WTT_STATUS_BAD_ARGUMENT;
+  const int n_grads = (de != nullptr) + (dp != nullptr) + (dW != nullptr) +
+                      (db != nullptr);
+  if (n_grads != 0 && n_grads != 4) return WTT_STATUS_BAD_ARGUMENT;
+  if (K < 0 || (K > 0 && (!durs || !bb)))
+    return WTT_STATUS_BAD_ARGUMENT;
+  if (H <= 0 || V <= 0 || B <= 0 || maxT <= 0 || maxU <= 0 ||
+      options.blank_label < 0 || options.blank_label >= V ||
+      options.from_log_probs != 0 ||
+      !(options.fastemit_lambda >= 0.0f) ||
+      !(options.delay_penalty >= 0.0f))
+    return WTT_STATUS_BAD_ARGUMENT;
+  for (int k = 0; k < K; ++k) {
+    if (durs[k] < 2) return WTT_STATUS_BAD_ARGUMENT;
+    if (bb[k] < 0 || bb[k] >= V || bb[k] == options.blank_label)
+      return WTT_STATUS_BAD_ARGUMENT;
+    for (int j = 0; j < k; ++j)
+      if (durs[j] == durs[k] || bb[j] == bb[k])
+        return WTT_STATUS_BAD_ARGUMENT;
+  }
+  for (int b = 0; b < B; ++b) {
+    if (input_lengths[b] < 1 || input_lengths[b] > maxT)
+      return WTT_STATUS_BAD_ARGUMENT;
+    if (label_lengths[b] < 0 || label_lengths[b] + 1 > maxU)
+      return WTT_STATUS_BAD_ARGUMENT;
+  }
+
+#if defined(_OPENMP)
+  if (options.num_threads > 0) omp_set_num_threads(options.num_threads);
+#endif
+
+  const size_t e_block = static_cast<size_t>(maxT) * H;
+  const size_t p_block = static_cast<size_t>(maxU) * H;
+  const size_t wv = static_cast<size_t>(H) * V;
+  if (de) {
+    std::memset(de, 0, sizeof(T) * e_block * B);
+    std::memset(dp, 0, sizeof(T) * p_block * B);
+    std::memset(dW, 0, sizeof(T) * wv);
+    std::memset(db, 0, sizeof(T) * V);
+  }
+
+  bool ok = true;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int b = 0; b < B; ++b) {
+    const int Tb = input_lengths[b];
+    const int Ub = label_lengths[b] + 1;
+    std::vector<T> dW_loc, db_loc;
+    if (de) {
+      dW_loc.assign(wv, T(0));
+      db_loc.assign(V, T(0));
+    }
+    T cost;
+    run_mb_fused_utterance<T>(
+        e + b * e_block, p + b * p_block, W, bias,
+        de ? de + b * e_block : nullptr, dp ? dp + b * p_block : nullptr,
+        de ? dW_loc.data() : nullptr, de ? db_loc.data() : nullptr,
+        labels + static_cast<size_t>(b) * (maxU - 1), Tb, Ub, H, V,
+        options.blank_label, durs, bb, K, sigma, &cost,
+        static_cast<T>(options.fastemit_lambda),
+        static_cast<T>(options.delay_penalty));
+    if (!std::isfinite(cost)) ok = false;
+    costs[b] = cost;
+    if (de) {
+#if defined(_OPENMP)
+#pragma omp critical(wtt_mb_fused_dw)
+#endif
+      {
+        for (size_t i = 0; i < wv; ++i) dW[i] += dW_loc[i];
+        for (int v = 0; v < V; ++v) db[v] += db_loc[v];
+      }
+    }
+  }
+  return ok ? WTT_STATUS_SUCCESS : WTT_STATUS_EXECUTION_FAILED;
+}
+
+template <typename T>
+wttStatus_t run_tdt_fused(const T* e, const T* p, const T* W, const T* bias,
+                          const T* Wd, const T* bias_d, T* de, T* dp, T* dW,
+                          T* db, T* dWd, T* dbd, const int* labels,
+                          const int* label_lengths, const int* input_lengths,
+                          int H, int V, int D, int B, int maxT, int maxU,
+                          const int* durs, T sigma, T* costs,
+                          wttOptions options) {
+  if (!e || !p || !W || !bias || !Wd || !bias_d || !labels ||
+      !label_lengths || !input_lengths || !costs || !durs)
+    return WTT_STATUS_BAD_ARGUMENT;
+  const int n_grads = (de != nullptr) + (dp != nullptr) + (dW != nullptr) +
+                      (db != nullptr) + (dWd != nullptr) + (dbd != nullptr);
+  if (n_grads != 0 && n_grads != 6) return WTT_STATUS_BAD_ARGUMENT;
+  if (H <= 0 || V <= 0 || B <= 0 || maxT <= 0 || maxU <= 0 || D <= 0 ||
+      D > 32 || options.blank_label < 0 || options.blank_label >= V ||
+      options.from_log_probs != 0 ||
+      !(options.fastemit_lambda >= 0.0f) ||
+      !(options.delay_penalty >= 0.0f))
+    return WTT_STATUS_BAD_ARGUMENT;
+  bool any_pos = false;
+  for (int j = 0; j < D; ++j) {
+    if (durs[j] < 0) return WTT_STATUS_BAD_ARGUMENT;
+    if (durs[j] >= 1) any_pos = true;
+    for (int k = 0; k < j; ++k)
+      if (durs[k] == durs[j]) return WTT_STATUS_BAD_ARGUMENT;
+  }
+  if (!any_pos) return WTT_STATUS_BAD_ARGUMENT;
+  for (int b = 0; b < B; ++b) {
+    if (input_lengths[b] < 1 || input_lengths[b] > maxT)
+      return WTT_STATUS_BAD_ARGUMENT;
+    if (label_lengths[b] < 0 || label_lengths[b] + 1 > maxU)
+      return WTT_STATUS_BAD_ARGUMENT;
+  }
+
+#if defined(_OPENMP)
+  if (options.num_threads > 0) omp_set_num_threads(options.num_threads);
+#endif
+
+  const size_t e_block = static_cast<size_t>(maxT) * H;
+  const size_t p_block = static_cast<size_t>(maxU) * H;
+  const size_t wv = static_cast<size_t>(H) * V;
+  const size_t wd = static_cast<size_t>(H) * D;
+  if (de) {
+    std::memset(de, 0, sizeof(T) * e_block * B);
+    std::memset(dp, 0, sizeof(T) * p_block * B);
+    std::memset(dW, 0, sizeof(T) * wv);
+    std::memset(db, 0, sizeof(T) * V);
+    std::memset(dWd, 0, sizeof(T) * wd);
+    std::memset(dbd, 0, sizeof(T) * D);
+  }
+
+  bool ok = true;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int b = 0; b < B; ++b) {
+    const int Tb = input_lengths[b];
+    const int Ub = label_lengths[b] + 1;
+    std::vector<T> dW_loc, db_loc, dWd_loc, dbd_loc;
+    if (de) {
+      dW_loc.assign(wv, T(0));
+      db_loc.assign(V, T(0));
+      dWd_loc.assign(wd, T(0));
+      dbd_loc.assign(D, T(0));
+    }
+    T cost;
+    run_tdt_fused_utterance<T>(
+        e + b * e_block, p + b * p_block, W, bias, Wd, bias_d,
+        de ? de + b * e_block : nullptr, dp ? dp + b * p_block : nullptr,
+        de ? dW_loc.data() : nullptr, de ? db_loc.data() : nullptr,
+        de ? dWd_loc.data() : nullptr, de ? dbd_loc.data() : nullptr,
+        labels + static_cast<size_t>(b) * (maxU - 1), Tb, Ub, H, V, D,
+        options.blank_label, durs, sigma, &cost,
+        static_cast<T>(options.fastemit_lambda),
+        static_cast<T>(options.delay_penalty));
+    if (std::isnan(cost)) ok = false;
+    costs[b] = cost;
+    if (de) {
+#if defined(_OPENMP)
+#pragma omp critical(wtt_tdt_fused_dw)
+#endif
+      {
+        for (size_t i = 0; i < wv; ++i) dW[i] += dW_loc[i];
+        for (int v = 0; v < V; ++v) db[v] += db_loc[v];
+        for (size_t i = 0; i < wd; ++i) dWd[i] += dWd_loc[i];
+        for (int j = 0; j < D; ++j) dbd[j] += dbd_loc[j];
+      }
     }
   }
   return ok ? WTT_STATUS_SUCCESS : WTT_STATUS_EXECUTION_FAILED;
@@ -1501,8 +1935,9 @@ extern "C" {
 
 // 2: wtt_rnnt_loss signatures gained a caller-workspace parameter and the
 // pruned engine was added — ABI-incompatible with version 1.
-// 3: additive — wtt_rnnt_loss_multiblank(_fp64) (arXiv 2211.03541) and
-//    wtt_rnnt_loss_tdt(_fp64) (arXiv 2304.06795).
+// 3: additive — wtt_rnnt_loss_multiblank(_fp64) (arXiv 2211.03541),
+//    wtt_rnnt_loss_tdt(_fp64) (arXiv 2304.06795), and their fused-joint
+//    variants wtt_rnnt_loss_{multiblank,tdt}_fused(_fp64).
 int wtt_get_version(void) { return 3; }
 
 const char* wtt_get_status_string(wttStatus_t status) {
@@ -1568,6 +2003,67 @@ wttStatus_t wtt_rnnt_loss_multiblank_fp64(
                                 maxT, maxU, big_blank_durations,
                                 big_blank_indices, num_big_blanks, sigma,
                                 costs, options);
+}
+
+wttStatus_t wtt_rnnt_loss_multiblank_fused(
+    const float* e, const float* p, const float* W, const float* bias,
+    float* grad_e, float* grad_p, float* grad_W, float* grad_bias,
+    const int* labels, const int* label_lengths, const int* input_lengths,
+    int hidden, int alphabet_size, int minibatch, int maxT, int maxU,
+    const int* big_blank_durations, const int* big_blank_indices,
+    int num_big_blanks, float sigma, float* costs, wttOptions options) {
+  return run_mb_fused<float>(e, p, W, bias, grad_e, grad_p, grad_W,
+                             grad_bias, labels, label_lengths, input_lengths,
+                             hidden, alphabet_size, minibatch, maxT, maxU,
+                             big_blank_durations, big_blank_indices,
+                             num_big_blanks, sigma, costs, options);
+}
+
+wttStatus_t wtt_rnnt_loss_multiblank_fused_fp64(
+    const double* e, const double* p, const double* W, const double* bias,
+    double* grad_e, double* grad_p, double* grad_W, double* grad_bias,
+    const int* labels, const int* label_lengths, const int* input_lengths,
+    int hidden, int alphabet_size, int minibatch, int maxT, int maxU,
+    const int* big_blank_durations, const int* big_blank_indices,
+    int num_big_blanks, double sigma, double* costs, wttOptions options) {
+  return run_mb_fused<double>(e, p, W, bias, grad_e, grad_p, grad_W,
+                              grad_bias, labels, label_lengths,
+                              input_lengths, hidden, alphabet_size,
+                              minibatch, maxT, maxU, big_blank_durations,
+                              big_blank_indices, num_big_blanks, sigma,
+                              costs, options);
+}
+
+wttStatus_t wtt_rnnt_loss_tdt_fused(
+    const float* e, const float* p, const float* W, const float* bias,
+    const float* Wd, const float* bias_d,
+    float* grad_e, float* grad_p, float* grad_W, float* grad_bias,
+    float* grad_Wd, float* grad_bias_d,
+    const int* labels, const int* label_lengths, const int* input_lengths,
+    int hidden, int alphabet_size, int num_durations, int minibatch,
+    int maxT, int maxU, const int* durations, float sigma, float* costs,
+    wttOptions options) {
+  return run_tdt_fused<float>(e, p, W, bias, Wd, bias_d, grad_e, grad_p,
+                              grad_W, grad_bias, grad_Wd, grad_bias_d,
+                              labels, label_lengths, input_lengths, hidden,
+                              alphabet_size, num_durations, minibatch, maxT,
+                              maxU, durations, sigma, costs, options);
+}
+
+wttStatus_t wtt_rnnt_loss_tdt_fused_fp64(
+    const double* e, const double* p, const double* W, const double* bias,
+    const double* Wd, const double* bias_d,
+    double* grad_e, double* grad_p, double* grad_W, double* grad_bias,
+    double* grad_Wd, double* grad_bias_d,
+    const int* labels, const int* label_lengths, const int* input_lengths,
+    int hidden, int alphabet_size, int num_durations, int minibatch,
+    int maxT, int maxU, const int* durations, double sigma, double* costs,
+    wttOptions options) {
+  return run_tdt_fused<double>(e, p, W, bias, Wd, bias_d, grad_e, grad_p,
+                               grad_W, grad_bias, grad_Wd, grad_bias_d,
+                               labels, label_lengths, input_lengths, hidden,
+                               alphabet_size, num_durations, minibatch,
+                               maxT, maxU, durations, sigma, costs, options);
 }
 
 wttStatus_t wtt_rnnt_loss_tdt(

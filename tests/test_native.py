@@ -361,7 +361,7 @@ class TestNativeMultiblank:
 
     def test_bad_args(self):
         acts = np.zeros((1, 3, 2, 5), np.float32)
-        labels = np.zeros((1, 1), np.int32)
+        labels = np.ones((1, 1), np.int32)
         il = np.array([3], np.int32)
         ll = np.array([1], np.int32)
         with pytest.raises(RuntimeError, match="bad argument"):
@@ -369,6 +369,10 @@ class TestNativeMultiblank:
         with pytest.raises(RuntimeError, match="bad argument"):
             native.rnnt_loss_multiblank_native(acts, labels, il, ll, (2,),
                                                big_blank_indices=(0,))
+        # python-side guard: labels colliding with a big-blank column
+        with pytest.raises(ValueError, match="big-blank vocab entries"):
+            native.rnnt_loss_multiblank_native(acts, labels, il, ll, (2,),
+                                               big_blank_indices=(1,))
 
     def test_torch_autograd_matches_oracle(self):
         import torch
@@ -457,3 +461,140 @@ class TestNativeTDT:
                                    atol=1e-6)
         np.testing.assert_allclose(d.grad.numpy(), ogd / B, rtol=1e-4,
                                    atol=1e-6)
+
+
+class TestNativeFusedVariants:
+    def test_multiblank_fused_matches_jax(self):
+        import jax
+        import jax.numpy as jnp
+
+        from warp_transducer_tpu import rnnt_loss_multiblank_fused_joint
+
+        rng = np.random.RandomState(7)
+        B, T, U, V, H, durs = 2, 7, 4, 10, 6, (2, 3)
+        e = (rng.randn(B, T, H) * 0.5).astype(np.float64)
+        p = (rng.randn(B, U, H) * 0.5).astype(np.float64)
+        W = (rng.randn(H, V) / np.sqrt(H)).astype(np.float64)
+        b = (rng.randn(V) * 0.1).astype(np.float64)
+        labels = rng.randint(1, V - 2, (B, U - 1)).astype(np.int32)
+        il = np.array([7, 5], np.int32)
+        ll = np.array([3, 2], np.int32)
+
+        costs, gs = native.rnnt_loss_multiblank_fused_native(
+            e, p, W, b, labels, il, ll, durs, sigma=0.05,
+            fastemit_lambda=0.1, delay_penalty=0.02)
+
+        def f(*ins):
+            return jnp.sum(rnnt_loss_multiblank_fused_joint(
+                *ins, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll),
+                durs, sigma=0.05, fastemit_lambda=0.1, delay_penalty=0.02,
+                reduction="none"))
+
+        ins = tuple(map(jnp.asarray, (e, p, W, b)))
+        cj = rnnt_loss_multiblank_fused_joint(
+            *ins, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll),
+            durs, sigma=0.05, fastemit_lambda=0.1, delay_penalty=0.02,
+            reduction="none")
+        gj = jax.grad(f, argnums=(0, 1, 2, 3))(*ins)
+        np.testing.assert_allclose(costs, np.asarray(cj), rtol=1e-4)
+        for name, a, r in zip(("de", "dp", "dW", "db"), gs, gj):
+            np.testing.assert_allclose(a, np.asarray(r), rtol=1e-3,
+                                       atol=1e-5, err_msg=name)
+
+    def test_tdt_fused_matches_jax(self):
+        import jax
+        import jax.numpy as jnp
+
+        from warp_transducer_tpu import rnnt_loss_tdt_fused_joint
+
+        rng = np.random.RandomState(9)
+        B, T, U, V, H, durs = 2, 7, 4, 9, 6, (0, 1, 2)
+        e = (rng.randn(B, T, H) * 0.5).astype(np.float64)
+        p = (rng.randn(B, U, H) * 0.5).astype(np.float64)
+        W = (rng.randn(H, V) / np.sqrt(H)).astype(np.float64)
+        b = (rng.randn(V) * 0.1).astype(np.float64)
+        Wd = (rng.randn(H, len(durs)) / np.sqrt(H)).astype(np.float64)
+        bd = (rng.randn(len(durs)) * 0.1).astype(np.float64)
+        labels = rng.randint(1, V, (B, U - 1)).astype(np.int32)
+        il = np.array([7, 5], np.int32)
+        ll = np.array([3, 2], np.int32)
+
+        costs, gs = native.rnnt_loss_tdt_fused_native(
+            e, p, W, b, Wd, bd, labels, il, ll, durs, sigma=0.03,
+            fastemit_lambda=0.1)
+
+        def f(*ins):
+            return jnp.sum(rnnt_loss_tdt_fused_joint(
+                *ins, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll),
+                durs, sigma=0.03, fastemit_lambda=0.1, reduction="none"))
+
+        ins = tuple(map(jnp.asarray, (e, p, W, b, Wd, bd)))
+        cj = rnnt_loss_tdt_fused_joint(
+            *ins, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll),
+            durs, sigma=0.03, fastemit_lambda=0.1, reduction="none")
+        gj = jax.grad(f, argnums=tuple(range(6)))(*ins)
+        np.testing.assert_allclose(costs, np.asarray(cj), rtol=1e-4)
+        for name, a, r in zip(("de", "dp", "dW", "db", "dWd", "dbd"),
+                              gs, gj):
+            np.testing.assert_allclose(a, np.asarray(r), rtol=1e-3,
+                                       atol=1e-5, err_msg=name)
+
+    def test_score_only_and_bad_args(self):
+        rng = np.random.RandomState(1)
+        B, T, U, V, H = 1, 4, 2, 6, 4
+        e = rng.randn(B, T, H).astype(np.float32)
+        p = rng.randn(B, U, H).astype(np.float32)
+        W = rng.randn(H, V).astype(np.float32)
+        b = np.zeros(V, np.float32)
+        labels = np.ones((B, U - 1), np.int32)
+        il = np.array([4], np.int32)
+        ll = np.array([1], np.int32)
+        costs, gs = native.rnnt_loss_multiblank_fused_native(
+            e, p, W, b, labels, il, ll, (2,), compute_grads=False)
+        assert gs is None and np.isfinite(costs).all()
+        with pytest.raises(RuntimeError, match="bad argument"):
+            native.rnnt_loss_multiblank_fused_native(
+                e, p, W, b, labels, il, ll, (1,))
+        Wd = rng.randn(H, 1).astype(np.float32)
+        bd = np.zeros(1, np.float32)
+        with pytest.raises(RuntimeError, match="bad argument"):
+            native.rnnt_loss_tdt_fused_native(
+                e, p, W, b, Wd, bd, labels, il, ll, (0,))
+
+    def test_torch_fused_variants_train(self):
+        import torch
+
+        from warp_transducer_tpu.bindings.torch_binding import (
+            rnnt_loss_multiblank_fused, rnnt_loss_tdt_fused,
+        )
+
+        rng = np.random.RandomState(3)
+        B, T, U, V, H = 2, 6, 3, 9, 5
+        e = torch.tensor(rng.randn(B, T, H).astype(np.float32) * 0.5,
+                         requires_grad=True)
+        p = torch.tensor(rng.randn(B, U, H).astype(np.float32) * 0.5,
+                         requires_grad=True)
+        W = torch.tensor((rng.randn(H, V) / np.sqrt(H)).astype(np.float32),
+                         requires_grad=True)
+        b = torch.zeros(V, requires_grad=True)
+        labels = torch.tensor(rng.randint(1, V - 2, (B, U - 1)),
+                              dtype=torch.int32)
+        il = torch.tensor([6, 4], dtype=torch.int32)
+        ll = torch.tensor([2, 1], dtype=torch.int32)
+
+        loss = rnnt_loss_multiblank_fused(e, p, W, b, labels, il, ll,
+                                          (2, 3), sigma=0.05)
+        loss.backward()
+        assert all(t.grad is not None and torch.isfinite(t.grad).all()
+                   for t in (e, p, W, b))
+
+        Wd = torch.tensor((rng.randn(H, 3) / np.sqrt(H)).astype(np.float32),
+                          requires_grad=True)
+        bd = torch.zeros(3, requires_grad=True)
+        for t in (e, p, W, b):
+            t.grad = None
+        loss = rnnt_loss_tdt_fused(e, p, W, b, Wd, bd, labels, il, ll,
+                                   (0, 1, 2), sigma=0.02)
+        loss.backward()
+        assert all(t.grad is not None and torch.isfinite(t.grad).all()
+                   for t in (e, p, W, b, Wd, bd))

@@ -169,6 +169,40 @@ def _load():
             fp(np.int32, flags="C_CONTIGUOUS"), I, st,
             fp(ft, flags="C_CONTIGUOUS"), _Options,
         ]
+    for name, ft, st in (
+            ("wtt_rnnt_loss_multiblank_fused", np.float32, ctypes.c_float),
+            ("wtt_rnnt_loss_multiblank_fused_fp64", np.float64,
+             ctypes.c_double)):
+        f = getattr(lib, name)
+        f.restype = ctypes.c_int
+        f.argtypes = [
+            fp(ft, flags="C_CONTIGUOUS"), fp(ft, flags="C_CONTIGUOUS"),
+            fp(ft, flags="C_CONTIGUOUS"), fp(ft, flags="C_CONTIGUOUS"),
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            fp(np.int32, flags="C_CONTIGUOUS"),
+            fp(np.int32, flags="C_CONTIGUOUS"),
+            fp(np.int32, flags="C_CONTIGUOUS"), I, I, I, I, I,
+            ctypes.c_void_p, ctypes.c_void_p, I, st,
+            fp(ft, flags="C_CONTIGUOUS"), _Options,
+        ]
+    for name, ft, st in (
+            ("wtt_rnnt_loss_tdt_fused", np.float32, ctypes.c_float),
+            ("wtt_rnnt_loss_tdt_fused_fp64", np.float64, ctypes.c_double)):
+        f = getattr(lib, name)
+        f.restype = ctypes.c_int
+        f.argtypes = [
+            fp(ft, flags="C_CONTIGUOUS"), fp(ft, flags="C_CONTIGUOUS"),
+            fp(ft, flags="C_CONTIGUOUS"), fp(ft, flags="C_CONTIGUOUS"),
+            fp(ft, flags="C_CONTIGUOUS"), fp(ft, flags="C_CONTIGUOUS"),
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            fp(np.int32, flags="C_CONTIGUOUS"),
+            fp(np.int32, flags="C_CONTIGUOUS"),
+            fp(np.int32, flags="C_CONTIGUOUS"), I, I, I, I, I, I,
+            fp(np.int32, flags="C_CONTIGUOUS"), st,
+            fp(ft, flags="C_CONTIGUOUS"), _Options,
+        ]
     _lib = lib
     return lib
 
@@ -651,3 +685,106 @@ def rnnt_loss_pruned_fused_native(
             f"{_STATUS_STRINGS.get(status, status)}"
         )
     return costs, gs
+
+
+def _fused_common(e, p, W, bias, labels, input_lengths, label_lengths):
+    e = np.ascontiguousarray(e)
+    if e.dtype not in (np.float32, np.float64):
+        raise TypeError(f"e must be float32/float64, got {e.dtype}")
+    dt = e.dtype
+    p = np.ascontiguousarray(p, dtype=dt)
+    W = np.ascontiguousarray(W, dtype=dt)
+    bias = np.ascontiguousarray(bias, dtype=dt)
+    if e.ndim != 3 or p.ndim != 3 or W.ndim != 2 or bias.ndim != 1:
+        raise ValueError(
+            f"expected e (B,T,H), p (B,U,H), W (H,V), bias (V,); got "
+            f"{e.shape}, {p.shape}, {W.shape}, {bias.shape}")
+    B, T, H = e.shape
+    U = p.shape[1]
+    V = W.shape[1]
+    labels = np.ascontiguousarray(labels, dtype=np.int32)
+    if labels.shape != (B, U - 1):
+        fixed = np.zeros((B, U - 1), np.int32)
+        L = min(labels.shape[1], U - 1)
+        fixed[:, :L] = labels[:, :L]
+        labels = fixed
+    il = np.ascontiguousarray(input_lengths, dtype=np.int32)
+    ll = np.ascontiguousarray(label_lengths, dtype=np.int32)
+    return e, p, W, bias, labels, il, ll, B, T, U, H, V, dt
+
+
+def rnnt_loss_multiblank_fused_native(
+    e, p, W, bias, labels, input_lengths, label_lengths,
+    big_blank_durations, blank=0, big_blank_indices=None, sigma=0.0,
+    num_threads=0, compute_grads=True, fastemit_lambda=0.0,
+    delay_penalty=0.0,
+):
+    """Fused multi-blank joint+loss on the native CPU engine: returns
+    (costs, (de, dp, dW, db)) — gradients None when compute_grads=False.
+    Semantics match ``rnnt_loss_multiblank_fused_joint``."""
+    lib = _load()
+    (e, p, W, bias, labels, il, ll,
+     B, T, U, H, V, dt) = _fused_common(e, p, W, bias, labels,
+                                        input_lengths, label_lengths)
+    durs = np.ascontiguousarray(list(big_blank_durations), dtype=np.int32)
+    K = len(durs)
+    if big_blank_indices is None:
+        big_blank_indices = range(V - K, V)
+    idx = np.ascontiguousarray(list(big_blank_indices), dtype=np.int32)
+    costs = np.zeros((B,), dt)
+    gs = ([np.zeros_like(e), np.zeros_like(p), np.zeros_like(W),
+           np.zeros_like(bias)] if compute_grads else None)
+    vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    gptrs = ([vp(g) for g in gs] if compute_grads else [None] * 4)
+    opts = _Options(blank, num_threads, 0, float(fastemit_lambda),
+                    float(delay_penalty))
+    fn = (lib.wtt_rnnt_loss_multiblank_fused if dt == np.float32
+          else lib.wtt_rnnt_loss_multiblank_fused_fp64)
+    status = fn(e, p, W, bias, *gptrs, labels, ll, il, H, V, B, T, U,
+                durs.ctypes.data_as(ctypes.c_void_p) if K else None,
+                idx.ctypes.data_as(ctypes.c_void_p) if K else None,
+                K, sigma, costs, opts)
+    if status != 0:
+        raise RuntimeError(
+            f"native fused multiblank loss failed: "
+            f"{_STATUS_STRINGS.get(status, status)}")
+    return costs, (tuple(gs) if compute_grads else None)
+
+
+def rnnt_loss_tdt_fused_native(
+    e, p, W, bias, Wd, bias_d, labels, input_lengths, label_lengths,
+    durations, blank=0, sigma=0.0, num_threads=0, compute_grads=True,
+    fastemit_lambda=0.0, delay_penalty=0.0,
+):
+    """Fused TDT joint+loss on the native CPU engine: returns
+    (costs, (de, dp, dW, db, dWd, dbd)) — gradients None when
+    compute_grads=False. Semantics match ``rnnt_loss_tdt_fused_joint``."""
+    lib = _load()
+    (e, p, W, bias, labels, il, ll,
+     B, T, U, H, V, dt) = _fused_common(e, p, W, bias, labels,
+                                        input_lengths, label_lengths)
+    Wd = np.ascontiguousarray(Wd, dtype=dt)
+    bias_d = np.ascontiguousarray(bias_d, dtype=dt)
+    durs = np.ascontiguousarray(list(durations), dtype=np.int32)
+    D = len(durs)
+    if Wd.shape != (H, D) or bias_d.shape != (D,):
+        raise ValueError(
+            f"duration head must be ({H},{D})/({D},); got {Wd.shape}, "
+            f"{bias_d.shape}")
+    costs = np.zeros((B,), dt)
+    gs = ([np.zeros_like(e), np.zeros_like(p), np.zeros_like(W),
+           np.zeros_like(bias), np.zeros_like(Wd), np.zeros_like(bias_d)]
+          if compute_grads else None)
+    vp = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    gptrs = ([vp(g) for g in gs] if compute_grads else [None] * 6)
+    opts = _Options(blank, num_threads, 0, float(fastemit_lambda),
+                    float(delay_penalty))
+    fn = (lib.wtt_rnnt_loss_tdt_fused if dt == np.float32
+          else lib.wtt_rnnt_loss_tdt_fused_fp64)
+    status = fn(e, p, W, bias, Wd, bias_d, *gptrs, labels, ll, il,
+                H, V, D, B, T, U, durs, sigma, costs, opts)
+    if status != 0:
+        raise RuntimeError(
+            f"native fused tdt loss failed: "
+            f"{_STATUS_STRINGS.get(status, status)}")
+    return costs, (tuple(gs) if compute_grads else None)

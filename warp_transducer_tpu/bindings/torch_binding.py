@@ -18,7 +18,9 @@ except ImportError as e:  # pragma: no cover
 
 from .native import (
     rnnt_loss_fused_joint_native,
+    rnnt_loss_multiblank_fused_native,
     rnnt_loss_multiblank_native,
+    rnnt_loss_tdt_fused_native,
     rnnt_loss_tdt_native,
     rnnt_loss_native,
     rnnt_loss_pruned_fused_native,
@@ -395,6 +397,99 @@ def rnnt_loss_tdt(token_logits, duration_logits, labels, act_lens,
         raise ValueError(f"reduction must be none|sum|mean, got {reduction!r}")
     return _RNNTTDTFunction.apply(
         token_logits, duration_logits, labels, act_lens, label_lens,
+        tuple(int(d) for d in durations), blank, float(sigma), reduction,
+        fastemit_lambda, delay_penalty,
+    )
+
+
+class _RNNTMultiblankFusedFunction(Function):
+    @staticmethod
+    def forward(ctx, e, p, W, bias, labels, act_lens, label_lens, durations,
+                indices, blank, sigma, reduction, fastemit_lambda,
+                delay_penalty):
+        needs_grad = any(t.requires_grad for t in (e, p, W, bias))
+        costs_np, gs = rnnt_loss_multiblank_fused_native(
+            e.detach().numpy(), p.detach().numpy(), W.detach().numpy(),
+            bias.detach().numpy(), labels.numpy(), act_lens.numpy(),
+            label_lens.numpy(), durations, blank=blank,
+            big_blank_indices=indices, sigma=sigma,
+            compute_grads=needs_grad, fastemit_lambda=fastemit_lambda,
+            delay_penalty=delay_penalty,
+        )
+        costs = torch.from_numpy(np.asarray(costs_np)).to(e.dtype)
+        z = torch.zeros(0, dtype=e.dtype)
+        gts = ([torch.from_numpy(np.asarray(g)).to(e.dtype) for g in gs]
+               if gs is not None else [z] * 4)
+        costs, gts = _reduce(costs, gts, reduction, e.size(0))
+        ctx.gts = gts
+        return costs
+
+    @staticmethod
+    def backward(ctx, grad_output):
+        s = grad_output.sum().to(ctx.gts[0].dtype)
+        return tuple(g * s for g in ctx.gts) + (None,) * 10
+
+
+def rnnt_loss_multiblank_fused(e, p, W, bias, labels, act_lens, label_lens,
+                               big_blank_durations, blank=0,
+                               big_blank_indices=None, sigma=0.0,
+                               reduction="mean", fastemit_lambda=0.0,
+                               delay_penalty=0.0):
+    """Fused multi-blank joint+loss on CPU torch tensors — the (T, U, V)
+    logits never materialise (native engine; semantics match the JAX
+    ``rnnt_loss_multiblank_fused_joint``)."""
+    if reduction not in ("sum", "mean"):
+        raise ValueError(
+            f"reduction must be sum|mean for the fused op, got {reduction!r}")
+    durs = tuple(int(m) for m in big_blank_durations)
+    idx = (None if big_blank_indices is None
+           else tuple(int(i) for i in big_blank_indices))
+    return _RNNTMultiblankFusedFunction.apply(
+        e, p, W, bias, labels, act_lens, label_lens, durs, idx, blank,
+        float(sigma), reduction, fastemit_lambda, delay_penalty,
+    )
+
+
+class _RNNTTDTFusedFunction(Function):
+    @staticmethod
+    def forward(ctx, e, p, W, bias, Wd, bias_d, labels, act_lens,
+                label_lens, durations, blank, sigma, reduction,
+                fastemit_lambda, delay_penalty):
+        needs_grad = any(t.requires_grad for t in (e, p, W, bias, Wd, bias_d))
+        costs_np, gs = rnnt_loss_tdt_fused_native(
+            e.detach().numpy(), p.detach().numpy(), W.detach().numpy(),
+            bias.detach().numpy(), Wd.detach().numpy(),
+            bias_d.detach().numpy(), labels.numpy(), act_lens.numpy(),
+            label_lens.numpy(), durations, blank=blank, sigma=sigma,
+            compute_grads=needs_grad, fastemit_lambda=fastemit_lambda,
+            delay_penalty=delay_penalty,
+        )
+        costs = torch.from_numpy(np.asarray(costs_np)).to(e.dtype)
+        z = torch.zeros(0, dtype=e.dtype)
+        gts = ([torch.from_numpy(np.asarray(g)).to(e.dtype) for g in gs]
+               if gs is not None else [z] * 6)
+        costs, gts = _reduce(costs, gts, reduction, e.size(0))
+        ctx.gts = gts
+        return costs
+
+    @staticmethod
+    def backward(ctx, grad_output):
+        s = grad_output.sum().to(ctx.gts[0].dtype)
+        return tuple(g * s for g in ctx.gts) + (None,) * 9
+
+
+def rnnt_loss_tdt_fused(e, p, W, bias, Wd, bias_d, labels, act_lens,
+                        label_lens, durations=(0, 1, 2, 3, 4), blank=0,
+                        sigma=0.0, reduction="mean", fastemit_lambda=0.0,
+                        delay_penalty=0.0):
+    """Fused TDT joint+loss on CPU torch tensors; differentiable w.r.t.
+    all six joint inputs (native engine; semantics match the JAX
+    ``rnnt_loss_tdt_fused_joint``)."""
+    if reduction not in ("sum", "mean"):
+        raise ValueError(
+            f"reduction must be sum|mean for the fused op, got {reduction!r}")
+    return _RNNTTDTFusedFunction.apply(
+        e, p, W, bias, Wd, bias_d, labels, act_lens, label_lens,
         tuple(int(d) for d in durations), blank, float(sigma), reduction,
         fastemit_lambda, delay_penalty,
     )
