@@ -581,6 +581,104 @@ static bool tdt_test() {
   return true;
 }
 
+// Fused duration-arc engines: costs must equal their materialized-logits
+// twins exactly (same recursion on identical caches).
+static bool fused_variants_test() {
+  const int B = 2, T = 7, U = 3, V = 8, H = 5, D = 3;
+  std::mt19937 gen(37);
+  std::uniform_real_distribution<double> dist(-1.0, 1.0);
+  std::vector<double> e(static_cast<size_t>(B) * T * H),
+      p(static_cast<size_t>(B) * U * H), W(static_cast<size_t>(H) * V),
+      bias(V), Wd(static_cast<size_t>(H) * D), bd(D);
+  for (auto& x : e) x = dist(gen);
+  for (auto& x : p) x = dist(gen);
+  for (auto& x : W) x = dist(gen) / std::sqrt(double(H));
+  for (auto& x : bias) x = dist(gen) * 0.1;
+  for (auto& x : Wd) x = dist(gen) / std::sqrt(double(H));
+  for (auto& x : bd) x = dist(gen) * 0.1;
+  std::vector<int> labels(B * (U - 1));
+  std::uniform_int_distribution<int> ldist(1, V - 3);
+  for (auto& l : labels) l = ldist(gen);
+  std::vector<int> label_lengths = {2, 1};
+  std::vector<int> input_lengths = {7, 5};
+  wttOptions opt{};
+
+  // materialise token logits and duration logits
+  std::vector<double> acts(static_cast<size_t>(B) * T * U * V);
+  std::vector<double> dur(static_cast<size_t>(B) * T * U * D);
+  for (int b = 0; b < B; ++b)
+    for (int t = 0; t < T; ++t)
+      for (int u = 0; u < U; ++u) {
+        const size_t cell = (static_cast<size_t>(b) * T + t) * U + u;
+        for (int v = 0; v < V; ++v) {
+          double s = bias[v];
+          for (int i = 0; i < H; ++i)
+            s += std::tanh(e[(static_cast<size_t>(b) * T + t) * H + i] +
+                           p[(static_cast<size_t>(b) * U + u) * H + i]) *
+                 W[static_cast<size_t>(i) * V + v];
+          acts[cell * V + v] = s;
+        }
+        for (int j = 0; j < D; ++j) {
+          double s = bd[j];
+          for (int i = 0; i < H; ++i)
+            s += std::tanh(e[(static_cast<size_t>(b) * T + t) * H + i] +
+                           p[(static_cast<size_t>(b) * U + u) * H + i]) *
+                 Wd[static_cast<size_t>(i) * D + j];
+          dur[cell * D + j] = s;
+        }
+      }
+
+  const int mb_durs[2] = {2, 3};
+  const int mb_idx[2] = {V - 2, V - 1};
+  std::vector<double> c_ref(B);
+  if (wtt_rnnt_loss_multiblank_fp64(
+          acts.data(), nullptr, labels.data(), label_lengths.data(),
+          input_lengths.data(), V, B, T, U, mb_durs, mb_idx, 2, 0.05,
+          c_ref.data(), opt) != WTT_STATUS_SUCCESS)
+    return false;
+  std::vector<double> c_f(B), de(e.size()), dp(p.size()), dW(W.size()),
+      db(V);
+  if (wtt_rnnt_loss_multiblank_fused_fp64(
+          e.data(), p.data(), W.data(), bias.data(), de.data(), dp.data(),
+          dW.data(), db.data(), labels.data(), label_lengths.data(),
+          input_lengths.data(), H, V, B, T, U, mb_durs, mb_idx, 2, 0.05,
+          c_f.data(), opt) != WTT_STATUS_SUCCESS)
+    return false;
+  for (int b = 0; b < B; ++b)
+    if (!close(c_f[b], c_ref[b], 1e-8)) {
+      std::printf("mb fused cost[%d]: %f vs %f\n", b, c_f[b], c_ref[b]);
+      return false;
+    }
+
+  const int td_durs[D] = {0, 1, 2};
+  std::vector<double> c_tref(B);
+  if (wtt_rnnt_loss_tdt_fp64(
+          acts.data(), dur.data(), nullptr, nullptr, labels.data(),
+          label_lengths.data(), input_lengths.data(), V, B, T, U, td_durs,
+          D, 0.03, c_tref.data(), opt) != WTT_STATUS_SUCCESS)
+    return false;
+  std::vector<double> c_tf(B), dWd(Wd.size()), dbd(D);
+  std::fill(de.begin(), de.end(), 0);
+  std::fill(dp.begin(), dp.end(), 0);
+  std::fill(dW.begin(), dW.end(), 0);
+  std::fill(db.begin(), db.end(), 0);
+  if (wtt_rnnt_loss_tdt_fused_fp64(
+          e.data(), p.data(), W.data(), bias.data(), Wd.data(), bd.data(),
+          de.data(), dp.data(), dW.data(), db.data(), dWd.data(),
+          dbd.data(), labels.data(), label_lengths.data(),
+          input_lengths.data(), H, V, D, B, T, U, td_durs, 0.03,
+          c_tf.data(), opt) != WTT_STATUS_SUCCESS)
+    return false;
+  for (int b = 0; b < B; ++b)
+    if (!close(c_tf[b], c_tref[b], 1e-8)) {
+      std::printf("tdt fused cost[%d]: %f vs %f\n", b, c_tf[b], c_tref[b]);
+      return false;
+    }
+  std::printf("fused_variants_test: mb + tdt fused match materialized "
+              "(%f, %f)\n", c_f[0], c_tf[0]);
+  return true;
+}
+
 int main() {
   if (wtt_get_version() != 3) return 1;
   bool ok = small_test();
@@ -592,6 +690,7 @@ int main() {
   ok = pruned_fused_test() && ok;
   ok = multiblank_test() && ok;
   ok = tdt_test() && ok;
+  ok = fused_variants_test() && ok;
   std::printf(ok ? "native tests pass\n" : "native tests FAIL\n");
   return ok ? 0 : 1;
 }
