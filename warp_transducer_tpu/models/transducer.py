@@ -405,6 +405,21 @@ class Transducer(nn.Module):
             s_range, reduction=reduction, implementation=implementation,
         )
 
+    def multiblank_fused_loss(self, feats, feat_lengths, labels,
+                              label_lengths, big_blank_durations,
+                              reduction="mean", sigma=0.0,
+                              fastemit_lambda=0.0, delay_penalty=0.0):
+        """End-to-end multi-blank loss with the joint projection fused in —
+        the big blanks live on the last K vocab columns
+        (ops/multiblank_fused.py)."""
+        enc = self.encoder(feats, feat_lengths)
+        pred = self.prediction(labels)
+        return self.joint.multiblank_fused_loss(
+            enc, pred, labels, feat_lengths, label_lengths,
+            big_blank_durations, reduction=reduction, sigma=sigma,
+            fastemit_lambda=fastemit_lambda, delay_penalty=delay_penalty,
+        )
+
 
 def make_model(cfg: TransducerConfig) -> Transducer:
     return Transducer(cfg)
@@ -522,6 +537,63 @@ def make_tdt_fused_train_step(model, optimizer, sigma=0.0):
             params, batch["feats"], batch["feat_lengths"], batch["labels"],
             batch["label_lengths"], sigma=sigma,
             method=model.tdt_fused_loss,
+        )
+
+    def step(params, opt_state, batch):
+        l, grads = jax.value_and_grad(loss)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, l
+
+    return step
+
+
+def multiblank_loss_fn(params, model, batch, big_blank_durations, blank=0,
+                       sigma=0.0, fastemit_lambda=0.0, delay_penalty=0.0):
+    """Multi-blank transducer objective (arXiv:2211.03541) on the dense
+    joint — the K big blanks use the last K vocab columns, so labels must
+    stay below V-K."""
+    from ..ops.multiblank import rnnt_loss_multiblank
+
+    acts = model.apply(
+        params, batch["feats"], batch["feat_lengths"], batch["labels"]
+    )
+    return rnnt_loss_multiblank(
+        acts.astype(jnp.float32), batch["labels"], batch["feat_lengths"],
+        batch["label_lengths"], big_blank_durations, blank=blank,
+        sigma=sigma, reduction="mean", fastemit_lambda=fastemit_lambda,
+        delay_penalty=delay_penalty,
+    )
+
+
+def make_multiblank_train_step(model, optimizer, big_blank_durations,
+                               blank=0, sigma=0.0, fastemit_lambda=0.0,
+                               delay_penalty=0.0):
+    """Jittable multi-blank train step (dense joint; fused-softmax gradient
+    with one correction per big blank)."""
+
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(multiblank_loss_fn)(
+            params, model, batch, big_blank_durations, blank=blank,
+            sigma=sigma, fastemit_lambda=fastemit_lambda,
+            delay_penalty=delay_penalty)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_multiblank_fused_train_step(model, optimizer, big_blank_durations,
+                                     sigma=0.0):
+    """Jittable multi-blank train step over the fused joint+loss op: the
+    (B,T,U,V) logits never touch HBM (ops/multiblank_fused.py)."""
+
+    def loss(params, batch):
+        return model.apply(
+            params, batch["feats"], batch["feat_lengths"], batch["labels"],
+            batch["label_lengths"], big_blank_durations, sigma=sigma,
+            method=model.multiblank_fused_loss,
         )
 
     def step(params, opt_state, batch):

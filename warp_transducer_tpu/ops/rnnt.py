@@ -123,9 +123,14 @@ def _maybe_check_mismatch(res, tol):
 
 def _run_lattice(implementation, prepped, input_lengths, label_lengths, compute_betas=True):
     if prepped.lpb.dtype == jnp.float64:
-        # The Pallas kernel is fp32 (TPU has no native f64 VPU path); fp64
-        # requests take the XLA engine, mirroring the reference keeping its
-        # fp64 entry point CPU-only (rnnt_entrypoint.cpp:130-185).
+        # The Pallas kernel is fp32-only (the TPU VPU has no native f64
+        # path), so fp64 requests take the XLA engine. The reference's fp64
+        # entry point dispatches to BOTH backends (compute_rnnt_loss_fp64,
+        # rnnt_entrypoint.cpp:165-178) — our accelerator-resident fp64
+        # story is the XLA engine under jax_enable_x64: on TPU, XLA lowers
+        # f64 arithmetic to software-emulated double-double, keeping data
+        # and compute on-device (covered under WTT_TEST_TPU=1 by
+        # tests/test_golden.py::test_fp64_tpu_xla_engine).
         implementation = "xla"
     if implementation == "pallas":
         from . import pallas as _wavefront
