@@ -129,9 +129,20 @@ def main():
         np.array_equal(np.asarray(tt[b, : int(tn[b])]), ref[b])
         for b in range(B)
     )
+    # ALSD beam search over the duration arcs (per-beam time pointers)
+    from warp_transducer_tpu.models.decoding import beam_search_decode_tdt
+
+    tbt, tbn, _ = beam_search_decode_tdt(
+        tdt_model, params, batch["feats"], batch["feat_lengths"],
+        max_symbols=L + 2, beam=4, sigma=0.02)
+    tdt_beam_ok = sum(
+        np.array_equal(np.asarray(tbt[b, 0, : int(tbn[b, 0])]), ref[b])
+        for b in range(B)
+    )
     print(f"tdt   : loss {losses[0]:.3f} -> {losses[-1]:.3f}, "
-          f"greedy exact-match {tdt_ok}/{B}")
+          f"greedy exact-match {tdt_ok}/{B}, beam {tdt_beam_ok}/{B}")
     assert losses[-1] < losses[0], "tdt did not learn"
+    assert tdt_beam_ok >= tdt_ok, "beam should not decode worse than greedy"
 
 
 if __name__ == "__main__":

@@ -308,6 +308,187 @@ class TestBeamSearch:
                 assert key not in seen, (b, k, key)
                 seen.add(key)
 
+    def test_mb_beam_score_sandwich_and_order(self):
+        """Multi-blank ALSD beam search: per-utterance, the pooled score of
+        the best finished hypothesis is sandwiched between its Viterbi
+        best-path score and its full multi-blank marginal (both computed
+        with the same sigma), and beams come back sorted."""
+        from warp_transducer_tpu.models.decoding import (
+            beam_search_decode_multiblank,
+        )
+        from warp_transducer_tpu.ops.alignment import multiblank_viterbi_align
+        from warp_transducer_tpu.ops.multiblank import rnnt_loss_multiblank
+
+        model, params, feats, fl = self._setup()
+        durs, sigma = (2, 3), 0.05
+        bt, bn, bs = jax.jit(
+            lambda f, l: beam_search_decode_multiblank(
+                model, params, f, l, max_symbols=6, beam=6,
+                big_blank_durations=durs, sigma=sigma,
+            )
+        )(feats, fl)
+        bs_np = np.asarray(bs)
+        assert np.all(np.diff(bs_np, axis=1) <= 1e-5)
+        assert np.isfinite(bs_np[:, 0]).all()  # every utterance finished
+        for b in range(feats.shape[0]):
+            n = int(bn[b, 0])
+            if n == 0:
+                continue
+            labels = bt[b : b + 1, 0, :n]
+            # big-blank vocab entries are never emitted as tokens
+            V = model.cfg.vocab_size
+            assert np.all(np.asarray(labels) < V - len(durs))
+            acts = model.apply(params, feats[b : b + 1], fl[b : b + 1],
+                               labels).astype(jnp.float32)
+            nl = jnp.asarray([n], jnp.int32)
+            vit = multiblank_viterbi_align(acts, labels, fl[b : b + 1], nl,
+                                           durs, sigma=sigma)
+            full_ll = -float(rnnt_loss_multiblank(
+                acts, labels, fl[b : b + 1], nl, durs, sigma=sigma,
+                reduction="none")[0])
+            pooled = float(bs[b, 0])
+            assert float(vit.score[0]) - 1e-3 <= pooled <= full_ll + 1e-3, (
+                b, float(vit.score[0]), pooled, full_ll)
+
+    def test_mb_beam_at_least_as_good_as_greedy(self):
+        """The beam-best hypothesis's full marginal must be >= the greedy
+        (frame-skipping) hypothesis's marginal on every utterance."""
+        from warp_transducer_tpu.models.decoding import (
+            beam_search_decode_multiblank, greedy_decode,
+        )
+        from warp_transducer_tpu.ops.multiblank import rnnt_loss_multiblank
+
+        model, params, feats, fl = self._setup()
+        durs, sigma = (2, 3), 0.05
+        gt, gn = greedy_decode(model, params, feats, fl, max_symbols=6,
+                               big_blank_durations=durs)
+        bt, bn, bs = beam_search_decode_multiblank(
+            model, params, feats, fl, max_symbols=6, beam=6,
+            big_blank_durations=durs, sigma=sigma)
+
+        def marginal(tokens, n, b):
+            if n == 0:
+                return None
+            labels = tokens[b : b + 1, :n]
+            acts = model.apply(params, feats[b : b + 1], fl[b : b + 1],
+                               labels).astype(jnp.float32)
+            return -float(rnnt_loss_multiblank(
+                acts, labels, fl[b : b + 1], jnp.asarray([n], jnp.int32),
+                durs, sigma=sigma, reduction="none")[0])
+
+        for b in range(feats.shape[0]):
+            mg = marginal(np.asarray(gt), int(gn[b]), b)
+            mb = marginal(np.asarray(bt)[:, 0], int(bn[b, 0]), b)
+            if mg is None or mb is None:
+                continue
+            assert mb >= mg - 1e-3, (b, mb, mg)
+
+    def _setup_tdt(self):
+        import dataclasses
+
+        from warp_transducer_tpu.models.transducer import (
+            TransducerConfig, init_params, make_model,
+        )
+
+        cfg = TransducerConfig(
+            vocab_size=8, encoder_dim=16, encoder_layers=1, encoder_heads=2,
+            prediction_dim=16, joint_dim=16, input_dim=6, conv_kernel=3,
+            dtype=jnp.float32, tdt_durations=(0, 1, 2),
+        )
+        model = make_model(cfg)
+        B, T = 3, 7
+        rng = np.random.RandomState(3)
+        params = init_params(cfg, jax.random.PRNGKey(5), B=B, T=T, U=4)
+        feats = jnp.asarray(rng.randn(B, T, cfg.input_dim), jnp.float32)
+        fl = jnp.asarray([7, 5, 3], jnp.int32)
+        return model, params, feats, fl
+
+    def test_tdt_beam_score_sandwich_and_order(self):
+        """TDT ALSD beam search: Viterbi <= pooled <= full marginal, same
+        sigma throughout; beams sorted; all utterances finish."""
+        from warp_transducer_tpu.models.decoding import beam_search_decode_tdt
+        from warp_transducer_tpu.ops.alignment import tdt_viterbi_align
+        from warp_transducer_tpu.ops.tdt import rnnt_loss_tdt
+
+        model, params, feats, fl = self._setup_tdt()
+        durs, sigma = model.cfg.tdt_durations, 0.05
+        bt, bn, bs = jax.jit(
+            lambda f, l: beam_search_decode_tdt(
+                model, params, f, l, max_symbols=6, beam=6, sigma=sigma)
+        )(feats, fl)
+        bs_np = np.asarray(bs)
+        assert np.all(np.diff(bs_np, axis=1) <= 1e-5)
+        assert np.isfinite(bs_np[:, 0]).all()
+        for b in range(feats.shape[0]):
+            n = int(bn[b, 0])
+            if n == 0:
+                continue
+            labels = bt[b : b + 1, 0, :n]
+            tok, dur = model.apply(params, feats[b : b + 1], fl[b : b + 1],
+                                   labels, method=model.tdt_logits)
+            tok = tok.astype(jnp.float32)
+            dur = dur.astype(jnp.float32)
+            nl = jnp.asarray([n], jnp.int32)
+            vit = tdt_viterbi_align(tok, dur, labels, fl[b : b + 1], nl,
+                                    durs, sigma=sigma)
+            full_ll = -float(rnnt_loss_tdt(
+                tok, dur, labels, fl[b : b + 1], nl, durations=durs,
+                sigma=sigma, reduction="none")[0])
+            pooled = float(bs[b, 0])
+            assert float(vit.score[0]) - 1e-3 <= pooled <= full_ll + 1e-3, (
+                b, float(vit.score[0]), pooled, full_ll)
+
+    def test_tdt_beam_at_least_as_good_as_greedy(self):
+        from warp_transducer_tpu.models.decoding import (
+            beam_search_decode_tdt, greedy_decode_tdt,
+        )
+        from warp_transducer_tpu.ops.tdt import rnnt_loss_tdt
+
+        model, params, feats, fl = self._setup_tdt()
+        durs, sigma = model.cfg.tdt_durations, 0.05
+        gt, gn = greedy_decode_tdt(model, params, feats, fl, max_symbols=6)
+        bt, bn, bs = beam_search_decode_tdt(
+            model, params, feats, fl, max_symbols=6, beam=6, sigma=sigma)
+
+        def marginal(tokens, n, b):
+            if n == 0:
+                return None
+            labels = tokens[b : b + 1, :n]
+            tok, dur = model.apply(params, feats[b : b + 1], fl[b : b + 1],
+                                   labels, method=model.tdt_logits)
+            return -float(rnnt_loss_tdt(
+                tok.astype(jnp.float32), dur.astype(jnp.float32), labels,
+                fl[b : b + 1], jnp.asarray([n], jnp.int32), durations=durs,
+                sigma=sigma, reduction="none")[0])
+
+        for b in range(feats.shape[0]):
+            mg = marginal(np.asarray(gt), int(gn[b]), b)
+            mb = marginal(np.asarray(bt)[:, 0], int(bn[b, 0]), b)
+            if mg is None or mb is None:
+                continue
+            assert mb >= mg - 1e-3, (b, mb, mg)
+
+    def test_variant_beam_wider_is_no_worse(self):
+        from warp_transducer_tpu.models.decoding import (
+            beam_search_decode_multiblank, beam_search_decode_tdt,
+        )
+
+        model, params, feats, fl = self._setup()
+        _, _, s1 = beam_search_decode_multiblank(
+            model, params, feats, fl, max_symbols=6, beam=1,
+            big_blank_durations=(2, 3))
+        _, _, s4 = beam_search_decode_multiblank(
+            model, params, feats, fl, max_symbols=6, beam=4,
+            big_blank_durations=(2, 3))
+        assert np.all(np.asarray(s4)[:, 0] >= np.asarray(s1)[:, 0] - 1e-5)
+
+        tmodel, tparams, tfeats, tfl = self._setup_tdt()
+        _, _, t1 = beam_search_decode_tdt(
+            tmodel, tparams, tfeats, tfl, max_symbols=6, beam=1)
+        _, _, t4 = beam_search_decode_tdt(
+            tmodel, tparams, tfeats, tfl, max_symbols=6, beam=4)
+        assert np.all(np.asarray(t4)[:, 0] >= np.asarray(t1)[:, 0] - 1e-5)
+
     def test_decode_survives_layer_rename(self):
         """Decoders must use module methods, not raw param paths: a model
         whose Prediction uses different layer names must still decode."""
