@@ -169,6 +169,24 @@ check("fused multiblank fwd+bwd",
           argnums=(0, 1, 2, 3)),
       e, p, W, bias)
 
+# pending-window streamed lattices (multi-blank / TDT duration arcs)
+from warp_transducer_tpu.ops.multiblank import rnnt_loss_multiblank
+from warp_transducer_tpu.ops.tdt import rnnt_loss_tdt
+
+lab_mb2 = jnp.asarray(rng.randint(1, V - 3, (B, U - 1)), jnp.int32)
+check("multiblank window-stream fwd+bwd",
+      jax.value_and_grad(lambda a: rnnt_loss_multiblank(
+          a, lab_mb2, il, ll, (2, 4), sigma=0.05, reduction="sum",
+          implementation="pallas")),
+      acts)
+
+dur_tdt = jnp.asarray(rng.randn(B, T, U, len(durs)), jnp.float32)
+check("tdt window-stream fwd+bwd",
+      jax.value_and_grad(lambda a, d: rnnt_loss_tdt(
+          a, d, labels, il, ll, durations=durs, sigma=0.05,
+          reduction="sum", implementation="pallas"), argnums=(0, 1)),
+      acts, dur_tdt)
+
 if FAILED:
     print("\nFAILURES:")
     for name, msg in FAILED:

@@ -466,3 +466,94 @@ def test_fused_pallas_chunked_matches_xla():
     for name, a, r in zip(("de", "dp", "dW", "db", "dWd", "dbd"), gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+class TestWindowStreamKernel:
+    """The streamed pending-window Pallas kernel (pallas/window_stream.py,
+    interpreter on CPU) vs the XLA TDT scan."""
+
+    def _prep(self, durs, seed=13, B=3, T=9, U=4, V=8):
+        from warp_transducer_tpu.ops.tdt import _tdt_prep
+
+        rng = np.random.default_rng(seed)
+        tok = rng.standard_normal((B, T, U, V)).astype(np.float32) * 2.0
+        dur = rng.standard_normal((B, T, U, len(durs))).astype(np.float32)
+        labels = rng.integers(1, V, size=(B, U - 1)).astype(np.int32)
+        il = rng.integers(max(2, T - 4), T + 1, size=(B,)).astype(np.int32)
+        il[0] = T
+        ll = rng.integers(0, U, size=(B,)).astype(np.int32)
+        ll[0] = U - 1
+        lpb, lpe, lpd, _, _ = _tdt_prep(
+            jnp.asarray(tok), jnp.asarray(dur), jnp.asarray(labels), 0,
+            0.05, jnp.float32)
+        return (tok, dur, labels, il, ll), (lpb, lpe, lpd)
+
+    @pytest.mark.parametrize("durs", [(0, 1, 2), (1, 2, 4), (0, 2, 3)])
+    def test_lattice_parity(self, durs):
+        from warp_transducer_tpu.ops.tdt import _tdt_lattice
+        from warp_transducer_tpu.ops.pallas.window_stream import (
+            tdt_forward_backward,
+        )
+
+        (tok, dur, labels, il, ll), (lpb, lpe, lpd) = self._prep(durs)
+        il_j, ll_j = jnp.asarray(il), jnp.asarray(ll)
+        ref = _tdt_lattice(lpb, lpe, lpd, durs, il_j, ll_j)
+        a, b, llf, llb = tdt_forward_backward(
+            lpb, lpe, lpd, durs, il_j, ll_j, interpret=True)
+
+        valid = np.asarray(ref.alphas) > -1e29
+        np.testing.assert_allclose(np.asarray(a)[valid],
+                                   np.asarray(ref.alphas)[valid],
+                                   rtol=2e-5, atol=2e-5)
+        validb = np.asarray(ref.betas) > -1e29
+        np.testing.assert_allclose(np.asarray(b)[validb],
+                                   np.asarray(ref.betas)[validb],
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(llf), np.asarray(ref.ll_forward),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(llb), np.asarray(ref.ll_backward),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_infeasible_utterance_sentinel(self):
+        """No d=0 arcs and more labels than frames -> infeasible: the
+        kernel must preserve the NEG sentinel exactly like the scan (no
+        clamp leak)."""
+        from warp_transducer_tpu.ops.tdt import _tdt_lattice
+        from warp_transducer_tpu.ops.pallas.window_stream import (
+            tdt_forward_backward,
+        )
+
+        durs = (1, 2)
+        (tok, dur, labels, il, ll), (lpb, lpe, lpd) = self._prep(
+            durs, B=2, T=4, U=4)
+        il = np.asarray([2, 4], np.int32)  # utt 0: 3 labels in 2 frames
+        ll = np.asarray([3, 2], np.int32)
+        il_j, ll_j = jnp.asarray(il), jnp.asarray(ll)
+        ref = _tdt_lattice(lpb, lpe, lpd, durs, il_j, ll_j)
+        _, _, llf, llb = tdt_forward_backward(
+            lpb, lpe, lpd, durs, il_j, ll_j, interpret=True)
+        assert float(ref.ll_forward[0]) < -1e29
+        assert float(llf[0]) < -1e29
+        np.testing.assert_allclose(np.asarray(llf[1]), np.asarray(ref.ll_forward[1]),
+                                   rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(llb[1]), np.asarray(ref.ll_backward[1]),
+                                   rtol=2e-5)
+
+    def test_loss_and_grad_parity(self):
+        durs = (0, 1, 2, 4)
+        (tok, dur, labels, il, ll), _ = self._prep(durs, seed=29, T=10)
+        ins = (jnp.asarray(tok), jnp.asarray(dur), jnp.asarray(labels),
+               jnp.asarray(il), jnp.asarray(ll))
+
+        def f(impl):
+            return lambda t, d: rnnt_loss_tdt(
+                t, d, *ins[2:], durations=durs, sigma=0.05,
+                reduction="sum", implementation=impl)
+
+        np.testing.assert_allclose(float(f("pallas")(*ins[:2])),
+                                   float(f("xla")(*ins[:2])), rtol=2e-5)
+        gx = jax.grad(f("xla"), argnums=(0, 1))(*ins[:2])
+        gp = jax.grad(f("pallas"), argnums=(0, 1))(*ins[:2])
+        for p, x in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(p), np.asarray(x),
+                                       rtol=2e-4, atol=2e-5)

@@ -273,32 +273,51 @@ def _multiblank_grad(acts, denom, lpb, lpe, lpB, lat, labels_u, durations,
     return g.astype(out_dtype)
 
 
+def _mb_lattice_dispatch(lpb, lpe, lpB, durations, input_lengths,
+                         label_lengths, implementation):
+    """Engine switch: 'xla' = the fused t-major scan above; 'pallas' = the
+    single-invocation streamed pending-window kernel
+    (``pallas/window_stream.py``). fp64 always takes the XLA engine (the
+    kernel is f32)."""
+    if implementation == "pallas" and lpb.dtype != jnp.float64:
+        from .pallas.window_stream import multiblank_forward_backward
+
+        a, b, llf, llb = multiblank_forward_backward(
+            lpb, lpe, lpB, durations, input_lengths, label_lengths)
+        return MultiblankLattice(a, b, llf, llb)
+    return _multiblank_lattice(lpb, lpe, lpB, durations, input_lengths,
+                               label_lengths)
+
+
 def _mb_forward(acts, labels, input_lengths, label_lengths, blank,
-                durations, bb_indices, sigma, delay_penalty):
+                durations, bb_indices, sigma, delay_penalty,
+                implementation="xla"):
     cdtype = _compute_dtype(acts.dtype)
     lpb, lpe, lpB, denom, labels_u = _multiblank_prep(
         acts, labels, blank, bb_indices, sigma, cdtype)
     if delay_penalty:
         lpe = _prep.delay_shift(lpe, input_lengths, delay_penalty)
-    lat = _multiblank_lattice(lpb, lpe, lpB, durations, input_lengths,
-                              label_lengths)
+    lat = _mb_lattice_dispatch(lpb, lpe, lpB, durations, input_lengths,
+                               label_lengths, implementation)
     return lpb, lpe, lpB, denom, labels_u, lat
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _mb_costs(acts, labels, input_lengths, label_lengths, blank, durations,
-              bb_indices, sigma, fastemit_lambda, delay_penalty):
+              bb_indices, sigma, fastemit_lambda, delay_penalty,
+              implementation):
     *_, lat = _mb_forward(acts, labels, input_lengths, label_lengths,
-                          blank, durations, bb_indices, sigma, delay_penalty)
+                          blank, durations, bb_indices, sigma, delay_penalty,
+                          implementation)
     return (-lat.ll_forward).astype(acts.dtype)
 
 
 def _mb_costs_fwd(acts, labels, input_lengths, label_lengths, blank,
                   durations, bb_indices, sigma, fastemit_lambda,
-                  delay_penalty):
+                  delay_penalty, implementation):
     lpb, lpe, lpB, denom, labels_u, lat = _mb_forward(
         acts, labels, input_lengths, label_lengths, blank, durations,
-        bb_indices, sigma, delay_penalty)
+        bb_indices, sigma, delay_penalty, implementation)
     costs = (-lat.ll_forward).astype(acts.dtype)
     residuals = (acts, lpb, lpe, lpB, denom, lat, labels,
                  input_lengths, label_lengths)
@@ -306,7 +325,7 @@ def _mb_costs_fwd(acts, labels, input_lengths, label_lengths, blank,
 
 
 def _mb_costs_bwd(blank, durations, bb_indices, sigma, fastemit_lambda,
-                  delay_penalty, residuals, g):
+                  delay_penalty, implementation, residuals, g):
     (acts, lpb, lpe, lpB, denom, lat, labels,
      input_lengths, label_lengths) = residuals
     U = acts.shape[2]
@@ -335,6 +354,7 @@ def rnnt_loss_multiblank(
     sigma: float = 0.0,
     fastemit_lambda: float = 0.0,
     delay_penalty: float = 0.0,
+    implementation: str = "auto",
 ) -> jax.Array:
     """Multi-blank transducer loss (arXiv:2211.03541).
 
@@ -356,13 +376,17 @@ def rnnt_loss_multiblank(
         blanks) are penalized less. 0 disables; the paper uses ~0.05.
       fastemit_lambda / delay_penalty: the latency regularizers, exactly
         as in ``rnnt_loss`` (FastEmit scales only the label-emit arc).
+      implementation: 'auto' | 'xla' | 'pallas'. The duration arcs break
+        the anti-diagonal wavefront's 2-neighbour structure, so both
+        engines run the pending-window t-recursion: 'xla' as a fused
+        t-major scan, 'pallas' (default on TPU) as one streamed kernel
+        invocation (``pallas/window_stream.py``).
 
     Returns (B,) costs for reduction='none', scalar otherwise.
     Differentiable w.r.t. acts. With K=0 this is exactly ``rnnt_loss``.
-    Engine: fused t-major XLA scan (the duration arcs break the
-    anti-diagonal wavefront's 2-neighbour structure; the pending-window
-    scan is the natural generalisation).
     """
+    from .rnnt import _pick_implementation
+
     _certify_inputs(acts, labels, input_lengths, label_lengths)
     if reduction not in ("none", "sum", "mean"):
         raise ValueError(f"reduction must be none|sum|mean, got {reduction!r}")
@@ -372,9 +396,10 @@ def rnnt_loss_multiblank(
         raise ValueError(f"delay_penalty must be >= 0, got {delay_penalty}")
     durs, idx = _resolve_indices(acts.shape[-1], int(blank),
                                  big_blank_durations, big_blank_indices)
+    impl = _pick_implementation(implementation)
     costs = _mb_costs(acts, labels, input_lengths, label_lengths, int(blank),
                       durs, idx, float(sigma), float(fastemit_lambda),
-                      float(delay_penalty))
+                      float(delay_penalty), impl)
     if reduction == "sum":
         return jnp.sum(costs)
     if reduction == "mean":

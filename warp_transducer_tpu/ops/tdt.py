@@ -310,34 +310,50 @@ def _tdt_grads(token_logits, duration_logits, denom, denom_d, lpb, lpe, lpd,
             g_dur.astype(duration_logits.dtype))
 
 
+def _tdt_lattice_dispatch(lpb, lpe, lpd, durations, input_lengths,
+                          label_lengths, implementation):
+    """Engine switch: 'xla' = the fused t-major scan above; 'pallas' = the
+    single-invocation streamed pending-window kernel
+    (``pallas/window_stream.py``). fp64 always takes the XLA engine."""
+    if implementation == "pallas" and lpb.dtype != jnp.float64:
+        from .pallas.window_stream import tdt_forward_backward
+
+        a, b, llf, llb = tdt_forward_backward(
+            lpb, lpe, lpd, durations, input_lengths, label_lengths)
+        return TDTLattice(a, b, llf, llb)
+    return _tdt_lattice(lpb, lpe, lpd, durations, input_lengths,
+                        label_lengths)
+
+
 def _tdt_forward(token_logits, duration_logits, labels, input_lengths,
-                 label_lengths, blank, durations, sigma, delay_penalty):
+                 label_lengths, blank, durations, sigma, delay_penalty,
+                 implementation="xla"):
     cdtype = _compute_dtype(token_logits.dtype)
     lpb, lpe, lpd, denom, denom_d = _tdt_prep(
         token_logits, duration_logits, labels, blank, sigma, cdtype)
     if delay_penalty:
         lpe = _prep.delay_shift(lpe, input_lengths, delay_penalty)
-    lat = _tdt_lattice(lpb, lpe, lpd, durations, input_lengths,
-                       label_lengths)
+    lat = _tdt_lattice_dispatch(lpb, lpe, lpd, durations, input_lengths,
+                                label_lengths, implementation)
     return lpb, lpe, lpd, denom, denom_d, lat
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _tdt_costs(token_logits, duration_logits, labels, input_lengths,
                label_lengths, blank, durations, sigma, fastemit_lambda,
-               delay_penalty):
+               delay_penalty, implementation):
     *_, lat = _tdt_forward(token_logits, duration_logits, labels,
                            input_lengths, label_lengths, blank, durations,
-                           sigma, delay_penalty)
+                           sigma, delay_penalty, implementation)
     return (-lat.ll_forward).astype(token_logits.dtype)
 
 
 def _tdt_costs_fwd(token_logits, duration_logits, labels, input_lengths,
                    label_lengths, blank, durations, sigma, fastemit_lambda,
-                   delay_penalty):
+                   delay_penalty, implementation):
     lpb, lpe, lpd, denom, denom_d, lat = _tdt_forward(
         token_logits, duration_logits, labels, input_lengths, label_lengths,
-        blank, durations, sigma, delay_penalty)
+        blank, durations, sigma, delay_penalty, implementation)
     costs = (-lat.ll_forward).astype(token_logits.dtype)
     residuals = (token_logits, duration_logits, lpb, lpe, lpd, denom,
                  denom_d, lat, labels, input_lengths, label_lengths)
@@ -345,7 +361,7 @@ def _tdt_costs_fwd(token_logits, duration_logits, labels, input_lengths,
 
 
 def _tdt_costs_bwd(blank, durations, sigma, fastemit_lambda, delay_penalty,
-                   residuals, g):
+                   implementation, residuals, g):
     (token_logits, duration_logits, lpb, lpe, lpd, denom, denom_d, lat,
      labels, input_lengths, label_lengths) = residuals
     U = token_logits.shape[2]
@@ -374,6 +390,7 @@ def rnnt_loss_tdt(
     sigma: float = 0.0,
     fastemit_lambda: float = 0.0,
     delay_penalty: float = 0.0,
+    implementation: str = "auto",
 ) -> jax.Array:
     """Token-and-Duration Transducer loss (arXiv:2304.06795).
 
@@ -392,6 +409,9 @@ def rnnt_loss_tdt(
         training trick). 0 disables.
       fastemit_lambda / delay_penalty: latency regularizers, as in
         ``rnnt_loss`` (both act on the token-emit arcs).
+      implementation: 'auto' | 'xla' | 'pallas' — XLA pending-window scan
+        vs the single-invocation streamed Pallas kernel
+        (``pallas/window_stream.py``; default on TPU).
 
     Returns (B,) costs for reduction='none', scalar otherwise.
     Differentiable w.r.t. both logits tensors.
@@ -415,12 +435,13 @@ def rnnt_loss_tdt(
         raise ValueError(f"fastemit_lambda must be >= 0, got {fastemit_lambda}")
     if delay_penalty < 0:
         raise ValueError(f"delay_penalty must be >= 0, got {delay_penalty}")
-    from .rnnt import _certify_inputs
+    from .rnnt import _certify_inputs, _pick_implementation
 
     _certify_inputs(token_logits, labels, input_lengths, label_lengths)
+    impl = _pick_implementation(implementation)
     costs = _tdt_costs(token_logits, duration_logits, labels, input_lengths,
                        label_lengths, int(blank), durs, float(sigma),
-                       float(fastemit_lambda), float(delay_penalty))
+                       float(fastemit_lambda), float(delay_penalty), impl)
     if reduction == "sum":
         return jnp.sum(costs)
     if reduction == "mean":
