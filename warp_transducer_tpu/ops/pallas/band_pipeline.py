@@ -43,9 +43,11 @@ from .band_stream import NEG, band_row_metadata, stream_panels
 from .wavefront import _LANES, _SUBLANES, _round_up
 
 def _pick_tc(B_pad: int, SV: int) -> int:
-    # acts block (B, Tc, SV) f32; the grad kernel keeps ~4 same-size
-    # temporaries live, so stay well under VMEM
-    budget = 2 * 1024 * 1024
+    # acts block (B, Tc, SV) f32; the grad kernel keeps ~6 same-size
+    # temporaries live on the scoped-VMEM stack (default limit 16 MB), so
+    # the block itself must stay ~1 MB (B=128, T=1504, SV=250 compiled at
+    # 24.3 MB scoped with a 2 MB block — hard compile failure on v5e).
+    budget = 1024 * 1024
     tc = max(8, budget // (B_pad * SV * 4))
     return min(64, _round_up(tc, 8))
 
@@ -162,9 +164,15 @@ def _grad_kernel(x_ref, lab_ref, lpb_ref, lpe_ref, den_ref,
     denom = den_ref[...]
 
     # ---- one pass over the activations ----------------------------------
+    # Build the segment-broadcast fields first with cheap selects, then run
+    # ONE full-size exp/mul/sub chain: the previous per-segment form kept
+    # ~12 (B, Tc, SV) temporaries live in the unrolled s-loop and blew the
+    # 16 MB scoped-VMEM stack at B=128 (24.3 MB compile failure).
     x = x_ref[...].astype(f32)  # (B, Tc, SV)
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, Tc, SV), 2)
-    g = jnp.zeros((B, Tc, SV), f32)
+    den_b = jnp.zeros((B, Tc, SV), f32)
+    coef_b = jnp.zeros((B, Tc, SV), f32)
+    sub = jnp.zeros((B, Tc, SV), f32)
     for s in range(S):
         in_seg = (lane >= s * v) & (lane < (s + 1) * v)
         # NB: transpose-then-basic-index with a None (`[:B, :, None]`)
@@ -172,13 +180,13 @@ def _grad_kernel(x_ref, lab_ref, lpb_ref, lpe_ref, den_ref,
         # expand_dims stays on the slice path.
         tr = lambda p: jnp.expand_dims(jax.lax.slice(
             jnp.transpose(p[:, s, :], (1, 0)), (0, 0), (B, Tc)), 2)
-        seg = tr(coef) * jnp.exp(x + tr(denom))
-        seg = seg - jnp.where(lane % v == blank, tr(cb), 0.0)
+        den_b = jnp.where(in_seg, tr(denom), den_b)
+        coef_b = jnp.where(in_seg, tr(coef), coef_b)
+        sub = sub + jnp.where(lane == s * v + blank, tr(cb), 0.0)
         lab_bt = jnp.transpose(lab_ref[:, s, :], (1, 0))[:B]  # (B, Tc)
         target = jnp.where(lab_bt < 0, -1, s * v + lab_bt)
-        seg = seg - jnp.where(lane == target[:, :, None], tr(ce), 0.0)
-        g = jnp.where(in_seg, seg, g)
-    g_ref[...] = g.astype(out_dtype)
+        sub = sub + jnp.where(lane == target[:, :, None], tr(ce), 0.0)
+    g_ref[...] = (coef_b * jnp.exp(x + den_b) - sub).astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------
