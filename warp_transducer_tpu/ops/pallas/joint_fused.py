@@ -88,7 +88,8 @@ def _row_geometry(T: int, U: int):
 def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
                  blank: int, n_vt: int, v_tile: int, t_t: int, u_pad: int,
                  mm_dtype, v_base: int = 0, partial: bool = False,
-                 with_dur: bool = False, extra_cols: tuple = ()):
+                 with_dur: bool = False, extra_cols: tuple = (),
+                 with_label: bool = True):
     """One (batch, T-tile) row block.
 
     Default outputs: (denom, lpb, lpe).  With ``partial=True`` the outputs
@@ -98,16 +99,29 @@ def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
     kernel's first V column (blank/label ids stay global). With
     ``with_dur`` (the TDT path) the inputs gain (w_d, bias_d) before the
     labels and the outputs gain the duration head's raw logits (R, D_pad)
-    — one extra tiny MXU matmul on the same joint features."""
+    — one extra tiny MXU matmul on the same joint features.
+
+    Label logits never touch the V loop: ``wlab`` (the host-gathered
+    W[:, labels[u]] columns, (U_pad, H)) turns them into ONE (R, H)
+    multiply-reduce per block plus the gathered bias — the V loop's old
+    per-tile compare/select/max (3 full passes over every logits tile)
+    was the single largest VPU epilogue cost. ``with_label=False``
+    (V-chunked calls with v_base > 0) skips it; the chunk at v_base == 0
+    carries the full-W label value."""
     f32 = jnp.float32
     neg = jnp.asarray(NEG, f32)
     R = t_t * u_pad
     H = e_ref.shape[2]
     if with_dur:
-        wd_ref, bd_ref, lab_ref, *out_refs = refs
-        *out_refs, dlog_ref = out_refs
+        wd_ref, bd_ref, lab_ref, *refs = refs
     else:
-        lab_ref, *out_refs = refs
+        lab_ref, *refs = refs
+    if with_label:
+        wlab_ref, blab_ref, *out_refs = refs
+    else:
+        out_refs = refs
+    if with_dur:
+        *out_refs, dlog_ref = out_refs
     if extra_cols:
         # multi-blank: the K big-blank columns cached into one padded
         # (R, 128) output (sliced to K on the host)
@@ -129,7 +143,14 @@ def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
     m = jnp.full((R, 1), neg, f32)
     s = jnp.zeros((R, 1), f32)
     blank_logit = jnp.full((R, 1), neg, f32)
-    lab_logit = jnp.full((R, 1), neg, f32)
+    if with_label:
+        wl = wlab_ref[0].astype(mm_dtype).astype(f32)  # (U_pad, H)
+        ll3 = jnp.sum(h3.astype(mm_dtype).astype(f32) * wl[None], axis=2,
+                      keepdims=True)  # (T_t, U_pad, 1)
+        lab_logit = ll3.reshape(R, 1) + blab_ref[...]
+        lab_logit = jnp.where(lab >= 0, lab_logit, neg)
+    else:
+        lab_logit = jnp.full((R, 1), neg, f32)
     if extra_cols:
         lpx = jnp.full(lpx_ref.shape, neg, f32)
 
@@ -163,10 +184,6 @@ def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
                 c = xcol - v_base - k * v_tile
                 colx = jax.lax.broadcasted_iota(jnp.int32, lpx.shape, 1)
                 lpx = jnp.where(colx == kk, logits[:, c:c + 1], lpx)
-        col = jax.lax.broadcasted_iota(jnp.int32, (R, v_tile), 1)
-        sel = jnp.where(col == (lab - v_base - k * v_tile), logits, neg)
-        lab_logit = jnp.maximum(lab_logit,
-                                jnp.max(sel, axis=1, keepdims=True))
 
     if partial:
         m_ref, s_ref, bl_ref, le_ref = out_refs
@@ -192,7 +209,12 @@ def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
 def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
                  blank: int, n_vt: int, v_tile: int, t_t: int, u_pad: int,
                  mm_dtype, v_base: int = 0, with_dur: bool = False,
-                 extra_cols: tuple = ()):
+                 extra_cols: tuple = (), with_label: bool = True):
+    """The label column's -ce correction never touches the V loop (the old
+    per-tile compare/select was 2 full passes over every logits tile): its
+    dh contribution is -ce * wlab[u] directly, and its dW/db contribution
+    is returned as the small mlab = sum_t ce*h panel for a host-side
+    scatter into the label columns (``_apply_label_corrections``)."""
     f32 = jnp.float32
     R = t_t * u_pad
     H = e_ref.shape[2]
@@ -203,15 +225,19 @@ def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
             "_grad_kernel: with_dur + extra_cols (a TDT + multi-blank "
             "hybrid) has no caller and no ref layout defined")
     if with_dur:
-        (wd_ref, lab_ref, denom_ref, coef_ref, cb_ref, ce_ref, gd_ref,
-         de_ref, dp_ref, dw_ref, db_ref, dwd_ref) = refs
+        wd_ref, lab_ref, denom_ref, coef_ref, cb_ref, ce_ref, gd_ref, *refs = refs
     elif extra_cols:
-        (lab_ref, denom_ref, coef_ref, cb_ref, ce_ref, cx_ref,
-         de_ref, dp_ref, dw_ref, db_ref) = refs
+        lab_ref, denom_ref, coef_ref, cb_ref, ce_ref, cx_ref, *refs = refs
         cx = cx_ref[...]  # (R, 128); columns >= K are zero
     else:
-        (lab_ref, denom_ref, coef_ref, cb_ref, ce_ref,
-         de_ref, dp_ref, dw_ref, db_ref) = refs
+        lab_ref, denom_ref, coef_ref, cb_ref, ce_ref, *refs = refs
+    if with_label:
+        wlab_ref, *refs = refs
+    de_ref, dp_ref, dw_ref, db_ref, *refs = refs
+    if with_dur:
+        dwd_ref, *refs = refs
+    if with_label:
+        (mlab_ref,) = refs
 
     e_t = e_ref[0].astype(f32)
     p_t = p_ref[0].astype(f32)
@@ -235,8 +261,16 @@ def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
     @pl.when(i == 0)
     def _():
         dp_ref[...] = jnp.zeros_like(dp_ref)
+        if with_label:
+            mlab_ref[...] = jnp.zeros_like(mlab_ref)
 
     dh = jnp.zeros((R, H), f32)
+    if with_label:
+        # ce is zero wherever lab == -1, so no mask is needed
+        ce3 = ce.reshape(t_t, u_pad, 1)
+        wl = wlab_ref[0].astype(mm_dtype).astype(f32)  # (U_pad, H)
+        dh = dh - (ce3 * wl[None]).reshape(R, H)
+        mlab_ref[0] += jnp.sum(ce3 * h3, axis=0)  # (U_pad, H)
     if with_dur:
         # duration head: its cotangent joins dh before the tanh backprop
         # (padded D columns of gd are zero, so they contribute nothing)
@@ -264,7 +298,6 @@ def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
             if k * v_tile <= xcol - v_base < (k + 1) * v_tile:
                 c = xcol - v_base - k * v_tile
                 g = g - jnp.where(col == c, cx[:, kk:kk + 1], 0.0)
-        g = g - jnp.where(col == (lab - v_base - k * v_tile), ce, 0.0)
 
         dh = dh + jax.lax.dot_general(
             g.astype(mm_dtype), w_k.astype(mm_dtype),
@@ -302,18 +335,58 @@ def _common_geometry(e, p, W):
     return B, T, U, H, V, T_t, U_pad, R, T_pad, v_tile, V_pad, n_vt
 
 
-def _labels_rows(labels, label_valid_len, B, T_pad, U, U_pad, T_t):
-    """(rows, 1) int32 panel: labels[u] for row (b, t, u); -1 where the
-    emit transition is undefined (u >= U-1 or beyond the utterance)."""
+def _labels_full(labels, label_valid_len, B, U, U_pad):
+    """(B, U_pad) int32: labels[u] per u; -1 where the emit transition is
+    undefined (u >= U-1 or beyond the utterance)."""
     labels_u = labels.astype(jnp.int32)
     lab_full = jnp.full((B, U_pad), -1, jnp.int32)
     lab_full = jax.lax.dynamic_update_slice(
         lab_full, labels_u[:, : U - 1], (0, 0)
     ) if U > 1 else lab_full
     u_iota = jnp.arange(U_pad, dtype=jnp.int32)[None, :]
-    lab_full = jnp.where(u_iota < label_valid_len[:, None], lab_full, -1)
+    return jnp.where(u_iota < label_valid_len[:, None], lab_full, -1)
+
+
+def _labels_rows(labels, label_valid_len, B, T_pad, U, U_pad, T_t):
+    """(rows, 1) int32 panel: labels[u] for row (b, t, u); -1 where the
+    emit transition is undefined (u >= U-1 or beyond the utterance)."""
+    lab_full = _labels_full(labels, label_valid_len, B, U, U_pad)
     rows = jnp.broadcast_to(lab_full[:, None, :], (B, T_pad, U_pad))
     return rows.reshape(-1, 1)
+
+
+def _gather_label_cols(W, bias, lab_full):
+    """wlab (B, U_pad, H) = W[:, labels] and blab (B, U_pad) = bias[labels]
+    (index 0 / value 0 where no label — the kernels mask by lab >= 0).
+    Must be fed the FULL-width W, never a V chunk."""
+    safe = jnp.maximum(lab_full, 0)
+    wlab = jnp.take(W, safe, axis=1)  # (H, B, U_pad)
+    wlab = jnp.transpose(wlab, (1, 2, 0))
+    blab = jnp.where(lab_full >= 0,
+                     jnp.take(bias.astype(jnp.float32), safe), 0.0)
+    return wlab, blab
+
+
+def _blab_rows(blab, B, T_pad, U_pad):
+    rows = jnp.broadcast_to(blab[:, None, :], (B, T_pad, U_pad))
+    return rows.reshape(-1, 1).astype(jnp.float32)
+
+
+def _apply_label_corrections(dW, db, mlab, ce, lab_full, V):
+    """Fold the label column's -ce gradient into dW/db: the kernels return
+    mlab = sum_t ce*h (B, U_pad, H); here one small scatter-add lands it on
+    the label columns (dW[:, lab[b,u]] -= mlab[b,u]; db[lab] -= sum_t ce).
+    dW/db must be f32 and FULL width."""
+    B, U_pad, H = mlab.shape
+    idx = jnp.where(lab_full >= 0, lab_full, V).reshape(-1)
+    corr = jnp.zeros((V + 1, H), jnp.float32).at[idx].add(
+        mlab.reshape(-1, H))
+    dW = dW - jnp.transpose(corr[:V], (1, 0))
+    U = ce.shape[2]
+    ce_sum = jnp.pad(jnp.sum(ce.astype(jnp.float32), axis=1),
+                     ((0, 0), (0, U_pad - U)))
+    dbc = jnp.zeros((V + 1,), jnp.float32).at[idx].add(ce_sum.reshape(-1))
+    return dW, db - dbc[:V]
 
 
 def _flat_rows(x, B, T, U, T_pad, U_pad, fill=0.0):
@@ -327,7 +400,8 @@ def _flat_rows(x, B, T, U, T_pad, U_pad, fill=0.0):
 @functools.partial(jax.jit, static_argnames=("blank", "interpret", "v_base",
                                              "partial"))
 def fused_prep(e, p, W, bias, labels, label_lengths, blank=0,
-               interpret=False, v_base=0, partial=False):
+               interpret=False, v_base=0, partial=False,
+               wlab=None, blab=None):
     """(denom, lpb, lpe) as (B, T, U) f32 — the joint tensor never exists.
 
     e: (B, T, H), p: (B, U, H) projected trunk activations; W: (H, V),
@@ -336,30 +410,48 @@ def fused_prep(e, p, W, bias, labels, label_lengths, blank=0,
     With ``partial=True`` (the V-chunked path: W here is one V slice whose
     first global column is ``v_base``) returns the unmerged online state
     (m, s, blank_logit, label_logit) instead; ``fused_prep_chunked`` merges
-    the chunks.
+    the chunks. The label logit is computed OUTSIDE the V loop from the
+    gathered W[:, labels] columns: pass ``wlab``/``blab`` (from
+    ``_gather_label_cols`` on the FULL W) on chunked calls; only the
+    v_base == 0 chunk computes it (others report the NEG sentinel).
     """
     B, T, U, H, V, T_t, U_pad, R, T_pad, v_tile, V_pad, n_vt = (
         _common_geometry(e, p, W))
     f32 = jnp.float32
     mm_dtype = jnp.bfloat16 if W.dtype == jnp.bfloat16 else f32
     T_tiles = T_pad // T_t
+    with_label = v_base == 0
 
     e_p = jnp.pad(e, ((0, 0), (0, T_pad - T), (0, 0)))
     p_p = jnp.pad(p, ((0, 0), (0, U_pad - U), (0, 0)))
     W_p = jnp.pad(W, ((0, 0), (0, V_pad - V)))
     bias_p = jnp.pad(bias.astype(f32)[None, :], ((0, 0), (0, V_pad - V)),
                      constant_values=NEG)
-    lab_rows = _labels_rows(labels, label_lengths.astype(jnp.int32),
-                            B, T_pad, U, U_pad, T_t)
+    lab_full = _labels_full(labels, label_lengths.astype(jnp.int32),
+                            B, U, U_pad)
+    lab_rows = jnp.broadcast_to(
+        lab_full[:, None, :], (B, T_pad, U_pad)).reshape(-1, 1)
     rows_total = B * T_pad * U_pad
+
+    extra_in, extra_specs = [], []
+    if with_label:
+        if wlab is None:
+            wlab, blab = _gather_label_cols(W, bias, lab_full)
+        extra_in = [wlab, _blab_rows(blab, B, T_pad, U_pad)]
 
     kernel = functools.partial(
         _prep_kernel, blank=blank, n_vt=n_vt, v_tile=v_tile,
         t_t=T_t, u_pad=U_pad, mm_dtype=mm_dtype, v_base=v_base,
-        partial=partial,
+        partial=partial, with_label=with_label,
     )
     row_spec = pl.BlockSpec((R, 1), lambda b, i: (b * T_tiles + i, 0),
                             memory_space=pltpu.VMEM)
+    if with_label:
+        extra_specs = [
+            pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec,
+        ]
     n_out = 4 if partial else 3
     outs = pl.pallas_call(
         kernel,
@@ -374,60 +466,98 @@ def fused_prep(e, p, W, bias, labels, label_lengths, blank=0,
             pl.BlockSpec((1, V_pad), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
             row_spec,
-        ],
+        ] + extra_specs,
         out_specs=(row_spec,) * n_out,
         out_shape=tuple(
             jax.ShapeDtypeStruct((rows_total, 1), f32) for _ in range(n_out)
         ),
         interpret=interpret,
-    )(e_p, p_p, W_p, bias_p, lab_rows)
+    )(e_p, p_p, W_p, bias_p, lab_rows, *extra_in)
 
     unflat = lambda x: x.reshape(B, T_pad, U_pad)[:, :T, :U]
     return tuple(unflat(o) for o in outs)
 
 
-@functools.partial(jax.jit, static_argnames=("blank", "interpret", "v_base"))
+@functools.partial(jax.jit, static_argnames=("blank", "interpret", "v_base",
+                                             "return_mlab"))
 def fused_grad(e, p, W, bias, labels, label_lengths, denom, coef, cb, ce,
-               blank=0, interpret=False, v_base=0):
+               blank=0, interpret=False, v_base=0, return_mlab=False,
+               wlab=None):
     """(de, dp, dW, db) from the (B, T, U) coefficient fields.
 
     coef/cb/ce must already be valid-masked and cotangent-scaled (zero on
     invalid cells); the dense (B, T, U, V) gradient is formed tile-wise in
-    VMEM and contracted on the spot.
+    VMEM and contracted on the spot. The label column's -ce correction
+    happens outside the V loop (see ``_grad_kernel``); on the resident
+    path its dW/db part is applied here via ``_apply_label_corrections``.
+    Chunked callers pass ``return_mlab=True`` on the v_base == 0 chunk
+    (with the full-W ``wlab``) and apply the corrections after
+    concatenating the dW slices; chunks with v_base > 0 do no label work.
     """
     B, T, U, H, V, T_t, U_pad, R, T_pad, v_tile, V_pad, n_vt = (
         _common_geometry(e, p, W))
     f32 = jnp.float32
     mm_dtype = jnp.bfloat16 if W.dtype == jnp.bfloat16 else f32
     T_tiles = T_pad // T_t
+    with_label = v_base == 0
 
     e_p = jnp.pad(e, ((0, 0), (0, T_pad - T), (0, 0)))
     p_p = jnp.pad(p, ((0, 0), (0, U_pad - U), (0, 0)))
     W_p = jnp.pad(W, ((0, 0), (0, V_pad - V)))
     bias_p = jnp.pad(bias.astype(f32)[None, :], ((0, 0), (0, V_pad - V)),
                      constant_values=NEG)
-    lab_rows = _labels_rows(labels, label_lengths.astype(jnp.int32),
-                            B, T_pad, U, U_pad, T_t)
+    lab_full = _labels_full(labels, label_lengths.astype(jnp.int32),
+                            B, U, U_pad)
+    lab_rows = jnp.broadcast_to(
+        lab_full[:, None, :], (B, T_pad, U_pad)).reshape(-1, 1)
     denom_r = _flat_rows(denom, B, T, U, T_pad, U_pad)
     coef_r = _flat_rows(coef, B, T, U, T_pad, U_pad)
     cb_r = _flat_rows(cb, B, T, U, T_pad, U_pad)
     ce_r = _flat_rows(ce, B, T, U, T_pad, U_pad)
 
+    extra_in, extra_specs = [], []
+    uh_spec = pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    if with_label:
+        if wlab is None:
+            wlab = _gather_label_cols(W, bias, lab_full)[0]
+        extra_in = [wlab]
+        extra_specs = [uh_spec]
+
     kernel = functools.partial(
         _grad_kernel, blank=blank, n_vt=n_vt, v_tile=v_tile,
         t_t=T_t, u_pad=U_pad, mm_dtype=mm_dtype, v_base=v_base,
+        with_label=with_label,
     )
     T_tiles_ = T_tiles
     row_spec = pl.BlockSpec((R, 1), lambda b, i: (b * T_tiles_ + i, 0),
                             memory_space=pltpu.VMEM)
-    de, dp, dW, db = pl.pallas_call(
+    out_specs = (
+        pl.BlockSpec((1, T_t, H), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        uh_spec,
+        pl.BlockSpec((H, V_pad), lambda b, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, V_pad), lambda b, i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((B, T_pad, H), f32),
+        jax.ShapeDtypeStruct((B, U_pad, H), f32),
+        jax.ShapeDtypeStruct((H, V_pad), f32),
+        jax.ShapeDtypeStruct((1, V_pad), f32),
+    )
+    if with_label:
+        out_specs = out_specs + (uh_spec,)
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((B, U_pad, H), f32),)
+    outs = pl.pallas_call(
         kernel,
         grid=(B, T_tiles),
         in_specs=[
             pl.BlockSpec((1, T_t, H), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            uh_spec,
             pl.BlockSpec((H, V_pad), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, V_pad), lambda b, i: (0, 0),
@@ -437,28 +567,27 @@ def fused_grad(e, p, W, bias, labels, label_lengths, denom, coef, cb, ce,
             row_spec,   # coef
             row_spec,   # cb
             row_spec,   # ce
-        ],
-        out_specs=(
-            pl.BlockSpec((1, T_t, H), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, V_pad), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V_pad), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, T_pad, H), f32),
-            jax.ShapeDtypeStruct((B, U_pad, H), f32),
-            jax.ShapeDtypeStruct((H, V_pad), f32),
-            jax.ShapeDtypeStruct((1, V_pad), f32),
-        ),
+        ] + extra_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(e_p, p_p, W_p, bias_p, lab_rows, denom_r, coef_r, cb_r, ce_r)
+    )(e_p, p_p, W_p, bias_p, lab_rows, denom_r, coef_r, cb_r, ce_r,
+      *extra_in)
 
-    return (de[:, :T].astype(e.dtype), dp[:, :U].astype(p.dtype),
-            dW[:, :V].astype(W.dtype), db[0, :V].astype(bias.dtype))
+    if with_label:
+        de, dp, dW, db, mlab = outs
+    else:
+        de, dp, dW, db = outs
+        mlab = None
+    dW = dW[:, :V]
+    db = db[0, :V]
+    if with_label and not return_mlab:
+        dW, db = _apply_label_corrections(dW, db, mlab, ce, lab_full, V)
+    result = (de[:, :T].astype(e.dtype), dp[:, :U].astype(p.dtype),
+              dW.astype(W.dtype), db.astype(bias.dtype))
+    if return_mlab:
+        return result + (mlab,)
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -495,8 +624,11 @@ def fused_prep_tdt(e, p, W, bias, Wd, bias_d, labels, label_lengths,
     bias_p = jnp.pad(bias.astype(f32)[None, :], ((0, 0), (0, V_pad - V)),
                      constant_values=NEG)
     Wd_p, bd_p = _pad_dur_head(Wd, bias_d, H)
-    lab_rows = _labels_rows(labels, label_lengths.astype(jnp.int32),
-                            B, T_pad, U, U_pad, T_t)
+    lab_full = _labels_full(labels, label_lengths.astype(jnp.int32),
+                            B, U, U_pad)
+    lab_rows = jnp.broadcast_to(
+        lab_full[:, None, :], (B, T_pad, U_pad)).reshape(-1, 1)
+    wlab, blab = _gather_label_cols(W, bias, lab_full)
     rows_total = B * T_pad * U_pad
 
     kernel = functools.partial(
@@ -524,6 +656,9 @@ def fused_prep_tdt(e, p, W, bias, Wd, bias_d, labels, label_lengths,
             pl.BlockSpec((1, _D_PAD), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
             row_spec,
+            pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec,
         ],
         out_specs=(row_spec, row_spec, row_spec, drow_spec),
         out_shape=(
@@ -533,7 +668,8 @@ def fused_prep_tdt(e, p, W, bias, Wd, bias_d, labels, label_lengths,
             jax.ShapeDtypeStruct((rows_total, _D_PAD), f32),
         ),
         interpret=interpret,
-    )(e_p, p_p, W_p, bias_p, Wd_p, bd_p, lab_rows)
+    )(e_p, p_p, W_p, bias_p, Wd_p, bd_p, lab_rows, wlab,
+      _blab_rows(blab, B, T_pad, U_pad))
 
     unflat = lambda x: x.reshape(B, T_pad, U_pad)[:, :T, :U]
     dlog = dlog.reshape(B, T_pad, U_pad, _D_PAD)[:, :T, :U, :D]
@@ -560,8 +696,11 @@ def fused_grad_tdt(e, p, W, bias, Wd, labels, label_lengths, denom, coef,
     bias_p = jnp.pad(bias.astype(f32)[None, :], ((0, 0), (0, V_pad - V)),
                      constant_values=NEG)
     Wd_p, _ = _pad_dur_head(Wd, jnp.zeros((D,), f32), H)
-    lab_rows = _labels_rows(labels, label_lengths.astype(jnp.int32),
-                            B, T_pad, U, U_pad, T_t)
+    lab_full = _labels_full(labels, label_lengths.astype(jnp.int32),
+                            B, U, U_pad)
+    lab_rows = jnp.broadcast_to(
+        lab_full[:, None, :], (B, T_pad, U_pad)).reshape(-1, 1)
+    wlab = _gather_label_cols(W, bias, lab_full)[0]
     denom_r = _flat_rows(denom, B, T, U, T_pad, U_pad)
     coef_r = _flat_rows(coef, B, T, U, T_pad, U_pad)
     cb_r = _flat_rows(cb, B, T, U, T_pad, U_pad)
@@ -578,14 +717,15 @@ def fused_grad_tdt(e, p, W, bias, Wd, labels, label_lengths, denom, coef,
                             memory_space=pltpu.VMEM)
     drow_spec = pl.BlockSpec((R, _D_PAD), lambda b, i: (b * T_tiles + i, 0),
                              memory_space=pltpu.VMEM)
-    de, dp, dW, db, dWd = pl.pallas_call(
+    uh_spec = pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    de, dp, dW, db, dWd, mlab = pl.pallas_call(
         kernel,
         grid=(B, T_tiles),
         in_specs=[
             pl.BlockSpec((1, T_t, H), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            uh_spec,
             pl.BlockSpec((H, V_pad), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, V_pad), lambda b, i: (0, 0),
@@ -598,18 +738,19 @@ def fused_grad_tdt(e, p, W, bias, Wd, labels, label_lengths, denom, coef,
             row_spec,   # cb
             row_spec,   # ce
             drow_spec,  # g_dur
+            uh_spec,    # wlab
         ],
         out_specs=(
             pl.BlockSpec((1, T_t, H), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            uh_spec,
             pl.BlockSpec((H, V_pad), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, V_pad), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, _D_PAD), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
+            uh_spec,    # mlab
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, T_pad, H), f32),
@@ -617,13 +758,16 @@ def fused_grad_tdt(e, p, W, bias, Wd, labels, label_lengths, denom, coef,
             jax.ShapeDtypeStruct((H, V_pad), f32),
             jax.ShapeDtypeStruct((1, V_pad), f32),
             jax.ShapeDtypeStruct((H, _D_PAD), f32),
+            jax.ShapeDtypeStruct((B, U_pad, H), f32),
         ),
         interpret=interpret,
     )(e_p, p_p, W_p, bias_p, Wd_p, lab_rows, denom_r, coef_r, cb_r, ce_r,
-      gd_r)
+      gd_r, wlab)
 
+    dW, db = _apply_label_corrections(dW[:, :V], db[0, :V], mlab, ce,
+                                      lab_full, V)
     return (de[:, :T].astype(e.dtype), dp[:, :U].astype(p.dtype),
-            dW[:, :V].astype(W.dtype), db[0, :V].astype(bias.dtype),
+            dW.astype(W.dtype), db.astype(bias.dtype),
             dWd[:, :D].astype(Wd.dtype))
 
 
@@ -792,8 +936,11 @@ def fused_prep_mb(e, p, W, bias, labels, label_lengths, blank=0,
     W_p = jnp.pad(W, ((0, 0), (0, V_pad - V)))
     bias_p = jnp.pad(bias.astype(f32)[None, :], ((0, 0), (0, V_pad - V)),
                      constant_values=NEG)
-    lab_rows = _labels_rows(labels, label_lengths.astype(jnp.int32),
-                            B, T_pad, U, U_pad, T_t)
+    lab_full = _labels_full(labels, label_lengths.astype(jnp.int32),
+                            B, U, U_pad)
+    lab_rows = jnp.broadcast_to(
+        lab_full[:, None, :], (B, T_pad, U_pad)).reshape(-1, 1)
+    wlab, blab = _gather_label_cols(W, bias, lab_full)
     rows_total = B * T_pad * U_pad
 
     kernel = functools.partial(
@@ -817,6 +964,9 @@ def fused_prep_mb(e, p, W, bias, labels, label_lengths, blank=0,
             pl.BlockSpec((1, V_pad), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
             row_spec,
+            pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec,
         ],
         out_specs=(row_spec, row_spec, row_spec, xrow_spec),
         out_shape=(
@@ -826,7 +976,8 @@ def fused_prep_mb(e, p, W, bias, labels, label_lengths, blank=0,
             jax.ShapeDtypeStruct((rows_total, _D_PAD), f32),
         ),
         interpret=interpret,
-    )(e_p, p_p, W_p, bias_p, lab_rows)
+    )(e_p, p_p, W_p, bias_p, lab_rows, wlab,
+      _blab_rows(blab, B, T_pad, U_pad))
 
     unflat = lambda x: x.reshape(B, T_pad, U_pad)[:, :T, :U]
     lpx = lpx.reshape(B, T_pad, U_pad, _D_PAD)[:, :T, :U, :K]
@@ -852,8 +1003,11 @@ def fused_grad_mb(e, p, W, bias, labels, label_lengths, denom, coef, cb,
     W_p = jnp.pad(W, ((0, 0), (0, V_pad - V)))
     bias_p = jnp.pad(bias.astype(f32)[None, :], ((0, 0), (0, V_pad - V)),
                      constant_values=NEG)
-    lab_rows = _labels_rows(labels, label_lengths.astype(jnp.int32),
-                            B, T_pad, U, U_pad, T_t)
+    lab_full = _labels_full(labels, label_lengths.astype(jnp.int32),
+                            B, U, U_pad)
+    lab_rows = jnp.broadcast_to(
+        lab_full[:, None, :], (B, T_pad, U_pad)).reshape(-1, 1)
+    wlab = _gather_label_cols(W, bias, lab_full)[0]
     denom_r = _flat_rows(denom, B, T, U, T_pad, U_pad)
     coef_r = _flat_rows(coef, B, T, U, T_pad, U_pad)
     cb_r = _flat_rows(cb, B, T, U, T_pad, U_pad)
@@ -870,14 +1024,15 @@ def fused_grad_mb(e, p, W, bias, labels, label_lengths, denom, coef, cb,
                             memory_space=pltpu.VMEM)
     xrow_spec = pl.BlockSpec((R, _D_PAD), lambda b, i: (b * T_tiles + i, 0),
                              memory_space=pltpu.VMEM)
-    de, dp, dW, db = pl.pallas_call(
+    uh_spec = pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    de, dp, dW, db, mlab = pl.pallas_call(
         kernel,
         grid=(B, T_tiles),
         in_specs=[
             pl.BlockSpec((1, T_t, H), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            uh_spec,
             pl.BlockSpec((H, V_pad), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, V_pad), lambda b, i: (0, 0),
@@ -888,28 +1043,33 @@ def fused_grad_mb(e, p, W, bias, labels, label_lengths, denom, coef, cb,
             row_spec,   # cb
             row_spec,   # ce
             xrow_spec,  # cX
+            uh_spec,    # wlab
         ],
         out_specs=(
             pl.BlockSpec((1, T_t, H), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            uh_spec,
             pl.BlockSpec((H, V_pad), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, V_pad), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
+            uh_spec,    # mlab
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, T_pad, H), f32),
             jax.ShapeDtypeStruct((B, U_pad, H), f32),
             jax.ShapeDtypeStruct((H, V_pad), f32),
             jax.ShapeDtypeStruct((1, V_pad), f32),
+            jax.ShapeDtypeStruct((B, U_pad, H), f32),
         ),
         interpret=interpret,
-    )(e_p, p_p, W_p, bias_p, lab_rows, denom_r, coef_r, cb_r, ce_r, cx_r)
+    )(e_p, p_p, W_p, bias_p, lab_rows, denom_r, coef_r, cb_r, ce_r, cx_r,
+      wlab)
 
+    dW, db = _apply_label_corrections(dW[:, :V], db[0, :V], mlab, ce,
+                                      lab_full, V)
     return (de[:, :T].astype(e.dtype), dp[:, :U].astype(p.dtype),
-            dW[:, :V].astype(W.dtype), db[0, :V].astype(bias.dtype))
+            dW.astype(W.dtype), db.astype(bias.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -980,17 +1140,29 @@ def _chunk_slices(e, p, W, bias, n_c):
 
 def fused_prep_chunked(e, p, W, bias, labels, label_lengths, blank=0,
                        interpret=False):
-    """``fused_prep`` for W of any size: V-chunked with logsumexp merge."""
+    """``fused_prep`` for W of any size: V-chunked with logsumexp merge.
+
+    The label logit is V-independent (gathered full-W columns), so only
+    the v_base == 0 chunk computes it; the others report NEG and the max
+    merge passes it through."""
     n_c = fused_n_chunks(e, p, W, backward=False)
     if n_c <= 1:
         return fused_prep(e, p, W, bias, labels, label_lengths,
                           blank=blank, interpret=interpret)
+    B, T, H = e.shape
+    U = p.shape[1]
+    U_pad = _row_geometry(T, U)[1]
+    lab_full = _labels_full(labels, label_lengths.astype(jnp.int32),
+                            B, U, U_pad)
+    wlab, blab = _gather_label_cols(W, bias, lab_full)
     W_p, bias_p, cols, v_c = _chunk_slices(e, p, W, bias, n_c)
     ms, ss, bls, les = [], [], [], []
     for c in range(n_c):
+        kw = dict(wlab=wlab, blab=blab) if c == 0 else {}
         m, s, bl, le = fused_prep(
             e, p, cols(W_p, c), cols(bias_p, c), labels, label_lengths,
             blank=blank, interpret=interpret, v_base=c * v_c, partial=True,
+            **kw,
         )
         ms.append(m); ss.append(s); bls.append(bl); les.append(le)
     m = functools.reduce(jnp.maximum, ms)
@@ -1003,24 +1175,40 @@ def fused_prep_chunked(e, p, W, bias, labels, label_lengths, blank=0,
 
 def fused_grad_chunked(e, p, W, bias, labels, label_lengths, denom, coef,
                        cb, ce, blank=0, interpret=False):
-    """``fused_grad`` for W of any size: per-chunk dW/db, summed de/dp."""
+    """``fused_grad`` for W of any size: per-chunk dW/db, summed de/dp.
+
+    Only the v_base == 0 chunk does label work (dh correction + mlab,
+    against the full-W wlab); the label columns' dW/db corrections are
+    applied here after the chunk slices are concatenated."""
     n_c = fused_n_chunks(e, p, W, backward=True)
     if n_c <= 1:
         return fused_grad(e, p, W, bias, labels, label_lengths, denom,
                           coef, cb, ce, blank=blank, interpret=interpret)
+    B, T, H = e.shape
+    U = p.shape[1]
+    U_pad = _row_geometry(T, U)[1]
+    lab_full = _labels_full(labels, label_lengths.astype(jnp.int32),
+                            B, U, U_pad)
+    wlab = _gather_label_cols(W, bias, lab_full)[0]
     W_p, bias_p, cols, v_c = _chunk_slices(e, p, W, bias, n_c)
-    de = dp = None
+    de = dp = mlab = None
     dWs, dbs = [], []
     for c in range(n_c):
-        dec, dpc, dWc, dbc = fused_grad(
+        out = fused_grad(
             e, p, cols(W_p, c), cols(bias_p, c), labels, label_lengths,
             denom, coef, cb, ce, blank=blank, interpret=interpret,
             v_base=c * v_c,
+            **(dict(return_mlab=True, wlab=wlab) if c == 0 else {}),
         )
+        if c == 0:
+            dec, dpc, dWc, dbc, mlab = out
+        else:
+            dec, dpc, dWc, dbc = out
         de = dec if de is None else de + dec
         dp = dpc if dp is None else dp + dpc
         dWs.append(dWc); dbs.append(dbc)
     V = W.shape[1]
-    dW = jnp.concatenate(dWs, axis=1)[:, :V]
-    db = jnp.concatenate(dbs, axis=0)[:V]
-    return de, dp, dW, db
+    dW = jnp.concatenate(dWs, axis=1)[:, :V].astype(jnp.float32)
+    db = jnp.concatenate(dbs, axis=0)[:V].astype(jnp.float32)
+    dW, db = _apply_label_corrections(dW, db, mlab, ce, lab_full, V)
+    return de, dp, dW.astype(W.dtype), db.astype(bias.dtype)
