@@ -256,6 +256,7 @@ def data_parallel_multiblank_loss(
     reduction: str = "mean",
     fastemit_lambda: float = 0.0,
     delay_penalty: float = 0.0,
+    implementation: str = "auto",
 ) -> jax.Array:
     """Multi-blank transducer loss (arXiv 2211.03541) with the utterance
     batch sharded over ``mesh[axis]``; same contract as
@@ -284,7 +285,7 @@ def data_parallel_multiblank_loss(
         costs = rnnt_loss_multiblank(
             a, l, il, ll, durs, blank=blank, big_blank_indices=idx,
             sigma=sigma, reduction="none", fastemit_lambda=fastemit_lambda,
-            delay_penalty=delay_penalty,
+            delay_penalty=delay_penalty, implementation=implementation,
         )
         if reduction == "none":
             return costs
@@ -310,6 +311,7 @@ def data_parallel_tdt_loss(
     reduction: str = "mean",
     fastemit_lambda: float = 0.0,
     delay_penalty: float = 0.0,
+    implementation: str = "auto",
 ) -> jax.Array:
     """Token-and-Duration Transducer loss (arXiv 2304.06795) with the
     utterance batch sharded over ``mesh[axis]``; differentiable w.r.t.
@@ -336,7 +338,7 @@ def data_parallel_tdt_loss(
         costs = rnnt_loss_tdt(
             t, d, l, il, ll, durs, blank=blank, sigma=sigma,
             reduction="none", fastemit_lambda=fastemit_lambda,
-            delay_penalty=delay_penalty,
+            delay_penalty=delay_penalty, implementation=implementation,
         )
         if reduction == "none":
             return costs
