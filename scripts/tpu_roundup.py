@@ -104,8 +104,11 @@ def main():
                 return 1
             continue
         dt = time.time() - t0
+        with open(f"/tmp/tpu_roundup_item{i:02d}.log", "w") as f:
+            f.write(r.stdout + "\n--- stderr ---\n" + r.stderr)
         tail = "\n".join((r.stdout + r.stderr).splitlines()[-15:])
-        log(f"item {i} exit={r.returncode} in {dt:.0f}s\n{tail}")
+        log(f"item {i} exit={r.returncode} in {dt:.0f}s "
+            f"(full: /tmp/tpu_roundup_item{i:02d}.log)\n{tail}")
         if i == 1 and r.returncode != 0:
             log("tunnel down — aborting round-up")
             return 1
