@@ -598,3 +598,60 @@ class TestNativeFusedVariants:
         loss.backward()
         assert all(t.grad is not None and torch.isfinite(t.grad).all()
                    for t in (e, p, W, b, Wd, bd))
+
+
+class TestTorchJaxBackend:
+    """backend="jax": torch tensors bridged through dlpack into the JAX op
+    (the accelerator-resident torch path; here it runs on the CPU JAX
+    backend). Must match the golden fixtures and the native backend."""
+
+    def test_small_golden_autograd(self):
+        torch = pytest.importorskip("torch")
+        from warp_transducer_tpu.bindings.torch_binding import rnnt_loss
+
+        acts = torch.tensor(G.SMALL_ACTS, dtype=torch.float32,
+                            requires_grad=True)
+        labels = torch.tensor(G.SMALL_LABELS, dtype=torch.int32)
+        il = torch.tensor(G.SMALL_INPUT_LENGTHS, dtype=torch.int32)
+        ll = torch.tensor(G.SMALL_LABEL_LENGTHS, dtype=torch.int32)
+        loss = rnnt_loss(acts, labels, il, ll, reduction="sum",
+                         backend="jax")
+        loss.backward()
+        np.testing.assert_allclose(float(loss), G.SMALL_COST, rtol=1e-5)
+        np.testing.assert_allclose(acts.grad.numpy(), G.SMALL_GRADS_ACTS,
+                                   atol=1e-5)
+
+    def test_matches_native_backend(self):
+        torch = pytest.importorskip("torch")
+        from warp_transducer_tpu.bindings.torch_binding import rnnt_loss
+
+        rng = np.random.RandomState(3)
+        B, T, U, V = 3, 7, 4, 6
+        acts_np = rng.randn(B, T, U, V).astype(np.float32)
+        labels = torch.tensor(rng.randint(1, V, (B, U - 1)),
+                              dtype=torch.int32)
+        il = torch.tensor([7, 5, 6], dtype=torch.int32)
+        ll = torch.tensor([3, 2, 3], dtype=torch.int32)
+
+        outs = {}
+        for backend in ("native", "jax"):
+            acts = torch.tensor(acts_np, requires_grad=True)
+            loss = rnnt_loss(acts, labels, il, ll, reduction="mean",
+                             fastemit_lambda=0.1, backend=backend)
+            loss.backward()
+            outs[backend] = (float(loss), acts.grad.numpy())
+        np.testing.assert_allclose(outs["jax"][0], outs["native"][0],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(outs["jax"][1], outs["native"][1],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_module_and_score_only(self):
+        torch = pytest.importorskip("torch")
+        from warp_transducer_tpu.bindings.torch_binding import RNNTLoss
+
+        acts = torch.tensor(G.BIG_ACTS, dtype=torch.float32)  # no grad
+        labels = torch.tensor(G.BIG_LABELS, dtype=torch.int32)
+        il = torch.tensor(G.BIG_INPUT_LENGTHS, dtype=torch.int32)
+        ll = torch.tensor(G.BIG_LABEL_LENGTHS, dtype=torch.int32)
+        loss = RNNTLoss(reduction="none", backend="jax")(acts, labels, il, ll)
+        np.testing.assert_allclose(loss.numpy(), G.BIG_COSTS, rtol=1e-5)

@@ -1,10 +1,21 @@
-"""PyTorch autograd binding over the native CPU backend.
+"""PyTorch autograd binding over the native CPU backend (or the JAX op).
 
 Drop-in for the reference's ``warprnnt_pytorch``
 (/root/reference/pytorch_binding/warprnnt_pytorch/__init__.py): an
 autograd ``Function`` whose forward computes costs + caches the analytic
 gradient, a functional ``rnnt_loss`` and a module ``RNNTLoss`` with
-none|sum|mean reductions.  CPU tensors only — the TPU path is the JAX API.
+none|sum|mean reductions.
+
+Two backends (the reference's CPU/GPU dispatch analog,
+``binding.cpp:46-156``):
+
+* ``backend="native"`` (default) — the C++ OpenMP engine via ctypes;
+  CPU tensors, zero Python in the hot loop.
+* ``backend="jax"`` — torch tensors bridged through dlpack (zero-copy on
+  CPU) into the JAX op, which runs on JAX's default device: on a TPU
+  host this IS the accelerator-resident torch path (the XLA/Pallas
+  engines compute, only the host<->device transfer is paid — exactly
+  what the reference's ``gpu_rnnt`` binding does with CUDA memcpys).
 """
 from __future__ import annotations
 
@@ -45,6 +56,84 @@ def _certify(acts, labels, act_lens, label_lens):
         )
 
 
+def _to_jax(t):
+    """torch CPU tensor -> JAX array; dlpack zero-copy when the CPU
+    platform is available, numpy fallback otherwise."""
+    import jax
+    import jax.numpy as jnp
+
+    t = t.detach().contiguous()
+    try:
+        return jax.dlpack.from_dlpack(t)
+    except Exception:
+        return jnp.asarray(t.numpy())
+
+
+def _jax_compute(compute_grads, blank, from_log_probs, fastemit_lambda,
+                 delay_penalty):
+    """Shape-polymorphic jitted (costs, grads) on JAX's default device;
+    one cache entry per static-config tuple (jit handles shape specialisation)."""
+    import jax
+
+    key = (compute_grads, blank, from_log_probs, fastemit_lambda,
+           delay_penalty)
+    fn = _jax_compute._cache.get(key)
+    if fn is None:
+        from ..ops.rnnt import rnnt_loss, rnnt_loss_and_grad
+
+        if compute_grads:
+            def f(a, l, il, ll):
+                return rnnt_loss_and_grad(
+                    a, l, il, ll, blank=blank,
+                    log_probs_input=from_log_probs,
+                    fastemit_lambda=fastemit_lambda,
+                    delay_penalty=delay_penalty)
+        else:
+            def f(a, l, il, ll):
+                return rnnt_loss(
+                    a, l, il, ll, blank=blank, reduction="none",
+                    log_probs_input=from_log_probs,
+                    fastemit_lambda=fastemit_lambda,
+                    delay_penalty=delay_penalty), None
+        fn = _jax_compute._cache[key] = jax.jit(f)
+    return fn
+
+
+_jax_compute._cache = {}
+
+
+class _RNNTFunctionJax(Function):
+    """The JAX-backend twin of ``_RNNTFunction``: same contract, compute
+    runs through the XLA/Pallas engines on JAX's default device."""
+
+    @staticmethod
+    def forward(ctx, acts, labels, act_lens, label_lens, blank, reduction,
+                from_log_probs, fastemit_lambda, delay_penalty):
+        _certify(acts, labels, act_lens, label_lens)
+        fn = _jax_compute(acts.requires_grad, blank, from_log_probs,
+                          fastemit_lambda, delay_penalty)
+        costs_j, grads_j = fn(_to_jax(acts), _to_jax(labels),
+                              _to_jax(act_lens), _to_jax(label_lens))
+
+        def to_torch(x):
+            try:  # zero-copy when devices line up
+                return torch.from_dlpack(x).to(acts.dtype)
+            except Exception:
+                return torch.from_numpy(np.asarray(x).copy()).to(acts.dtype)
+
+        costs = to_torch(costs_j)
+        grads = (to_torch(grads_j) if grads_j is not None
+                 else torch.zeros(0, dtype=acts.dtype))
+        costs, (grads,) = _reduce(costs, [grads], reduction, acts.size(0))
+        ctx.grads = grads
+        return costs
+
+    @staticmethod
+    def backward(ctx, grad_output):
+        g = grad_output.view(-1, 1, 1, 1).to(ctx.grads)
+        return ctx.grads.mul(g), None, None, None, None, None, None, None, None
+
+
 class _RNNTFunction(Function):
     @staticmethod
     def forward(ctx, acts, labels, act_lens, label_lens, blank, reduction,
@@ -78,18 +167,23 @@ class _RNNTFunction(Function):
 
 
 def rnnt_loss(acts, labels, act_lens, label_lens, blank=0, reduction="mean",
-              from_log_probs=False, fastemit_lambda=0.0, delay_penalty=0.0):
+              from_log_probs=False, fastemit_lambda=0.0, delay_penalty=0.0,
+              backend="native"):
     """Functional RNN-T loss on CPU torch tensors.
 
     Unlike the reference, the log-softmax is fused by default (gradients are
     w.r.t. raw activations); pass ``from_log_probs=True`` for pre-normalised
     inputs with sparse gradients. ``fastemit_lambda`` scales the emit-arc
     gradient by (1 + λ) (FastEmit, arXiv:2010.11148); the loss value is
-    unchanged.
+    unchanged. ``backend="jax"`` routes through the JAX op (dlpack bridge);
+    on a TPU host the loss then computes on the accelerator.
     """
     if reduction not in ("none", "sum", "mean"):
         raise ValueError(f"reduction must be none|sum|mean, got {reduction!r}")
-    return _RNNTFunction.apply(
+    if backend not in ("native", "jax"):
+        raise ValueError(f"backend must be native|jax, got {backend!r}")
+    fn = _RNNTFunctionJax if backend == "jax" else _RNNTFunction
+    return fn.apply(
         acts, labels, act_lens, label_lens, blank, reduction, from_log_probs,
         fastemit_lambda, delay_penalty,
     )
@@ -97,13 +191,14 @@ def rnnt_loss(acts, labels, act_lens, label_lens, blank=0, reduction="mean",
 
 class RNNTLoss(torch.nn.Module):
     def __init__(self, blank=0, reduction="mean", from_log_probs=False,
-                 fastemit_lambda=0.0, delay_penalty=0.0):
+                 fastemit_lambda=0.0, delay_penalty=0.0, backend="native"):
         super().__init__()
         self.blank = blank
         self.reduction = reduction
         self.from_log_probs = from_log_probs
         self.fastemit_lambda = fastemit_lambda
         self.delay_penalty = delay_penalty
+        self.backend = backend
 
     def forward(self, acts, labels, act_lens, label_lens):
         return rnnt_loss(
@@ -112,6 +207,7 @@ class RNNTLoss(torch.nn.Module):
             from_log_probs=self.from_log_probs,
             fastemit_lambda=self.fastemit_lambda,
             delay_penalty=self.delay_penalty,
+            backend=self.backend,
         )
 
 
