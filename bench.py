@@ -363,10 +363,13 @@ def bench_extras(B, T, L, V, s_range=5, seed=0):
     return rows
 
 
-def bench_variants(B, T, L, V, seed=0):
+def bench_variants(B, T, L, V, seed=0, impl="auto"):
     """The duration-arc loss families (multi-blank, TDT): loss+grad slope
-    times on this shape. XLA t-major scan engines (no Pallas operand-layout
-    trap, so the fori-loop harness is exact)."""
+    times on this shape. ``impl`` picks the lattice engine: 'auto' (the
+    pending-window Pallas kernel on TPU), 'xla' (t-major scan), 'pallas'.
+    Note the fori harness's a*(1+eps) perturbation materialises one acts
+    copy per step when the lattice is a Pallas call (CLAUDE.md) — a few
+    percent at these shapes, identical across engines."""
     import os
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
@@ -390,7 +393,8 @@ def bench_variants(B, T, L, V, seed=0):
     rows = []
 
     mb_lg = jax.value_and_grad(lambda a: rnnt_loss_multiblank(
-        a, labels, il, ll, (2, 4), sigma=0.05, reduction="sum"))
+        a, labels, il, ll, (2, 4), sigma=0.05, reduction="sum",
+        implementation=impl))
 
     @jax.jit
     def run_mb(a, n):
@@ -402,13 +406,14 @@ def bench_variants(B, T, L, V, seed=0):
 
     ms = slope_time_ms(lambda n: run_mb(acts, n))
     rows.append({
-        "metric": f"rnnt_loss_multiblank+grad ms, B={B},T={T},L={L},V={V},K={K}",
+        "metric": f"rnnt_loss_multiblank+grad ms, B={B},T={T},L={L},V={V},K={K},{impl}",
         "value": round(ms, 3), "unit": "ms", "vs_baseline": None,
     })
 
     tdt_lg = jax.value_and_grad(
         lambda t, d: rnnt_loss_tdt(t, d, labels, il, ll, durs_tdt,
-                                   sigma=0.05, reduction="sum"),
+                                   sigma=0.05, reduction="sum",
+                                   implementation=impl),
         argnums=(0, 1),
     )
 
@@ -422,7 +427,7 @@ def bench_variants(B, T, L, V, seed=0):
 
     ms = slope_time_ms(lambda n: run_tdt(acts, dur, n))
     rows.append({
-        "metric": f"rnnt_loss_tdt+grad ms, B={B},T={T},L={L},V={V},D={len(durs_tdt)}",
+        "metric": f"rnnt_loss_tdt+grad ms, B={B},T={T},L={L},V={V},D={len(durs_tdt)},{impl}",
         "value": round(ms, 3), "unit": "ms", "vs_baseline": None,
     })
     return rows
@@ -498,6 +503,9 @@ def main():
                    help="bench the factorised/pruned losses on this shape")
     p.add_argument("--variants", action="store_true",
                    help="bench the multi-blank and TDT losses on this shape")
+    p.add_argument("--variants-impl", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="lattice engine for --variants")
     p.add_argument("--tdt-fused", action="store_true",
                    help="bench the fused TDT joint+loss on this shape")
     p.add_argument("--fused", action="store_true",
@@ -528,7 +536,8 @@ def main():
         return
 
     if args.variants:
-        for row in bench_variants(args.B, args.T, args.L, args.V):
+        for row in bench_variants(args.B, args.T, args.L, args.V,
+                                  impl=args.variants_impl):
             print(json.dumps(row), flush=True)
         return
 
