@@ -392,40 +392,40 @@ def bench_variants(B, T, L, V, seed=0, impl="auto"):
 
     rows = []
 
-    mb_lg = jax.value_and_grad(lambda a: rnnt_loss_multiblank(
-        a, labels, il, ll, (2, 4), sigma=0.05, reduction="sum",
-        implementation=impl))
+    # Donation-chain harness (the big-config mode of bench_config): each
+    # call's gradient becomes the next call's input. The fori-loop harness
+    # MATERIALISES the a*(1+eps) perturbation copy whenever the lattice is
+    # a Pallas call and keeps extra while-carry buffers — measured +1-2 ms
+    # of pure harness overhead on these losses at the headline shape
+    # (mb 3.88 "fori" vs 1.64 ms donation-chain on the same engine).
+    def chain_ms(gf, a0):
+        gf = jax.jit(gf, donate_argnums=0)
+        state = {"a": a0 + 0.0}
 
-    @jax.jit
-    def run_mb(a, n):
-        def body(i, c):
-            loss, g = mb_lg(a * (1.0 + c * 1e-30))
-            return loss * 1e-12 + g[0, 0, 0, 0] * 1e-12
+        def run(n):
+            a = state["a"]
+            for _ in range(int(n)):
+                a = gf(a)
+            state["a"] = a
+            return a
 
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return slope_time_ms(run, n_cap=256)
 
-    ms = slope_time_ms(lambda n: run_mb(acts, n))
+    ms = chain_ms(
+        lambda a: jax.value_and_grad(lambda x: rnnt_loss_multiblank(
+            x, labels, il, ll, (2, 4), sigma=0.05, reduction="sum",
+            implementation=impl))(a)[1],
+        acts)
     rows.append({
         "metric": f"rnnt_loss_multiblank+grad ms, B={B},T={T},L={L},V={V},K={K},{impl}",
         "value": round(ms, 3), "unit": "ms", "vs_baseline": None,
     })
 
-    tdt_lg = jax.value_and_grad(
-        lambda t, d: rnnt_loss_tdt(t, d, labels, il, ll, durs_tdt,
-                                   sigma=0.05, reduction="sum",
-                                   implementation=impl),
-        argnums=(0, 1),
-    )
-
-    @jax.jit
-    def run_tdt(t, d, n):
-        def body(i, c):
-            loss, (gt, gd) = tdt_lg(t * (1.0 + c * 1e-30), d)
-            return loss * 1e-12 + gt[0, 0, 0, 0] * 1e-12 + gd[0, 0, 0, 0] * 1e-12
-
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    ms = slope_time_ms(lambda n: run_tdt(acts, dur, n))
+    ms = chain_ms(
+        lambda t: jax.value_and_grad(lambda x: rnnt_loss_tdt(
+            x, dur, labels, il, ll, durs_tdt, sigma=0.05, reduction="sum",
+            implementation=impl))(t)[1],
+        acts)
     rows.append({
         "metric": f"rnnt_loss_tdt+grad ms, B={B},T={T},L={L},V={V},D={len(durs_tdt)},{impl}",
         "value": round(ms, 3), "unit": "ms", "vs_baseline": None,

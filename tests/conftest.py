@@ -56,10 +56,23 @@ def pytest_configure(config):
         "markers",
         "tpu_fp64: fp64-on-accelerator check; exempt from the TPU fp64 skip",
     )
+    config.addinivalue_line(
+        "markers",
+        "full_suite: heavyweight redundant-coverage test; runs only with "
+        "WTT_FULL_SUITE=1 (the default gate keeps one representative per "
+        "family — see CLAUDE.md)",
+    )
+
+
+_FULL_SUITE = os.environ.get("WTT_FULL_SUITE") == "1"
 
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
+        if "full_suite" in item.keywords and not _FULL_SUITE:
+            item.add_marker(pytest.mark.skip(
+                reason="full-matrix test; set WTT_FULL_SUITE=1"))
+            continue
         if (_TPU_MODE and "tpu_fp64" not in item.keywords and any(
                 tag in item.nodeid for tag in ("float64", "fp64", "f64"))):
             # fp64-parametrised CPU tests assume native doubles; on TPU the

@@ -45,7 +45,11 @@ def _case(seed):
     return B, T, U, V, blank, lam, acts, labels, il, ll
 
 
-SEEDS = list(range(10))
+# The full 10-seed matrix runs with WTT_FULL_SUITE=1; the default gate
+# keeps 3 seeds per property (the oracles are f64 loops — the dominant
+# cost of the CPU suite).
+import os as _os
+SEEDS = list(range(10 if _os.environ.get("WTT_FULL_SUITE") == "1" else 3))
 
 
 @pytest.mark.parametrize("seed", SEEDS)

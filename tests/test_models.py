@@ -70,13 +70,18 @@ def test_graft_entry_single_chip():
 
 
 def test_graft_entry_multichip():
+    """The driver's multi-chip dryrun. The default gate compiles the
+    'core' family subset (dense + pruned-fused + TDT-fused — one per
+    sharding mechanism); WTT_FULL_SUITE=1 compiles all eight train steps
+    exactly as the driver does."""
     import importlib.util, os
     spec = importlib.util.spec_from_file_location(
         "graft_entry", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    mod.dryrun_multichip(8)
+    families = ("all" if os.environ.get("WTT_FULL_SUITE") == "1" else "core")
+    mod.dryrun_multichip(8, families=families)
 
 
 class TestPrunedTraining:

@@ -168,8 +168,11 @@ def test_prune_ranges_fuzz_contract_and_no_nan():
     utterances — U_b-1 > T_b*(S-1) — get a huge cost and zero grads)."""
     from warp_transducer_tpu.ops.simple import rnnt_loss_simple
 
+    import os as _os
+
     B, T, U, V, S = 2, 10, 8, 6, 3
-    for seed in range(40):
+    n_seeds = 40 if _os.environ.get("WTT_FULL_SUITE") == "1" else 10
+    for seed in range(n_seeds):
         rng = np.random.RandomState(seed)
         am = jnp.asarray(rng.randn(B, T, V), jnp.float32)
         lm = jnp.asarray(rng.randn(B, U, V), jnp.float32)

@@ -231,6 +231,7 @@ class TestPrunedFusedSharded:
         ranges[:, 0] = 0
         return e, p, W, bias, jnp.asarray(ranges, jnp.int32), labels, il, ll, S
 
+    @pytest.mark.full_suite
     def test_costs_and_gradients_match_single_device(self, mesh):
         from warp_transducer_tpu.ops.pruned_fused import rnnt_loss_pruned_fused
         from warp_transducer_tpu.parallel.sharding import (
@@ -285,6 +286,7 @@ class TestMultiblankTDTSharded:
         np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
                                    atol=1e-6)
 
+    @pytest.mark.full_suite
     def test_tdt_costs_and_grads_match(self, mesh):
         from warp_transducer_tpu import rnnt_loss_tdt
         from warp_transducer_tpu.parallel.sharding import (
@@ -314,6 +316,7 @@ class TestMultiblankTDTSharded:
 
 
 class TestFusedVariantsSharded:
+    @pytest.mark.full_suite
     def test_tdt_fused_costs_and_all_grads_match(self, mesh):
         from warp_transducer_tpu import rnnt_loss_tdt_fused_joint
         from warp_transducer_tpu.parallel.sharding import (
@@ -350,6 +353,7 @@ class TestFusedVariantsSharded:
             np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                        atol=1e-6, err_msg=name)
 
+    @pytest.mark.full_suite
     def test_multiblank_fused_costs_and_grads_match(self, mesh):
         from warp_transducer_tpu import rnnt_loss_multiblank_fused_joint
         from warp_transducer_tpu.parallel.sharding import (

@@ -273,6 +273,23 @@ def _multiblank_grad(acts, denom, lpb, lpe, lpB, lat, labels_u, durations,
     return g.astype(out_dtype)
 
 
+# Below this T, 'auto' keeps the XLA scan: the streamed kernel's panel
+# build/readback overhead slightly outweighs the dispatch savings at short
+# T (measured donation-chain at B=128,T=150: 1.64 ms XLA vs 1.81 ms
+# kernel), while at T=1500 the kernel wins 3-3.7x (B=16: 64.6 -> 21.4 ms
+# multi-blank, 67.9 -> 18.5 ms TDT).
+_WINDOW_MIN_T = 256
+
+
+def _resolve_window_impl(implementation: str, T: int) -> str:
+    from .rnnt import _pick_implementation
+
+    impl = _pick_implementation(implementation)
+    if implementation == "auto" and impl == "pallas" and T < _WINDOW_MIN_T:
+        return "xla"
+    return impl
+
+
 def _mb_lattice_dispatch(lpb, lpe, lpB, durations, input_lengths,
                          label_lengths, implementation):
     """Engine switch: 'xla' = the fused t-major scan above; 'pallas' = the
@@ -396,7 +413,7 @@ def rnnt_loss_multiblank(
         raise ValueError(f"delay_penalty must be >= 0, got {delay_penalty}")
     durs, idx = _resolve_indices(acts.shape[-1], int(blank),
                                  big_blank_durations, big_blank_indices)
-    impl = _pick_implementation(implementation)
+    impl = _resolve_window_impl(implementation, acts.shape[1])
     costs = _mb_costs(acts, labels, input_lengths, label_lengths, int(blank),
                       durs, idx, float(sigma), float(fastemit_lambda),
                       float(delay_penalty), impl)

@@ -26,13 +26,20 @@ Arc algebra (static, baked into the kernel via partial):
 * ``emit_arcs``: (m, chs) arcs (t, u) -> (t+m, u+1) — pending slot m-1
   with a one-lane shift (TDT token arcs with d >= 1).
 
-Carry: a W-slot pending window P (alpha arrivals for rows t+1..t+W) and
-the last W beta rows — each a tuple of W (B_pad, U_pad) tiles, shifted by
-RENAMING (tuple reindex), never by data movement. Alpha (ascending) and
-beta (descending) share one loop: step k advances alpha on row k and beta
-on row T-1-k. Terminal arcs (a blank-family arc landing exactly on T_b at
-u = U_b-1) are folded into llf during the alpha sweep and into the beta
-seed, mirroring the XLA engines cell-for-cell.
+State: a W-slot pending window P (alpha arrivals for rows t..t+W-1) and
+the last W beta rows — each a RING BUFFER in VMEM scratch (row r lives at
+slot r % W, dynamic leading-dim indexing). Rings beat the natural
+loop-carried tuple-of-tiles design twice over: no W-1 tile moves per step
+(renamed tuple carries force Mosaic to insert real copies at the loop
+back-edge), and no splat-initialised carries (Mosaic resolves those to a
+replicated register layout and then cannot relayout the computed loop
+body back into it — "Invalid relayout: non-singleton dimension is
+replicated in destination", a hardware-compile failure the client-side
+lowering check does not reach). Alpha (ascending) and beta (descending)
+share one loop: step k advances row k and row T-1-k. Terminal arcs (a
+blank-family arc landing exactly on T_b at u = U_b-1) are folded into
+llf during the alpha sweep and into the beta seed, mirroring the XLA
+engines cell-for-cell.
 """
 from __future__ import annotations
 
@@ -97,7 +104,7 @@ def _rev_cumlse_lane(x, lane_iota, neg):
 def _window_kernel(
     tb_ref, ub_ref, chans_hbm,
     alpha_hbm, beta_hbm, llf_ref, llb_ref,
-    in_f, in_b, a_out, b_out, in_sems, out_sems,
+    in_f, in_b, a_out, b_out, P_ring, bw_ring, in_sems, out_sems,
     *, n_pad: int, ch: int, W: int,
     chain_chs, blank_arcs, emit_arcs,
 ):
@@ -110,6 +117,8 @@ def _window_kernel(
     Ub = ub_ref[...]
     u_iota = jax.lax.broadcasted_iota(jnp.int32, (Bp, Up), 1)
     final_lane = u_iota == Ub - 1
+    neg_tile = jnp.where(u_iota >= 0, neg, 0.0)  # iota-backed: never a
+    # replicated-layout splat (see module docstring)
 
     def valid(t):
         return (t < Tb) & (u_iota < Ub)
@@ -141,8 +150,14 @@ def _window_kernel(
     in_dma(0, 0, 0).start()
     in_dma(0, 0, 1).start()
 
+    # P_ring[r % W] accumulates alpha arrivals for row r; bw_ring[r % W]
+    # holds beta row r while rows r-W..r-1 still need it.
+    for j in range(W):
+        P_ring[j] = neg_tile
+        bw_ring[j] = neg_tile
+
     def chunk_body(c, carry):
-        P, bw, llf, llb = carry
+        llf, llb = carry
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < NCH)
@@ -158,12 +173,12 @@ def _window_kernel(
             out_dma(slot, c - 2, 0).wait()
             out_dma(slot, c - 2, 1).wait()
 
-        def step(k, inner):
-            P, bw, llf, llb = inner
-            t = c * ch + k
-
-            # ---- alpha on row t (ascending) ------------------------------
-            ne = P[0]
+        def row_alpha(t, k, t_slot, llf):
+            """Alpha on row t (buffer row k); all ring slots STATIC —
+            dynamic VMEM indexing in the hot loop measured ~2x slower
+            (address generation defeats Mosaic's pipelining), so the
+            caller unrolls W rows per iteration with t % W == t_slot."""
+            ne = P_ring[t_slot]
             ne = jnp.where((t == 0) & (u_iota == 0), 0.0, ne)
             if chain_chs is not None:
                 wch = jnp.maximum(wsum(in_f, slot, k, chain_chs), _CLAMP)
@@ -174,10 +189,13 @@ def _window_kernel(
             a_t = jnp.where(valid(t), a_t, neg)
             a_out[slot, k] = a_t
 
-            newP = list(P[1:]) + [jnp.full((Bp, Up), neg, f32)]
+            # free the slot BEFORE the arc writes: an m == W arc lands on
+            # row t+W, which reuses slot t % W
+            P_ring[t_slot] = neg_tile
             for m, chs in blank_arcs:
                 w = wsum(in_f, slot, k, chs)
-                newP[m - 1] = _lse(newP[m - 1], a_t + w)
+                s_m = (t_slot + m) % W
+                P_ring[s_m] = _lse(P_ring[s_m], a_t + w)
                 # terminal arc: lands exactly on T_b at the last label
                 cand = jnp.sum(
                     jnp.where(final_lane & valid(t), a_t + w, 0.0),
@@ -186,21 +204,21 @@ def _window_kernel(
                 llf = jnp.where(hit, _lse(llf, cand), llf)
             for m, chs in emit_arcs:
                 w = wsum(in_f, slot, k, chs)
-                newP[m - 1] = _lse(newP[m - 1],
-                                   _shift_right(a_t + w, neg))
-            P = tuple(newP)
+                s_m = (t_slot + m) % W
+                P_ring[s_m] = _lse(P_ring[s_m], _shift_right(a_t + w, neg))
+            return llf
 
-            # ---- beta on row r = n_pad-1-t (descending) ------------------
-            r = n_pad - 1 - t
-            kk = ch - 1 - k
-            nb = jnp.full((Bp, Up), neg, f32)
+        def row_beta(r, kk, r_slot, llb):
+            """Beta on row r (buffer row kk), static slots as above."""
+            nb = neg_tile
             for m, chs in blank_arcs:
                 w = wsum(in_b, slot, kk, chs)
-                nb = _lse(nb, w + bw[m - 1])
+                nb = _lse(nb, w + bw_ring[(r_slot + m) % W])
                 nb = _lse(nb, jnp.where((r + m == Tb) & final_lane, w, neg))
             for m, chs in emit_arcs:
                 w = wsum(in_b, slot, kk, chs)
-                nb = _lse(nb, w + _shift_left(bw[m - 1], neg))
+                nb = _lse(nb, w + _shift_left(bw_ring[(r_slot + m) % W],
+                                              neg))
             if chain_chs is not None:
                 wchb = jnp.maximum(wsum(in_b, slot, kk, chain_chs), _CLAMP)
                 cb = _excl_cumsum_lane(wchb, u_iota)
@@ -209,27 +227,36 @@ def _window_kernel(
                 b_r = nb
             b_r = jnp.where(valid(r), b_r, neg)
             b_out[slot, kk] = b_r
-            bw = (b_r,) + bw[:-1]
+            # row r+W (stored at this slot) was needed by rows > r only
+            bw_ring[r_slot] = b_r
 
             cand_b = jnp.sum(jnp.where(u_iota == 0, b_r, 0.0),
                              axis=1, keepdims=True)
-            llb = jnp.where(r == 0, cand_b, llb)
+            return jnp.where(r == 0, cand_b, llb)
 
-            return P, bw, llf, llb
+        def step(g, inner):
+            """One iteration = W consecutive rows; ch % W == 0 and
+            n_pad % W == 0 keep every slot index static."""
+            llf, llb = inner
+            base = c * ch + g * W
+            for j in range(W):
+                t = base + j
+                llf = row_alpha(t, g * W + j, j, llf)
+                # r = n_pad - 1 - t; n_pad % W == 0 makes its slot static
+                r_slot = (W - 1 - j) % W
+                llb = row_beta(n_pad - 1 - t, ch - 1 - (g * W + j),
+                               r_slot, llb)
+            return llf, llb
 
-        carry = jax.lax.fori_loop(0, ch, step, (P, bw, llf, llb))
+        carry = jax.lax.fori_loop(0, ch // W, step, (llf, llb))
         out_dma(slot, c, 0).start()
         out_dma(slot, c, 1).start()
         return carry
 
-    tile = lambda: jnp.full((Bp, Up), neg, f32)
-    init = (
-        tuple(tile() for _ in range(W)),   # P: alpha pending window
-        tuple(tile() for _ in range(W)),   # bw: last W beta rows
-        jnp.full((Bp, 1), neg, f32),       # llf
-        jnp.full((Bp, 1), neg, f32),       # llb
-    )
-    _, _, llf, llb = jax.lax.fori_loop(0, NCH, chunk_body, init)
+    # (Bp, 1) splat carries are fine (singleton-lane replication is legal;
+    # wavefront_stream carries its llf the same way at B=128)
+    col = jnp.full((Bp, 1), neg, f32)
+    llf, llb = jax.lax.fori_loop(0, NCH, chunk_body, (col, col))
 
     last = NCH - 1
     out_dma(jax.lax.rem(last, 2), last, 0).wait()
@@ -252,7 +279,9 @@ def _window_stream(chans, input_lengths, label_lengths,
                    chain_chs, blank_arcs, emit_arcs, interpret):
     """Run the pending-window sweep.
 
-    chans: (C, B, T, U) f32 stacked per-row channel caches.
+    chans: (C, B, T, U) f32 stacked per-row channel caches, or the
+    prebuilt (T, C, B, U) panel (``panel_major=True`` callers transpose
+    at the producer so XLA fuses the reorientation into prep).
     Returns (alphas, betas, llf, llb) with (B, T, U) lattices.
     """
     C, B, T, U = chans.shape
@@ -260,6 +289,9 @@ def _window_stream(chans, input_lengths, label_lengths,
     U_pad = _round_up(U, _LANES)
     B_pad = _round_up(B, _SUBLANES)
     ch = _pick_chunk(B_pad, U_pad, C)
+    # the kernel's inner loop processes W rows per iteration with static
+    # ring slots; ch and hence n_pad must be multiples of W
+    ch = max(W, (ch // W) * W)
     n_pad = _round_up(T, ch)
 
     panel = jnp.pad(
@@ -272,6 +304,44 @@ def _window_stream(chans, input_lengths, label_lengths,
                  constant_values=1)[:, None]
     ub = jnp.pad(label_lengths.astype(jnp.int32) + 1, (0, B_pad - B),
                  constant_values=1)[:, None]
+    return _run_window_kernel(panel, tb, ub, B, T, U, ch, n_pad, W,
+                              chain_chs, blank_arcs, emit_arcs, interpret)
+
+
+def window_geometry(T, W, B, U, C):
+    """(ch, n_pad, B_pad, U_pad) the kernel will use — callers building
+    the (n_pad, C, B_pad, U_pad) panel at the producer need these."""
+    U_pad = _round_up(U, _LANES)
+    B_pad = _round_up(B, _SUBLANES)
+    ch = _pick_chunk(B_pad, U_pad, C)
+    ch = max(W, (ch // W) * W)
+    return ch, _round_up(T, ch), B_pad, U_pad
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "U", "chain_chs", "blank_arcs", "emit_arcs",
+                     "interpret"))
+def _window_stream_panel(panel, input_lengths, label_lengths, T, U,
+                         chain_chs, blank_arcs, emit_arcs, interpret):
+    """As ``_window_stream`` but on a prebuilt NEG-padded
+    (n_pad, C, B_pad, U_pad) panel (from ``window_geometry`` shapes)."""
+    n_pad, C, B_pad, U_pad = panel.shape
+    B = input_lengths.shape[0]
+    W = max(m for m, _ in blank_arcs + emit_arcs)
+    ch, n_pad2, _, _ = window_geometry(T, W, B, U, C)
+    assert n_pad2 == n_pad, (n_pad2, n_pad)
+    tb = jnp.pad(input_lengths.astype(jnp.int32), (0, B_pad - B),
+                 constant_values=1)[:, None]
+    ub = jnp.pad(label_lengths.astype(jnp.int32) + 1, (0, B_pad - B),
+                 constant_values=1)[:, None]
+    return _run_window_kernel(panel, tb, ub, B, T, U, ch, n_pad, W,
+                              chain_chs, blank_arcs, emit_arcs, interpret)
+
+
+def _run_window_kernel(panel, tb, ub, B, T, U, ch, n_pad, W,
+                       chain_chs, blank_arcs, emit_arcs, interpret):
+    n_pad_, C, B_pad, U_pad = panel.shape
 
     kernel = functools.partial(
         _window_kernel, n_pad=n_pad, ch=ch, W=W,
@@ -300,6 +370,8 @@ def _window_stream(chans, input_lengths, label_lengths,
         scratch_shapes=[
             inbuf(), inbuf(),    # forward / backward channel chunks
             outbuf(), outbuf(),  # alpha / beta chunks
+            pltpu.VMEM((W, B_pad, U_pad), jnp.float32),  # P ring
+            pltpu.VMEM((W, B_pad, U_pad), jnp.float32),  # bw ring
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],

@@ -435,10 +435,11 @@ def rnnt_loss_tdt(
         raise ValueError(f"fastemit_lambda must be >= 0, got {fastemit_lambda}")
     if delay_penalty < 0:
         raise ValueError(f"delay_penalty must be >= 0, got {delay_penalty}")
-    from .rnnt import _certify_inputs, _pick_implementation
+    from .multiblank import _resolve_window_impl
+    from .rnnt import _certify_inputs
 
     _certify_inputs(token_logits, labels, input_lengths, label_lengths)
-    impl = _pick_implementation(implementation)
+    impl = _resolve_window_impl(implementation, token_logits.shape[1])
     costs = _tdt_costs(token_logits, duration_logits, labels, input_lengths,
                        label_lengths, int(blank), durs, float(sigma),
                        float(fastemit_lambda), float(delay_penalty), impl)
