@@ -396,8 +396,10 @@ def rnnt_loss_multiblank(
       implementation: 'auto' | 'xla' | 'pallas'. The duration arcs break
         the anti-diagonal wavefront's 2-neighbour structure, so both
         engines run the pending-window t-recursion: 'xla' as a fused
-        t-major scan, 'pallas' (default on TPU) as one streamed kernel
-        invocation (``pallas/window_stream.py``).
+        t-major scan, 'pallas' as one streamed kernel invocation
+        (``pallas/window_stream.py``; 3-3.7x faster at long T). 'auto'
+        picks the kernel on TPU when T >= 256 and the scan otherwise
+        (the kernel's panel overhead loses at short T).
 
     Returns (B,) costs for reduction='none', scalar otherwise.
     Differentiable w.r.t. acts. With K=0 this is exactly ``rnnt_loss``.

@@ -411,7 +411,8 @@ def rnnt_loss_tdt(
         ``rnnt_loss`` (both act on the token-emit arcs).
       implementation: 'auto' | 'xla' | 'pallas' — XLA pending-window scan
         vs the single-invocation streamed Pallas kernel
-        (``pallas/window_stream.py``; default on TPU).
+        (``pallas/window_stream.py``; 3.7x faster at T=1500). 'auto'
+        picks the kernel on TPU when T >= 256, the scan otherwise.
 
     Returns (B,) costs for reduction='none', scalar otherwise.
     Differentiable w.r.t. both logits tensors.
