@@ -283,6 +283,13 @@ def grad_panels(acts, lab_panel, lpb_p, lpe_p, den_p, alpha_p, beta_p,
         out_specs=pl.BlockSpec((B, Tc, SV), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T_pad, SV), acts.dtype),
+        # Mosaic's stack allocator does not reuse buffers across the
+        # unrolled segment loop (~26 live (B,Tc,SV) temps at B=128), which
+        # blows the DEFAULT 16 MiB scoped-vmem limit; v5e has 128 MiB of
+        # physical VMEM, so raise the scope instead of shrinking Tc further
+        # (smaller blocks measured slower).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xf, lab_panel, lpb_p, lpe_p, den_p, alpha_p, beta_p, beta_next,
       ranges_p, db_p, tb, ub, llf, scale_p)

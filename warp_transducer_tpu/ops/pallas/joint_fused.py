@@ -89,7 +89,7 @@ def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
                  blank: int, n_vt: int, v_tile: int, t_t: int, u_pad: int,
                  mm_dtype, v_base: int = 0, partial: bool = False,
                  with_dur: bool = False, extra_cols: tuple = (),
-                 with_label: bool = True):
+                 with_label: bool = True, lab_bf16: bool = True):
     """One (batch, T-tile) row block.
 
     Default outputs: (denom, lpb, lpe).  With ``partial=True`` the outputs
@@ -144,8 +144,14 @@ def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
     s = jnp.zeros((R, 1), f32)
     blank_logit = jnp.full((R, 1), neg, f32)
     if with_label:
-        wl = wlab_ref[0].astype(mm_dtype).astype(f32)  # (U_pad, H)
-        ll3 = jnp.sum(h3.astype(mm_dtype).astype(f32) * wl[None], axis=2,
+        # Round the product inputs to whatever the V-loop matmul rounds
+        # to: the TPU MXU's DEFAULT f32 precision rounds matmul inputs to
+        # bf16 (f32 accumulate) — full-f32 products here measured 2e-3
+        # relative drift vs the unfused reference on hardware. Interpret
+        # mode (CPU) does exact-f32 matmuls, so there lab_bf16=False.
+        bf = jnp.bfloat16 if lab_bf16 else f32
+        wl = wlab_ref[0].astype(bf).astype(f32)  # (U_pad, H)
+        ll3 = jnp.sum(h3.astype(bf).astype(f32) * wl[None], axis=2,
                       keepdims=True)  # (T_t, U_pad, 1)
         lab_logit = ll3.reshape(R, 1) + blab_ref[...]
         lab_logit = jnp.where(lab >= 0, lab_logit, neg)
@@ -209,7 +215,8 @@ def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
 def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
                  blank: int, n_vt: int, v_tile: int, t_t: int, u_pad: int,
                  mm_dtype, v_base: int = 0, with_dur: bool = False,
-                 extra_cols: tuple = (), with_label: bool = True):
+                 extra_cols: tuple = (), with_label: bool = True,
+                 lab_bf16: bool = True):
     """The label column's -ce correction never touches the V loop (the old
     per-tile compare/select was 2 full passes over every logits tile): its
     dh contribution is -ce * wlab[u] directly, and its dW/db contribution
@@ -266,11 +273,14 @@ def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
 
     dh = jnp.zeros((R, H), f32)
     if with_label:
-        # ce is zero wherever lab == -1, so no mask is needed
+        # ce is zero wherever lab == -1, so no mask is needed; round wl/h
+        # as in the forward (matches the platform's matmul precision)
+        bf = jnp.bfloat16 if lab_bf16 else f32
         ce3 = ce.reshape(t_t, u_pad, 1)
-        wl = wlab_ref[0].astype(mm_dtype).astype(f32)  # (U_pad, H)
+        wl = wlab_ref[0].astype(bf).astype(f32)  # (U_pad, H)
         dh = dh - (ce3 * wl[None]).reshape(R, H)
-        mlab_ref[0] += jnp.sum(ce3 * h3, axis=0)  # (U_pad, H)
+        mlab_ref[0] += jnp.sum(
+            ce3 * h3.astype(bf).astype(f32), axis=0)  # (U_pad, H)
     if with_dur:
         # duration head: its cotangent joins dh before the tanh backprop
         # (padded D columns of gd are zero, so they contribute nothing)
@@ -442,7 +452,7 @@ def fused_prep(e, p, W, bias, labels, label_lengths, blank=0,
     kernel = functools.partial(
         _prep_kernel, blank=blank, n_vt=n_vt, v_tile=v_tile,
         t_t=T_t, u_pad=U_pad, mm_dtype=mm_dtype, v_base=v_base,
-        partial=partial, with_label=with_label,
+        partial=partial, with_label=with_label, lab_bf16=not interpret,
     )
     row_spec = pl.BlockSpec((R, 1), lambda b, i: (b * T_tiles + i, 0),
                             memory_space=pltpu.VMEM)
@@ -527,7 +537,7 @@ def fused_grad(e, p, W, bias, labels, label_lengths, denom, coef, cb, ce,
     kernel = functools.partial(
         _grad_kernel, blank=blank, n_vt=n_vt, v_tile=v_tile,
         t_t=T_t, u_pad=U_pad, mm_dtype=mm_dtype, v_base=v_base,
-        with_label=with_label,
+        with_label=with_label, lab_bf16=not interpret,
     )
     T_tiles_ = T_tiles
     row_spec = pl.BlockSpec((R, 1), lambda b, i: (b * T_tiles_ + i, 0),
@@ -634,6 +644,7 @@ def fused_prep_tdt(e, p, W, bias, Wd, bias_d, labels, label_lengths,
     kernel = functools.partial(
         _prep_kernel, blank=blank, n_vt=n_vt, v_tile=v_tile,
         t_t=T_t, u_pad=U_pad, mm_dtype=mm_dtype, with_dur=True,
+        lab_bf16=not interpret,
     )
     row_spec = pl.BlockSpec((R, 1), lambda b, i: (b * T_tiles + i, 0),
                             memory_space=pltpu.VMEM)
@@ -712,6 +723,7 @@ def fused_grad_tdt(e, p, W, bias, Wd, labels, label_lengths, denom, coef,
     kernel = functools.partial(
         _grad_kernel, blank=blank, n_vt=n_vt, v_tile=v_tile,
         t_t=T_t, u_pad=U_pad, mm_dtype=mm_dtype, with_dur=True,
+        lab_bf16=not interpret,
     )
     row_spec = pl.BlockSpec((R, 1), lambda b, i: (b * T_tiles + i, 0),
                             memory_space=pltpu.VMEM)
@@ -946,6 +958,7 @@ def fused_prep_mb(e, p, W, bias, labels, label_lengths, blank=0,
     kernel = functools.partial(
         _prep_kernel, blank=blank, n_vt=n_vt, v_tile=v_tile,
         t_t=T_t, u_pad=U_pad, mm_dtype=mm_dtype, extra_cols=extra_cols,
+        lab_bf16=not interpret,
     )
     row_spec = pl.BlockSpec((R, 1), lambda b, i: (b * T_tiles + i, 0),
                             memory_space=pltpu.VMEM)
@@ -1019,6 +1032,7 @@ def fused_grad_mb(e, p, W, bias, labels, label_lengths, denom, coef, cb,
     kernel = functools.partial(
         _grad_kernel, blank=blank, n_vt=n_vt, v_tile=v_tile,
         t_t=T_t, u_pad=U_pad, mm_dtype=mm_dtype, extra_cols=extra_cols,
+        lab_bf16=not interpret,
     )
     row_spec = pl.BlockSpec((R, 1), lambda b, i: (b * T_tiles + i, 0),
                             memory_space=pltpu.VMEM)
