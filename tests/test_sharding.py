@@ -182,6 +182,7 @@ class TestFusedJointSharded:
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
 
+    @pytest.mark.full_suite
     def test_all_gradients_match_single_device(self, mesh):
         """de/dp stay sharded; dW/db must be the full cross-shard psum."""
         from warp_transducer_tpu.ops.fused_joint import rnnt_loss_fused_joint
@@ -263,6 +264,7 @@ class TestPrunedFusedSharded:
 
 
 class TestMultiblankTDTSharded:
+    @pytest.mark.full_suite
     def test_multiblank_costs_and_grads_match(self, mesh):
         from warp_transducer_tpu import rnnt_loss_multiblank
         from warp_transducer_tpu.parallel.sharding import (
