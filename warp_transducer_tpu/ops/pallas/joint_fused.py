@@ -215,13 +215,18 @@ def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
 def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
                  blank: int, n_vt: int, v_tile: int, t_t: int, u_pad: int,
                  mm_dtype, v_base: int = 0, with_dur: bool = False,
-                 extra_cols: tuple = (), with_label: bool = True,
-                 lab_bf16: bool = True):
-    """The label column's -ce correction never touches the V loop (the old
-    per-tile compare/select was 2 full passes over every logits tile): its
-    dh contribution is -ce * wlab[u] directly, and its dW/db contribution
-    is returned as the small mlab = sum_t ce*h panel for a host-side
-    scatter into the label columns (``_apply_label_corrections``)."""
+                 extra_cols: tuple = ()):
+    """The label column's -ce correction MUST stay inside the V loop: the
+    label-column gradient is coef*p_lab - ce, two nearly-cancelling O(1)
+    terms whose difference is often ~1e-3.  The MXU's DEFAULT f32 precision
+    rounds matmul inputs to bf16, so subtracting in f32 BEFORE the
+    ``astype(mm_dtype)`` rounds the small difference (matching the unfused
+    reference, which feeds g - ce*onehot through one matmul), while any
+    out-of-loop ``dh -= ce*wlab`` correction rounds the two large terms
+    separately and scatters de at the bf16 ulp of g (measured 7e-4 abs /
+    0.36 rel on hardware at the test shapes — catastrophic cancellation no
+    rounding trick fixes).  The per-tile compare/select costs ~2 VPU passes
+    over each logits tile; correctness owns that cost."""
     f32 = jnp.float32
     R = t_t * u_pad
     H = e_ref.shape[2]
@@ -238,13 +243,9 @@ def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
         cx = cx_ref[...]  # (R, 128); columns >= K are zero
     else:
         lab_ref, denom_ref, coef_ref, cb_ref, ce_ref, *refs = refs
-    if with_label:
-        wlab_ref, *refs = refs
     de_ref, dp_ref, dw_ref, db_ref, *refs = refs
     if with_dur:
-        dwd_ref, *refs = refs
-    if with_label:
-        (mlab_ref,) = refs
+        (dwd_ref,) = refs
 
     e_t = e_ref[0].astype(f32)
     p_t = p_ref[0].astype(f32)
@@ -268,19 +269,8 @@ def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
     @pl.when(i == 0)
     def _():
         dp_ref[...] = jnp.zeros_like(dp_ref)
-        if with_label:
-            mlab_ref[...] = jnp.zeros_like(mlab_ref)
 
     dh = jnp.zeros((R, H), f32)
-    if with_label:
-        # ce is zero wherever lab == -1, so no mask is needed; round wl/h
-        # as in the forward (matches the platform's matmul precision)
-        bf = jnp.bfloat16 if lab_bf16 else f32
-        ce3 = ce.reshape(t_t, u_pad, 1)
-        wl = wlab_ref[0].astype(bf).astype(f32)  # (U_pad, H)
-        dh = dh - (ce3 * wl[None]).reshape(R, H)
-        mlab_ref[0] += jnp.sum(
-            ce3 * h3.astype(bf).astype(f32), axis=0)  # (U_pad, H)
     if with_dur:
         # duration head: its cotangent joins dh before the tanh backprop
         # (padded D columns of gd are zero, so they contribute nothing)
@@ -308,6 +298,9 @@ def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
             if k * v_tile <= xcol - v_base < (k + 1) * v_tile:
                 c = xcol - v_base - k * v_tile
                 g = g - jnp.where(col == c, cx[:, kk:kk + 1], 0.0)
+        # label column (per-row dynamic): ce is zero wherever lab == -1,
+        # and lab - v_base - k*v_tile < 0 there, so no extra mask
+        g = g - jnp.where(col == (lab - v_base - k * v_tile), ce, 0.0)
 
         dh = dh + jax.lax.dot_general(
             g.astype(mm_dtype), w_k.astype(mm_dtype),
@@ -380,23 +373,6 @@ def _gather_label_cols(W, bias, lab_full):
 def _blab_rows(blab, B, T_pad, U_pad):
     rows = jnp.broadcast_to(blab[:, None, :], (B, T_pad, U_pad))
     return rows.reshape(-1, 1).astype(jnp.float32)
-
-
-def _apply_label_corrections(dW, db, mlab, ce, lab_full, V):
-    """Fold the label column's -ce gradient into dW/db: the kernels return
-    mlab = sum_t ce*h (B, U_pad, H); here one small scatter-add lands it on
-    the label columns (dW[:, lab[b,u]] -= mlab[b,u]; db[lab] -= sum_t ce).
-    dW/db must be f32 and FULL width."""
-    B, U_pad, H = mlab.shape
-    idx = jnp.where(lab_full >= 0, lab_full, V).reshape(-1)
-    corr = jnp.zeros((V + 1, H), jnp.float32).at[idx].add(
-        mlab.reshape(-1, H))
-    dW = dW - jnp.transpose(corr[:V], (1, 0))
-    U = ce.shape[2]
-    ce_sum = jnp.pad(jnp.sum(ce.astype(jnp.float32), axis=1),
-                     ((0, 0), (0, U_pad - U)))
-    dbc = jnp.zeros((V + 1,), jnp.float32).at[idx].add(ce_sum.reshape(-1))
-    return dW, db - dbc[:V]
 
 
 def _flat_rows(x, B, T, U, T_pad, U_pad, fill=0.0):
@@ -488,28 +464,25 @@ def fused_prep(e, p, W, bias, labels, label_lengths, blank=0,
     return tuple(unflat(o) for o in outs)
 
 
-@functools.partial(jax.jit, static_argnames=("blank", "interpret", "v_base",
-                                             "return_mlab"))
+@functools.partial(jax.jit, static_argnames=("blank", "interpret", "v_base"))
 def fused_grad(e, p, W, bias, labels, label_lengths, denom, coef, cb, ce,
-               blank=0, interpret=False, v_base=0, return_mlab=False,
-               wlab=None):
+               blank=0, interpret=False, v_base=0):
     """(de, dp, dW, db) from the (B, T, U) coefficient fields.
 
     coef/cb/ce must already be valid-masked and cotangent-scaled (zero on
     invalid cells); the dense (B, T, U, V) gradient is formed tile-wise in
-    VMEM and contracted on the spot. The label column's -ce correction
-    happens outside the V loop (see ``_grad_kernel``); on the resident
-    path its dW/db part is applied here via ``_apply_label_corrections``.
-    Chunked callers pass ``return_mlab=True`` on the v_base == 0 chunk
-    (with the full-W ``wlab``) and apply the corrections after
-    concatenating the dW slices; chunks with v_base > 0 do no label work.
+    VMEM and contracted on the spot. The label column's -ce lands in-loop
+    (see ``_grad_kernel`` — the f32 cancellation must happen before the
+    MXU's bf16 input rounding), so V-chunked callers need no label
+    plumbing: the chunk owning the label's global column (ids in
+    ``labels`` stay global; ``v_base`` is this chunk's first column)
+    applies it naturally.
     """
     B, T, U, H, V, T_t, U_pad, R, T_pad, v_tile, V_pad, n_vt = (
         _common_geometry(e, p, W))
     f32 = jnp.float32
     mm_dtype = jnp.bfloat16 if W.dtype == jnp.bfloat16 else f32
     T_tiles = T_pad // T_t
-    with_label = v_base == 0
 
     e_p = jnp.pad(e, ((0, 0), (0, T_pad - T), (0, 0)))
     p_p = jnp.pad(p, ((0, 0), (0, U_pad - U), (0, 0)))
@@ -525,19 +498,12 @@ def fused_grad(e, p, W, bias, labels, label_lengths, denom, coef, cb, ce,
     cb_r = _flat_rows(cb, B, T, U, T_pad, U_pad)
     ce_r = _flat_rows(ce, B, T, U, T_pad, U_pad)
 
-    extra_in, extra_specs = [], []
     uh_spec = pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
                            memory_space=pltpu.VMEM)
-    if with_label:
-        if wlab is None:
-            wlab = _gather_label_cols(W, bias, lab_full)[0]
-        extra_in = [wlab]
-        extra_specs = [uh_spec]
 
     kernel = functools.partial(
         _grad_kernel, blank=blank, n_vt=n_vt, v_tile=v_tile,
         t_t=T_t, u_pad=U_pad, mm_dtype=mm_dtype, v_base=v_base,
-        with_label=with_label, lab_bf16=not interpret,
     )
     T_tiles_ = T_tiles
     row_spec = pl.BlockSpec((R, 1), lambda b, i: (b * T_tiles_ + i, 0),
@@ -557,11 +523,7 @@ def fused_grad(e, p, W, bias, labels, label_lengths, denom, coef, cb, ce,
         jax.ShapeDtypeStruct((H, V_pad), f32),
         jax.ShapeDtypeStruct((1, V_pad), f32),
     )
-    if with_label:
-        out_specs = out_specs + (uh_spec,)
-        out_shape = out_shape + (
-            jax.ShapeDtypeStruct((B, U_pad, H), f32),)
-    outs = pl.pallas_call(
+    de, dp, dW, db = pl.pallas_call(
         kernel,
         grid=(B, T_tiles),
         in_specs=[
@@ -577,27 +539,14 @@ def fused_grad(e, p, W, bias, labels, label_lengths, denom, coef, cb, ce,
             row_spec,   # coef
             row_spec,   # cb
             row_spec,   # ce
-        ] + extra_specs,
+        ],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(e_p, p_p, W_p, bias_p, lab_rows, denom_r, coef_r, cb_r, ce_r,
-      *extra_in)
+    )(e_p, p_p, W_p, bias_p, lab_rows, denom_r, coef_r, cb_r, ce_r)
 
-    if with_label:
-        de, dp, dW, db, mlab = outs
-    else:
-        de, dp, dW, db = outs
-        mlab = None
-    dW = dW[:, :V]
-    db = db[0, :V]
-    if with_label and not return_mlab:
-        dW, db = _apply_label_corrections(dW, db, mlab, ce, lab_full, V)
-    result = (de[:, :T].astype(e.dtype), dp[:, :U].astype(p.dtype),
-              dW.astype(W.dtype), db.astype(bias.dtype))
-    if return_mlab:
-        return result + (mlab,)
-    return result
+    return (de[:, :T].astype(e.dtype), dp[:, :U].astype(p.dtype),
+            dW[:, :V].astype(W.dtype), db[0, :V].astype(bias.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -711,7 +660,6 @@ def fused_grad_tdt(e, p, W, bias, Wd, labels, label_lengths, denom, coef,
                             B, U, U_pad)
     lab_rows = jnp.broadcast_to(
         lab_full[:, None, :], (B, T_pad, U_pad)).reshape(-1, 1)
-    wlab = _gather_label_cols(W, bias, lab_full)[0]
     denom_r = _flat_rows(denom, B, T, U, T_pad, U_pad)
     coef_r = _flat_rows(coef, B, T, U, T_pad, U_pad)
     cb_r = _flat_rows(cb, B, T, U, T_pad, U_pad)
@@ -723,7 +671,6 @@ def fused_grad_tdt(e, p, W, bias, Wd, labels, label_lengths, denom, coef,
     kernel = functools.partial(
         _grad_kernel, blank=blank, n_vt=n_vt, v_tile=v_tile,
         t_t=T_t, u_pad=U_pad, mm_dtype=mm_dtype, with_dur=True,
-        lab_bf16=not interpret,
     )
     row_spec = pl.BlockSpec((R, 1), lambda b, i: (b * T_tiles + i, 0),
                             memory_space=pltpu.VMEM)
@@ -731,7 +678,7 @@ def fused_grad_tdt(e, p, W, bias, Wd, labels, label_lengths, denom, coef,
                              memory_space=pltpu.VMEM)
     uh_spec = pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
                            memory_space=pltpu.VMEM)
-    de, dp, dW, db, dWd, mlab = pl.pallas_call(
+    de, dp, dW, db, dWd = pl.pallas_call(
         kernel,
         grid=(B, T_tiles),
         in_specs=[
@@ -750,7 +697,6 @@ def fused_grad_tdt(e, p, W, bias, Wd, labels, label_lengths, denom, coef,
             row_spec,   # cb
             row_spec,   # ce
             drow_spec,  # g_dur
-            uh_spec,    # wlab
         ],
         out_specs=(
             pl.BlockSpec((1, T_t, H), lambda b, i: (b, i, 0),
@@ -762,7 +708,6 @@ def fused_grad_tdt(e, p, W, bias, Wd, labels, label_lengths, denom, coef,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, _D_PAD), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            uh_spec,    # mlab
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, T_pad, H), f32),
@@ -770,16 +715,13 @@ def fused_grad_tdt(e, p, W, bias, Wd, labels, label_lengths, denom, coef,
             jax.ShapeDtypeStruct((H, V_pad), f32),
             jax.ShapeDtypeStruct((1, V_pad), f32),
             jax.ShapeDtypeStruct((H, _D_PAD), f32),
-            jax.ShapeDtypeStruct((B, U_pad, H), f32),
         ),
         interpret=interpret,
     )(e_p, p_p, W_p, bias_p, Wd_p, lab_rows, denom_r, coef_r, cb_r, ce_r,
-      gd_r, wlab)
+      gd_r)
 
-    dW, db = _apply_label_corrections(dW[:, :V], db[0, :V], mlab, ce,
-                                      lab_full, V)
     return (de[:, :T].astype(e.dtype), dp[:, :U].astype(p.dtype),
-            dW.astype(W.dtype), db.astype(bias.dtype),
+            dW[:, :V].astype(W.dtype), db[0, :V].astype(bias.dtype),
             dWd[:, :D].astype(Wd.dtype))
 
 
@@ -1020,7 +962,6 @@ def fused_grad_mb(e, p, W, bias, labels, label_lengths, denom, coef, cb,
                             B, U, U_pad)
     lab_rows = jnp.broadcast_to(
         lab_full[:, None, :], (B, T_pad, U_pad)).reshape(-1, 1)
-    wlab = _gather_label_cols(W, bias, lab_full)[0]
     denom_r = _flat_rows(denom, B, T, U, T_pad, U_pad)
     coef_r = _flat_rows(coef, B, T, U, T_pad, U_pad)
     cb_r = _flat_rows(cb, B, T, U, T_pad, U_pad)
@@ -1032,7 +973,6 @@ def fused_grad_mb(e, p, W, bias, labels, label_lengths, denom, coef, cb,
     kernel = functools.partial(
         _grad_kernel, blank=blank, n_vt=n_vt, v_tile=v_tile,
         t_t=T_t, u_pad=U_pad, mm_dtype=mm_dtype, extra_cols=extra_cols,
-        lab_bf16=not interpret,
     )
     row_spec = pl.BlockSpec((R, 1), lambda b, i: (b * T_tiles + i, 0),
                             memory_space=pltpu.VMEM)
@@ -1040,7 +980,7 @@ def fused_grad_mb(e, p, W, bias, labels, label_lengths, denom, coef, cb,
                              memory_space=pltpu.VMEM)
     uh_spec = pl.BlockSpec((1, U_pad, H), lambda b, i: (b, 0, 0),
                            memory_space=pltpu.VMEM)
-    de, dp, dW, db, mlab = pl.pallas_call(
+    de, dp, dW, db = pl.pallas_call(
         kernel,
         grid=(B, T_tiles),
         in_specs=[
@@ -1057,7 +997,6 @@ def fused_grad_mb(e, p, W, bias, labels, label_lengths, denom, coef, cb,
             row_spec,   # cb
             row_spec,   # ce
             xrow_spec,  # cX
-            uh_spec,    # wlab
         ],
         out_specs=(
             pl.BlockSpec((1, T_t, H), lambda b, i: (b, i, 0),
@@ -1067,23 +1006,18 @@ def fused_grad_mb(e, p, W, bias, labels, label_lengths, denom, coef, cb,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, V_pad), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            uh_spec,    # mlab
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, T_pad, H), f32),
             jax.ShapeDtypeStruct((B, U_pad, H), f32),
             jax.ShapeDtypeStruct((H, V_pad), f32),
             jax.ShapeDtypeStruct((1, V_pad), f32),
-            jax.ShapeDtypeStruct((B, U_pad, H), f32),
         ),
         interpret=interpret,
-    )(e_p, p_p, W_p, bias_p, lab_rows, denom_r, coef_r, cb_r, ce_r, cx_r,
-      wlab)
+    )(e_p, p_p, W_p, bias_p, lab_rows, denom_r, coef_r, cb_r, ce_r, cx_r)
 
-    dW, db = _apply_label_corrections(dW[:, :V], db[0, :V], mlab, ce,
-                                      lab_full, V)
     return (de[:, :T].astype(e.dtype), dp[:, :U].astype(p.dtype),
-            dW.astype(W.dtype), db.astype(bias.dtype))
+            dW[:, :V].astype(W.dtype), db[0, :V].astype(bias.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -1191,38 +1125,26 @@ def fused_grad_chunked(e, p, W, bias, labels, label_lengths, denom, coef,
                        cb, ce, blank=0, interpret=False):
     """``fused_grad`` for W of any size: per-chunk dW/db, summed de/dp.
 
-    Only the v_base == 0 chunk does label work (dh correction + mlab,
-    against the full-W wlab); the label columns' dW/db corrections are
-    applied here after the chunk slices are concatenated."""
+    Label ids stay global, so the chunk owning a row's label column
+    applies its in-loop -ce correction naturally — no cross-chunk label
+    plumbing."""
     n_c = fused_n_chunks(e, p, W, backward=True)
     if n_c <= 1:
         return fused_grad(e, p, W, bias, labels, label_lengths, denom,
                           coef, cb, ce, blank=blank, interpret=interpret)
-    B, T, H = e.shape
-    U = p.shape[1]
-    U_pad = _row_geometry(T, U)[1]
-    lab_full = _labels_full(labels, label_lengths.astype(jnp.int32),
-                            B, U, U_pad)
-    wlab = _gather_label_cols(W, bias, lab_full)[0]
     W_p, bias_p, cols, v_c = _chunk_slices(e, p, W, bias, n_c)
-    de = dp = mlab = None
+    de = dp = None
     dWs, dbs = [], []
     for c in range(n_c):
-        out = fused_grad(
+        dec, dpc, dWc, dbc = fused_grad(
             e, p, cols(W_p, c), cols(bias_p, c), labels, label_lengths,
             denom, coef, cb, ce, blank=blank, interpret=interpret,
             v_base=c * v_c,
-            **(dict(return_mlab=True, wlab=wlab) if c == 0 else {}),
         )
-        if c == 0:
-            dec, dpc, dWc, dbc, mlab = out
-        else:
-            dec, dpc, dWc, dbc = out
         de = dec if de is None else de + dec
         dp = dpc if dp is None else dp + dpc
         dWs.append(dWc); dbs.append(dbc)
     V = W.shape[1]
-    dW = jnp.concatenate(dWs, axis=1)[:, :V].astype(jnp.float32)
-    db = jnp.concatenate(dbs, axis=0)[:V].astype(jnp.float32)
-    dW, db = _apply_label_corrections(dW, db, mlab, ce, lab_full, V)
+    dW = jnp.concatenate(dWs, axis=1)[:, :V]
+    db = jnp.concatenate(dbs, axis=0)[:V]
     return de, dp, dW.astype(W.dtype), db.astype(bias.dtype)
