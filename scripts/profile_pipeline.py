@@ -76,8 +76,15 @@ def main():
         res = R._run_lattice(args.impl, pp, il, ll, compute_betas=True)
         return res.ll_forward, res.alphas, res.betas
 
+    def loss_grad(a):
+        from warp_transducer_tpu import rnnt_loss
+        return jax.value_and_grad(lambda x: rnnt_loss(
+            x, labels, il, ll, reduction="sum",
+            implementation=args.impl))(a)
+
     stages = [("prep", prep_only), ("prep+skew", prep_skew),
-              ("score(fwd)", score), ("fwd+bwd lattice", fb)]
+              ("score(fwd)", score), ("fwd+bwd lattice", fb),
+              ("loss+grad", loss_grad)]
     print(f"# B={B} T={T} U={U} V={V} impl={args.impl}")
     for name, fn in stages:
         ms = slope_time_ms(runner(fn))

@@ -17,9 +17,17 @@ Items (in priority order):
   9. bench.py --fused        — fused joint headline rows (bf16 + f32)
 
 Usage: python scripts/tpu_roundup.py [--from N] [--only N[,M...]]
+                                     [--artifact PATH]
+
+With --artifact, every item's exit status plus all machine-readable
+output lines (the bench JSON rows and the parity "OK"/timing lines) are
+collected into one JSON file — the committed, driver-reproducible record
+the perf claims trace to.
 """
 import argparse
+import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -72,12 +80,23 @@ def log(msg):
         f.write(line + "\n")
 
 
+_KEEP = re.compile(
+    r'^\{"metric"|^parity OK|^panels |^flat-entry |^banded-|^FUSED-CHUNKED'
+    r'|^UNFUSED|^pipeline=|ms$|passed|failed', re.M)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--from", dest="start", type=int, default=1)
     ap.add_argument("--only", type=str, default=None)
+    ap.add_argument("--artifact", type=str, default=None)
     args = ap.parse_args()
     only = set(int(x) for x in args.only.split(",")) if args.only else None
+    artifact = {"started": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                "git": subprocess.run(
+                    ["git", "rev-parse", "HEAD"], cwd=REPO,
+                    capture_output=True, text=True).stdout.strip(),
+                "items": []}
 
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
@@ -99,6 +118,8 @@ def main():
                                capture_output=True, text=True)
         except subprocess.TimeoutExpired:
             log(f"item {i} TIMEOUT after {tmo}s")
+            artifact["items"].append(
+                {"item": i, "name": name, "exit": "timeout", "secs": tmo})
             if i == 1:
                 log("tunnel down — aborting round-up")
                 return 1
@@ -109,6 +130,14 @@ def main():
         tail = "\n".join((r.stdout + r.stderr).splitlines()[-15:])
         log(f"item {i} exit={r.returncode} in {dt:.0f}s "
             f"(full: /tmp/tpu_roundup_item{i:02d}.log)\n{tail}")
+        lines = [ln for ln in (r.stdout + r.stderr).splitlines()
+                 if _KEEP.search(ln)]
+        artifact["items"].append({"item": i, "name": name,
+                                  "exit": r.returncode, "secs": round(dt),
+                                  "lines": lines[:60]})
+        if args.artifact:  # write incrementally so a crash keeps progress
+            with open(args.artifact, "w") as f:
+                json.dump(artifact, f, indent=1)
         if i == 1 and r.returncode != 0:
             log("tunnel down — aborting round-up")
             return 1
