@@ -244,6 +244,7 @@ class TestBeamSearch:
         V = model.cfg.vocab_size
         assert np.all((np.asarray(bt) >= 0) & (np.asarray(bt) < V))
 
+    @pytest.mark.full_suite
     def test_beam_scores_sorted_and_improve_on_greedy(self):
         from warp_transducer_tpu.models.decoding import beam_search_decode
 
@@ -443,6 +444,7 @@ class TestBeamSearch:
             assert float(vit.score[0]) - 1e-3 <= pooled <= full_ll + 1e-3, (
                 b, float(vit.score[0]), pooled, full_ll)
 
+    @pytest.mark.full_suite
     def test_tdt_beam_at_least_as_good_as_greedy(self):
         from warp_transducer_tpu.models.decoding import (
             beam_search_decode_tdt, greedy_decode_tdt,

@@ -412,7 +412,12 @@ class TestWindowStreamKernel:
             0.05, jnp.float32)
         return lpb, lpe, lpB, durs, jnp.asarray(il), jnp.asarray(ll)
 
-    @pytest.mark.parametrize("durations", [(2,), (2, 4), (2, 3, 8)])
+    @pytest.mark.parametrize("durations", [
+        (2,),
+        pytest.param((2, 4), marks=pytest.mark.full_suite),  # covered by
+        # test_loss_and_grad_parity's default durations in the gate
+        (2, 3, 8),
+    ])
     def test_lattice_parity(self, durations):
         from warp_transducer_tpu.ops.pallas.window_stream import (
             multiblank_forward_backward,
