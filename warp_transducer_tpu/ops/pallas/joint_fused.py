@@ -55,7 +55,15 @@ _MIN_ROWS = int(_os.environ.get("WTT_FUSED_MINROWS", 512))
 # exp, reduces, selects — is the measured gap between 15.9 ms and the
 # ~12.8 ms pure-matmul floor at the headline shape).
 _PIPELINE = int(_os.environ.get("WTT_FUSED_PIPELINE", 0))
-_VMEM_BUDGET = 13 * 1024 * 1024
+# Chunk-count budget for the V-chunked drivers. v5e has 128 MiB of
+# physical VMEM; Mosaic's default 16 MiB scope forced 63 backward chunks
+# at H=1024/V=32000 — each chunk re-reading e/p and recomputing tanh(h),
+# a 63x recompute tax that made chunked-fused SLOWER than unfused. The
+# pallas_calls raise vmem_limit_bytes to match (budget + headroom for
+# Mosaic's own double-buffering of the row panels).
+_VMEM_BUDGET = int(_os.environ.get("WTT_FUSED_VMEM_MB", 48)) * 1024 * 1024
+_VMEM_LIMIT = pltpu.CompilerParams(
+    vmem_limit_bytes=_VMEM_BUDGET + 48 * 1024 * 1024)
 
 
 def _row_geometry(T: int, U: int):
@@ -457,6 +465,7 @@ def fused_prep(e, p, W, bias, labels, label_lengths, blank=0,
         out_shape=tuple(
             jax.ShapeDtypeStruct((rows_total, 1), f32) for _ in range(n_out)
         ),
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(e_p, p_p, W_p, bias_p, lab_rows, *extra_in)
 
@@ -542,6 +551,7 @@ def fused_grad(e, p, W, bias, labels, label_lengths, denom, coef, cb, ce,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(e_p, p_p, W_p, bias_p, lab_rows, denom_r, coef_r, cb_r, ce_r)
 
@@ -627,6 +637,7 @@ def fused_prep_tdt(e, p, W, bias, Wd, bias_d, labels, label_lengths,
             jax.ShapeDtypeStruct((rows_total, 1), f32),
             jax.ShapeDtypeStruct((rows_total, _D_PAD), f32),
         ),
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(e_p, p_p, W_p, bias_p, Wd_p, bd_p, lab_rows, wlab,
       _blab_rows(blab, B, T_pad, U_pad))
@@ -716,6 +727,7 @@ def fused_grad_tdt(e, p, W, bias, Wd, labels, label_lengths, denom, coef,
             jax.ShapeDtypeStruct((1, V_pad), f32),
             jax.ShapeDtypeStruct((H, _D_PAD), f32),
         ),
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(e_p, p_p, W_p, bias_p, Wd_p, lab_rows, denom_r, coef_r, cb_r, ce_r,
       gd_r)
@@ -812,6 +824,7 @@ def dur_head_prep(e, p, Wd, bias_d, interpret=False):
                                lambda b, i: (b * T_tiles + i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * T_pad * U_pad, _D_PAD), f32),
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(e_p, p_p, Wd_p, bd_p)
     D_ = D
@@ -859,6 +872,7 @@ def dur_head_grad(e, p, Wd, g_dur, interpret=False):
             jax.ShapeDtypeStruct((B, U_pad, H), f32),
             jax.ShapeDtypeStruct((H, _D_PAD), f32),
         ),
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(e_p, p_p, Wd_p, gd_r)
     return (de[:, :T].astype(e.dtype), dp[:, :U].astype(p.dtype),
@@ -930,6 +944,7 @@ def fused_prep_mb(e, p, W, bias, labels, label_lengths, blank=0,
             jax.ShapeDtypeStruct((rows_total, 1), f32),
             jax.ShapeDtypeStruct((rows_total, _D_PAD), f32),
         ),
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(e_p, p_p, W_p, bias_p, lab_rows, wlab,
       _blab_rows(blab, B, T_pad, U_pad))
@@ -1013,6 +1028,7 @@ def fused_grad_mb(e, p, W, bias, labels, label_lengths, denom, coef, cb,
             jax.ShapeDtypeStruct((H, V_pad), f32),
             jax.ShapeDtypeStruct((1, V_pad), f32),
         ),
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(e_p, p_p, W_p, bias_p, lab_rows, denom_r, coef_r, cb_r, ce_r, cx_r)
 

@@ -28,6 +28,7 @@ the exclusive-prefix logsumexp trick. Both sweeps run in ONE scan.
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import NamedTuple, Sequence
 
 import jax
@@ -183,7 +184,9 @@ def _tdt_lattice(lpb, lpe, lpd, durations, input_lengths,
     xs_a = (ts, mv(lpb), mv(lpe), mv(lpd))
     xs_b = tuple(x[::-1] for x in xs_a)
     init = (jnp.full((B, W, U), neg, dtype), jnp.full((B, W, U), neg, dtype))
-    unroll = 8 if T >= 512 else 1
+    # WTT_VARIANT_UNROLL overrides for hardware A/B (0 = auto)
+    unroll = int(_os.environ.get("WTT_VARIANT_UNROLL", 0)) or (
+        8 if T >= 512 else 1)
     _, (a_rows, b_rows) = lax.scan(step, init, (xs_a, xs_b), unroll=unroll)
     alphas = jnp.moveaxis(a_rows, 0, 1)
     betas = jnp.moveaxis(b_rows[::-1], 0, 1)
