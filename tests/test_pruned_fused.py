@@ -18,6 +18,14 @@ from warp_transducer_tpu import (
 )
 
 
+@pytest.fixture(autouse=True)
+def _force_sweep(monkeypatch):
+    """Test shapes are tiny, so the small-V materialise fast path would
+    otherwise shadow the chunked sweeps this file exists to validate.
+    test_materialize_path_matches_sweep covers the dispatch itself."""
+    monkeypatch.setenv("WTT_PRUNED_FUSED_MAT_MB", "0")
+
+
 def _mk_ranges(rng, B, T, U, S, il, ll):
     """Random contract-obeying band starts."""
     steps = rng.randint(0, S, size=(B, T)).astype(np.int32)
@@ -106,6 +114,29 @@ def test_full_band_equals_dense_fused():
         argnums=(0, 1, 2, 3))(*ten)
     np.testing.assert_allclose(float(lf), float(ld), rtol=1e-5)
     for name, a, c in zip(("de", "dp", "dW", "db"), gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-5,
+                                   err_msg=name)
+
+
+def test_materialize_path_matches_sweep(monkeypatch):
+    """The small-V dispatch (materialised banded joint + band pipeline)
+    must equal the chunked sweep in loss and all four gradients."""
+    e, p, W, b, labels, il, ll, ranges, S = _problem(seed=7)
+    args = (jnp.asarray(ranges), jnp.asarray(labels), jnp.asarray(il),
+            jnp.asarray(ll))
+    ten = tuple(map(jnp.asarray, (e, p, W, b)))
+
+    def loss(e_, p_, W_, b_):
+        return rnnt_loss_pruned_fused(
+            e_, p_, W_, b_, *args, s_range=S, reduction="sum",
+            implementation="xla")
+
+    monkeypatch.setenv("WTT_PRUNED_FUSED_MAT_MB", "0")
+    ls, gs = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(*ten)
+    monkeypatch.setenv("WTT_PRUNED_FUSED_MAT_MB", "4096")
+    lm, gm = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(*ten)
+    np.testing.assert_allclose(float(lm), float(ls), rtol=1e-5)
+    for name, a, c in zip(("de", "dp", "dW", "db"), gm, gs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-5,
                                    err_msg=name)
 

@@ -41,10 +41,27 @@ from jax import lax
 
 from . import prep as _prep
 from .fused_joint import _chunk_t, _pad_t, _unchunk_t
-from .pruned import NEG, _band_coefs, _band_labels, _band_lattice
+from .pruned import (NEG, _band_coefs, _band_labels, _band_lattice,
+                     gather_banded, rnnt_loss_pruned)
 from .rnnt import _pick_implementation
 
 _XLA_CHUNK_MB = int(_os.environ.get("WTT_FUSED_XLA_CHUNK_MB", 256))
+
+# Below this working-set size the chunked sweeps LOSE to simply
+# materialising the banded joint and running the all-panels band pipeline
+# (measured B=128,T=1500,S=5,V=50,H=256 on v5e: 25.2 ms materialised vs
+# 66.0 ms swept — the sweep's per-chunk gather/scatter and thin matmuls
+# dominate when V is small). Working set: acts+dacts (B,T,S,V) plus the
+# gathered band rows and their tanh residual (B,T,S,H), all f32.
+# WTT_PRUNED_FUSED_MAT_MB=0 forces the sweep (read per call: tests use it).
+
+
+def _mat_limit_bytes():
+    return int(_os.environ.get("WTT_PRUNED_FUSED_MAT_MB", 4096)) << 20
+
+
+def _materialize_bytes(B, T, S, H, V):
+    return 4 * B * T * S * (2 * V + 2 * H)
 
 
 def _t_chunk(B, T, S, H, V):
@@ -305,6 +322,22 @@ def rnnt_loss_pruned_fused(
             f"labels must be (B, >={U - 1}) for U={U}; got {labels.shape}"
         )
     impl = _pick_implementation(implementation)
+    B, T, H = e.shape
+    V = W.shape[1]
+    if _materialize_bytes(B, T, S, H, V) <= _mat_limit_bytes():
+        # small-V fast path: materialise the banded joint (it is cheap at
+        # this size) and train through the all-panels band pipeline —
+        # identical objective by this op's defining identity (docstring).
+        f32 = jnp.float32
+        p_band = gather_banded(p.astype(f32), ranges.astype(jnp.int32), S)
+        acts = jnp.tanh(e.astype(f32)[:, :, None, :] + p_band) \
+            @ W.astype(f32) + bias.astype(f32)
+        return rnnt_loss_pruned(
+            acts, ranges, labels, input_lengths, label_lengths,
+            blank=blank, reduction=reduction, implementation=impl,
+            fastemit_lambda=float(fastemit_lambda),
+            delay_penalty=float(delay_penalty),
+        )
     costs = _pruned_fused_costs(
         e, p, W, bias, ranges.astype(jnp.int32), labels.astype(jnp.int32),
         input_lengths, label_lengths, int(blank), impl,
