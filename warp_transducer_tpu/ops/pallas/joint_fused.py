@@ -46,9 +46,11 @@ NEG = -1.0e30
 # best at B=64, T=150, U=21, V=5000, H=256 on v5e).
 import os as _os
 
-_V_TILE = int(_os.environ.get("WTT_FUSED_VTILE", 512))
+# 1024-wide V tiles beat 512 at the headline fused shape (bf16 15.41 vs
+# 15.61 ms, f32 15.91 vs 16.33; 2048 ties 1024 — tiles A/B, round 3).
+_V_TILE = int(_os.environ.get("WTT_FUSED_VTILE", 1024))
 # 512-row blocks measured 3% faster than 256 at the headline fused shape
-# (15.63 vs 16.16 ms); 1024 exceeds VMEM there.
+# (15.63 vs 16.16 ms); 1024-row blocks are ~30% WORSE (20.4 ms).
 _MIN_ROWS = int(_os.environ.get("WTT_FUSED_MINROWS", 512))
 # Software-pipeline the forward kernel: issue tile k+1's MXU matmul before
 # tile k's VPU epilogue so the scheduler can overlap them (the epilogue —
