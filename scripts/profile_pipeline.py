@@ -35,16 +35,21 @@ def main():
     from warp_transducer_tpu.ops import rnnt as R
 
     rng = np.random.RandomState(0)
-    acts = jnp.asarray(rng.uniform(0, 1, size=(B, T, U, V)), jnp.float32)
+    # Generate acts ON DEVICE and pass them as a jit ARGUMENT: a closed-over
+    # GB-scale array becomes an HLO constant, which both blows up the axon
+    # remote compiler and takes minutes to upload (CLAUDE.md rule).
+    acts = jax.jit(
+        lambda k: jax.random.uniform(k, (B, T, U, V), jnp.float32)
+    )(jax.random.PRNGKey(0))
     labels = jnp.asarray(rng.randint(1, V, size=(B, L)), jnp.int32)
     il = jnp.full((B,), T, jnp.int32)
     ll = jnp.full((B,), L, jnp.int32)
 
     def runner(fn):
         @jax.jit
-        def run(n):
+        def run(a, n):
             def body(i, c):
-                out = fn(acts * (1.0 + c * 1e-30))
+                out = fn(a * (1.0 + c * 1e-30))
                 acc = c
                 for leaf in jax.tree.leaves(out):
                     acc = acc + leaf.ravel()[0].astype(jnp.float32) * 1e-12
@@ -52,7 +57,7 @@ def main():
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-        return run
+        return lambda n: run(acts, n)
 
     NEG = -1e30
 

@@ -39,7 +39,7 @@ acts = jax.jit(lambda k: jax.random.uniform(k, (B, T, S, V), jnp.float32))(
 
 print(f"# panels pipeline stages B={B} T={T} L={L} V={V} S={S}", flush=True)
 
-lab_band, has_lab = PR._band_labels(labels, ranges, ll, S)
+lab_band, has_lab = PR._band_labels(labels, ranges, S)
 S_pad, B_pad, SV, Tc, T_pad = BP._geometry(B, T, S, V)
 print(f"# geometry: Tc={Tc} T_pad={T_pad} S_pad={S_pad} B_pad={B_pad}",
       flush=True)

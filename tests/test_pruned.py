@@ -157,6 +157,38 @@ def test_gather_banded():
                 np.testing.assert_array_equal(out[b, t, s], np.asarray(x)[b, u])
 
 
+def test_gather_banded_grad_matches_scatter_transpose(monkeypatch):
+    """gather_banded's custom VJP (one-hot MXU contraction) must equal the
+    autodiff scatter-add transpose, including duplicate clipped indices —
+    both in one shot and T-chunked (forced via the env knob)."""
+    rng = np.random.RandomState(7)
+    B, U, H, T, S = 3, 9, 5, 17, 4
+
+    def naive(x_u, ranges, s):
+        idx = jnp.clip(
+            ranges[:, :, None] + jnp.arange(s, dtype=ranges.dtype), 0, U - 1
+        )
+        return jax.vmap(lambda xu, ix: xu[ix])(x_u, idx)
+
+    x = jnp.asarray(rng.randn(B, U, H), jnp.float32)
+    starts = np.sort(rng.randint(0, U, (B, T)), axis=1)
+    ranges = jnp.asarray(np.minimum(starts, U - 1), jnp.int32)
+    ct = jnp.asarray(rng.randn(B, T, S, H), jnp.float32)
+    want = jax.grad(lambda xx: jnp.vdot(naive(xx, ranges, S), ct))(x)
+    for chunk_mb in ("256", "0"):  # one-shot / forced T-chunked scan
+        monkeypatch.setenv("WTT_GATHER_BWD_ONEHOT_MB", chunk_mb)
+        got = jax.grad(lambda xx: jnp.vdot(gather_banded(xx, ranges, S), ct))(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+    # no-trailing-dims form (B, U)
+    ct2 = ct[..., 0]
+    want2 = jax.grad(lambda xx: jnp.vdot(naive(xx, ranges, S), ct2))(x[..., 0])
+    got2 = jax.grad(
+        lambda xx: jnp.vdot(gather_banded(xx, ranges, S), ct2))(x[..., 0])
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_pruned_validation():
     acts_band = jnp.zeros((2, 4, 2, 5))
     ranges = jnp.zeros((2, 4), jnp.int32)

@@ -156,11 +156,78 @@ def gather_banded(x_u: jax.Array, ranges: jax.Array, s_range: int) -> jax.Array:
     x_u: (B, U, ...) (e.g. prediction-network outputs), ranges: (B, T).
     Returns (B, T, S, ...): out[b, t, s] = x_u[b, ranges[b, t] + s]
     (clipped at U-1; out-of-range cells are masked inside the loss).
+
+    Differentiable with a custom transpose: the autodiff transpose of a
+    gather is a scatter-add, which lowers to a serial per-index loop on
+    TPU (measured: +~40 ms on the B=128,T=1500,S=5 pruned north-star).
+    The VJP here instead forms the same sum as a batched one-hot
+    contraction on the MXU, T-chunked so the (B, Tc·S, U) one-hot stays
+    small; duplicate (clipped) indices accumulate exactly as in the
+    scatter, only the f32 summation order differs.
     """
     B, U = x_u.shape[0], x_u.shape[1]
-    S = int(s_range)
-    idx = jnp.clip(ranges[:, :, None] + jnp.arange(S, dtype=ranges.dtype), 0, U - 1)
-    return jax.vmap(lambda xu, ix: xu[ix])(x_u, idx)
+    return _gather_banded_vjp(
+        x_u, ranges.astype(jnp.int32), int(s_range), int(U),
+        tuple(x_u.shape[2:]),
+    )
+
+
+def _band_gather_idx(ranges, S, U):
+    return jnp.clip(
+        ranges[:, :, None] + jnp.arange(S, dtype=ranges.dtype), 0, U - 1
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _gather_banded_vjp(x_u, ranges, S, U, rest):
+    return jax.vmap(lambda xu, ix: xu[ix])(x_u, _band_gather_idx(ranges, S, U))
+
+
+def _gather_banded_fwd(x_u, ranges, S, U, rest):
+    return _gather_banded_vjp(x_u, ranges, S, U, rest), ranges
+
+
+def _gather_banded_bwd(S, U, rest, res, g):
+    ranges = res
+    xdt = g.dtype  # the gather does not cast, so cotangent dtype == x dtype
+    B, T = ranges.shape
+    f32 = jnp.float32
+    H = int(np.prod(rest)) if rest else 1
+    g3 = g.astype(f32).reshape(B, T, S, H)
+    u_iota = jnp.arange(U, dtype=jnp.int32)
+    dims = (((1,), (1,)), ((0,), (0,)))  # (B,K,U)^T(K) @ (B,K,H) -> (B,U,H)
+    # chunk T so the one-hot operand stays <= ~256 MB (env knob for tests)
+    import os as _os
+    limit = int(_os.environ.get("WTT_GATHER_BWD_ONEHOT_MB", 256)) << 20
+    Tc = max(1, min(T, limit // max(4 * B * S * U, 1)))
+    nc = -(-T // Tc)
+    if nc == 1:
+        onehot = (_band_gather_idx(ranges, S, U).reshape(B, T * S, 1)
+                  == u_iota).astype(f32)
+        dx = lax.dot_general(onehot, g3.reshape(B, T * S, H), dims,
+                             preferred_element_type=f32)
+    else:
+        T_pad = nc * Tc
+        # padded rows index u=0 but carry zero cotangent -> contribute 0
+        rc = jnp.pad(ranges, ((0, 0), (0, T_pad - T)))
+        gp = jnp.pad(g3, ((0, 0), (0, T_pad - T), (0, 0), (0, 0)))
+        rc = rc.reshape(B, nc, Tc).transpose(1, 0, 2)
+        gp = gp.reshape(B, nc, Tc, S, H).transpose(1, 0, 2, 3, 4)
+
+        def step(acc, x):
+            rc_i, g_i = x
+            onehot = (_band_gather_idx(rc_i, S, U).reshape(B, Tc * S, 1)
+                      == u_iota).astype(f32)
+            return acc + lax.dot_general(
+                onehot, g_i.reshape(B, Tc * S, H), dims,
+                preferred_element_type=f32), None
+
+        dx, _ = lax.scan(step, jnp.zeros((B, U, H), f32), (rc, gp))
+    dx = dx.reshape((B, U) + rest).astype(xdt)
+    return dx, np.zeros(ranges.shape, dtype=jax.dtypes.float0)
+
+
+_gather_banded_vjp.defvjp(_gather_banded_fwd, _gather_banded_bwd)
 
 
 # --------------------------------------------------------------------------
