@@ -132,9 +132,14 @@ def main():
             f"(full: /tmp/tpu_roundup_item{i:02d}.log)\n{tail}")
         lines = [ln for ln in (r.stdout + r.stderr).splitlines()
                  if _KEEP.search(ln)]
-        artifact["items"].append({"item": i, "name": name,
-                                  "exit": r.returncode, "secs": round(dt),
-                                  "lines": lines[:60]})
+        rec = {"item": i, "name": name, "exit": r.returncode,
+               "secs": round(dt), "lines": lines[:60]}
+        if r.returncode != 0:
+            # A failure with an empty "lines" is useless for diagnosis:
+            # always persist the raw tails on nonzero exit.
+            rec["stdout_tail"] = r.stdout.splitlines()[-40:]
+            rec["stderr_tail"] = r.stderr.splitlines()[-40:]
+        artifact["items"].append(rec)
         if args.artifact:  # write incrementally so a crash keeps progress
             with open(args.artifact, "w") as f:
                 json.dump(artifact, f, indent=1)
