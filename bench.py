@@ -556,6 +556,19 @@ def main():
                 sys.executable, __file__, str(B), str(T), str(L), str(V),
                 "--impl", args.impl, "--iters", str(args.iters),
             ]
+            # f32 dense needs acts+grads resident; past ~14 GB it cannot
+            # allocate on a 16 GB chip (the reference's GTX 1080 Ti row at
+            # B=128,V=5000 is 51.46 ms — README.md:23). Fall back to bf16
+            # dense (a supported production path; the reference has no
+            # low-precision path, its f32 number stays the bar) instead of
+            # leaving the baseline row empty.
+            f32_bytes = B * T * (L + 1) * V * 4 * 2
+            dtype_note = None
+            if f32_bytes > 14e9:
+                cmd += ["--dtype", "bf16"]
+                dtype_note = (
+                    f"f32 dense unallocatable ({f32_bytes/1e9:.1f} GB "
+                    "acts+grads on a 16 GB chip); bf16 dense measured")
             proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
             sys.stderr.write(proc.stderr)
             line = None
@@ -573,7 +586,23 @@ def main():
                     "vs_baseline": None,
                     "error": err,
                 }
+            if dtype_note:
+                line["note"] = dtype_note
             print(json.dumps(line), flush=True)
+            if dtype_note and line.get("value") is not None:
+                # Companion row: the fused joint+loss at the same shape is
+                # the recommended large-V training path (no big tensor at
+                # all, f32-safe); publish it beside the bf16 dense number.
+                fproc = subprocess.run(
+                    [sys.executable, __file__, str(B), str(T), str(L),
+                     str(V), "--fused", "--dtype", "bf16"],
+                    capture_output=True, text=True, timeout=3600)
+                sys.stderr.write(fproc.stderr)
+                for out in fproc.stdout.splitlines():
+                    try:
+                        print(json.dumps(json.loads(out)), flush=True)
+                    except json.JSONDecodeError:
+                        continue
             if (B, T, L, V) == (128, 150, 40, 28):
                 result_line = line
         # the headline metric must be the LAST JSON line

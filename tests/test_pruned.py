@@ -23,6 +23,10 @@ from warp_transducer_tpu.ops.pruned import (
 # exactness — this is a cross-engine parity bound, not an accuracy bound.
 _GRTOL, _GATOL = ((5e-4, 1e-4) if _os.environ.get("WTT_TEST_TPU") == "1"
                   else (1e-4, 1e-5))
+# Same story for cross-engine COST comparisons: measured drift on v5e is
+# ~1.6e-5 relative on O(10) costs (band pipeline vs dense XLA).
+_CRTOL, _CATOL = ((1e-4, 1e-4) if _os.environ.get("WTT_TEST_TPU") == "1"
+                  else (1e-5, 1e-5))
 
 
 def _setup(seed, B=3, T=6, U=4, V=5, ragged=True, scale=1.0):
@@ -48,7 +52,7 @@ def test_full_band_equals_dense(seed, ragged):
     dense = rnnt_loss(acts, labels, il, ll, reduction="none", implementation="xla")
     pruned = rnnt_loss_pruned(acts, ranges, labels, il, ll, reduction="none")
     np.testing.assert_allclose(np.asarray(pruned), np.asarray(dense),
-                               rtol=1e-5, atol=1e-5)
+                               rtol=_CRTOL, atol=_CATOL)
 
     gd = jax.grad(lambda a: rnnt_loss(a, labels, il, ll, reduction="sum",
                                       implementation="xla"))(acts)
@@ -383,7 +387,7 @@ class TestBandStreamKernel:
         cp = rnnt_loss_pruned(band, ranges, labels, il, ll, reduction="none",
                               implementation="pallas")
         np.testing.assert_allclose(np.asarray(cp), np.asarray(cx),
-                                   rtol=1e-5, atol=1e-5)
+                                   rtol=_CRTOL, atol=_CATOL)
         gx = jax.grad(lambda a: rnnt_loss_pruned(
             a, ranges, labels, il, ll, reduction="sum",
             implementation="xla"))(band)
@@ -391,5 +395,5 @@ class TestBandStreamKernel:
             a, ranges, labels, il, ll, reduction="sum",
             implementation="pallas"))(band)
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=_GRTOL, atol=_GATOL)
 
