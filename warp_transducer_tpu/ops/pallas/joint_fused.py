@@ -57,6 +57,19 @@ _MIN_ROWS = int(_os.environ.get("WTT_FUSED_MINROWS", 512))
 # exp, reduces, selects — is the measured gap between 15.9 ms and the
 # ~12.8 ms pure-matmul floor at the headline shape).
 _PIPELINE = int(_os.environ.get("WTT_FUSED_PIPELINE", 0))
+# Move the forward tile's CROSS-LANE sum(exp) onto the MXU: one extra
+# small matmul against a constant ones column (v_tile x LANES, ~+20% of
+# that tile's MXU work) replaces the multi-pass VPU lane reduce. The
+# FORWARD epilogue is the VPU-bound half (max + exp + sum lane-reduces
+# ≈ 4x the tile's matmul time at the headline fused shape); db's
+# backward sum is a cheap sublane reduce and stays on the VPU. A/B knob.
+_MXU_SUM = int(_os.environ.get("WTT_FUSED_MXU_SUM", 0))
+# Fold log(coef) into the backward exp: g = exp(logits + (denom + lcoef))
+# computes coef*softmax in ONE exp pass instead of exp-then-multiply —
+# one full (R, v_tile) VPU pass saved per tile. Exact for coef == 0
+# (lcoef = NEG, exp underflows to 0); the label column's f32 -ce
+# cancellation is untouched. A/B knob.
+_LOGCOEF = int(_os.environ.get("WTT_FUSED_LOGCOEF", 0))
 # Chunk-count budget for the V-chunked drivers. v5e has 128 MiB of
 # physical VMEM; Mosaic's default 16 MiB scope forced 63 backward chunks
 # at H=1024/V=32000 — each chunk re-reading e/p and recomputing tanh(h),
@@ -177,6 +190,13 @@ def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
             preferred_element_type=f32,
         ) + bias_ref[:, k * v_tile:(k + 1) * v_tile]
 
+    if _MXU_SUM:
+        # (v_tile, LANES) constant whose column 0 is ones: exp-tile @ ones
+        # turns the cross-lane sum into a small MXU matmul (v_tile/LANES of
+        # a main-tile pass) and frees a VPU reduce pass per tile.
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (v_tile, _LANES), 1)
+        ones_col = jnp.where(lane0 == 0, 1.0, 0.0)
+
     nxt = tile_logits(0) if _PIPELINE else None
     for k in range(n_vt):
         if _PIPELINE:
@@ -186,9 +206,19 @@ def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
             logits = tile_logits(k)
         t_max = jnp.max(logits, axis=1, keepdims=True)
         m_new = jnp.maximum(m, t_max)
-        s = s * jnp.exp(m - m_new) + jnp.sum(
-            jnp.exp(logits - m_new), axis=1, keepdims=True
-        )
+        ex = jnp.exp(logits - m_new)
+        if _MXU_SUM:
+            # f32 operands: the MXU's default precision rounds them to
+            # bf16 internally (no VPU convert pass) and accumulates f32.
+            # Per-element rounding is ±2^-9 with random sign, so the
+            # tile-sum's relative error is ~0.2%/sqrt(v_tile) ≈ 1e-4 —
+            # ~3e-5 on log(s), inside the cross-engine parity bounds.
+            t_sum = jax.lax.dot_general(
+                ex, ones_col, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)[:, :1]
+        else:
+            t_sum = jnp.sum(ex, axis=1, keepdims=True)
+        s = s * jnp.exp(m - m_new) + t_sum
         m = m_new
         if k * v_tile <= blank - v_base < (k + 1) * v_tile:
             bl = blank - v_base - k * v_tile
@@ -268,6 +298,10 @@ def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
     coef = coef_ref[...]
     cb = cb_ref[...]
     ce = ce_ref[...]
+    if _LOGCOEF:
+        # per-row constant; folding it into the exp argument turns the
+        # per-tile coef*exp(logits+denom) into a single exp pass
+        dl = denom + jnp.where(coef > 0, jnp.log(coef), NEG)
 
     @pl.when((b == 0) & (i == 0))
     def _():
@@ -292,6 +326,9 @@ def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
         dwd_ref[...] += jax.lax.dot_general(
             hm32, gd, (((0,), (0,)), ((), ())), preferred_element_type=f32,
         )
+    # loop-invariant: the tile-column iota (per-tile ids derive from it by
+    # shifting the comparand, not regenerating the iota)
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, v_tile), 1)
     for k in range(n_vt):
         w_k = w_ref[:, k * v_tile:(k + 1) * v_tile]
         logits = jax.lax.dot_general(
@@ -299,9 +336,10 @@ def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
             preferred_element_type=f32,
         ) + bias_ref[:, k * v_tile:(k + 1) * v_tile]
         # softmax prob of tile columns; padded columns have bias NEG -> 0
-        pvt = jnp.exp(logits + denom)
-        g = coef * pvt
-        col = jax.lax.broadcasted_iota(jnp.int32, (R, v_tile), 1)
+        if _LOGCOEF:
+            g = jnp.exp(logits + dl)
+        else:
+            g = coef * jnp.exp(logits + denom)
         if k * v_tile <= blank - v_base < (k + 1) * v_tile:
             g = g - jnp.where(col == (blank - v_base - k * v_tile), cb, 0.0)
         for kk, xcol in enumerate(extra_cols):
@@ -312,12 +350,13 @@ def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
         # and lab - v_base - k*v_tile < 0 there, so no extra mask
         g = g - jnp.where(col == (lab - v_base - k * v_tile), ce, 0.0)
 
+        g_mm = g.astype(mm_dtype)  # one convert pass, both matmuls
         dh = dh + jax.lax.dot_general(
-            g.astype(mm_dtype), w_k.astype(mm_dtype),
+            g_mm, w_k.astype(mm_dtype),
             (((1,), (1,)), ((), ())), preferred_element_type=f32,
         )
         dw_ref[:, k * v_tile:(k + 1) * v_tile] += jax.lax.dot_general(
-            hm, g.astype(mm_dtype), (((0,), (0,)), ((), ())),
+            hm, g_mm, (((0,), (0,)), ((), ())),
             preferred_element_type=f32,
         )
         db_ref[:, k * v_tile:(k + 1) * v_tile] += jnp.sum(
