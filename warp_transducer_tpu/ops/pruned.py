@@ -201,11 +201,17 @@ def _gather_banded_bwd(S, U, rest, res, g):
     limit = int(_os.environ.get("WTT_GATHER_BWD_ONEHOT_MB", 256)) << 20
     Tc = max(1, min(T, limit // max(4 * B * S * U, 1)))
     nc = -(-T // Tc)
+    # Per-operand precision: the TPU MXU's DEFAULT f32 path rounds inputs
+    # to bf16, which would round the COTANGENT itself (~0.2% error measured
+    # on v5e) — a scatter transpose must move values exactly. The one-hot
+    # operand is exact at any precision (entries are 0/1), so only the g
+    # operand pays the multi-pass f32 path.
+    prec = (lax.Precision.DEFAULT, lax.Precision.HIGHEST)
     if nc == 1:
         onehot = (_band_gather_idx(ranges, S, U).reshape(B, T * S, 1)
                   == u_iota).astype(f32)
         dx = lax.dot_general(onehot, g3.reshape(B, T * S, H), dims,
-                             preferred_element_type=f32)
+                             preferred_element_type=f32, precision=prec)
     else:
         T_pad = nc * Tc
         # padded rows index u=0 but carry zero cotangent -> contribute 0
@@ -220,7 +226,7 @@ def _gather_banded_bwd(S, U, rest, res, g):
                       == u_iota).astype(f32)
             return acc + lax.dot_general(
                 onehot, g_i.reshape(B, Tc * S, H), dims,
-                preferred_element_type=f32), None
+                preferred_element_type=f32, precision=prec), None
 
         dx, _ = lax.scan(step, jnp.zeros((B, U, H), f32), (rc, gp))
     dx = dx.reshape((B, U) + rest).astype(xdt)
