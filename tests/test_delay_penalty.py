@@ -55,9 +55,10 @@ def test_finite_difference(implementation):
     gradient (which FastEmit, being gradient-only, cannot pass)."""
     acts, labels, il, ll = _problem(seed=1, B=2, T=4, U=3, V=5)
     args = (jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll))
-    f = lambda a: rnnt_loss(a, *args, reduction="sum",
-                            implementation=implementation,
-                            delay_penalty=0.3)
+    # jitted once: the unjitted form re-traces the loss per FD probe
+    f = jax.jit(lambda a: rnnt_loss(a, *args, reduction="sum",
+                                    implementation=implementation,
+                                    delay_penalty=0.3))
     a64 = jnp.asarray(acts, jnp.float64)
     g = np.asarray(jax.grad(f)(a64))
     rng = np.random.RandomState(2)

@@ -92,6 +92,7 @@ def test_finite_difference_grad():
     durations, sigma = (2, 3), 0.05
     a = jnp.asarray(acts)
 
+    @jax.jit  # one trace; the unjitted form re-traced per FD probe
     def f(x):
         return jnp.sum(rnnt_loss_multiblank(
             x, jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll),

@@ -92,7 +92,10 @@ def test_pruned_grad_central_difference():
     base = np.minimum(np.arange(T) // 2, U - S)
     ranges = jnp.asarray(np.tile(base, (B, 1)), jnp.int32)
 
-    f = lambda a: rnnt_loss_pruned(a, ranges, labels, il, ll, reduction="sum")
+    # jitted once: the unjitted form re-traces the loss per FD probe
+    f = jax.jit(
+        lambda a: rnnt_loss_pruned(a, ranges, labels, il, ll,
+                                   reduction="sum"))
     # band acts: (B, T, S, V)
     acts_band = jnp.asarray(
         np.random.RandomState(7).randn(B, T, S, V), jnp.float32

@@ -79,6 +79,7 @@ def test_finite_difference_grad():
                                              durs=(0, 1, 2))
     args = (jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ll))
 
+    @jax.jit  # one trace; the unjitted form re-traced per FD probe (~30 s)
     def f(t, d):
         return jnp.sum(rnnt_loss_tdt(t, d, *args, (0, 1, 2), sigma=0.03,
                                      reduction="none"))
