@@ -220,6 +220,14 @@ def test_prune_ranges_fuzz_contract_and_no_nan():
 
     B, T, U, V, S = 2, 10, 8, 6, 3
     n_seeds = 40 if _os.environ.get("WTT_FULL_SUITE") == "1" else 6
+    # one jitted loss+grad shared by every seed (a fresh closure per seed
+    # meant a fresh trace per seed — ~6x the test's cost)
+    lg = jax.jit(jax.value_and_grad(
+        lambda a, r, lab, il_, ll_: rnnt_loss_pruned(
+            a, r, lab, il_, ll_, reduction="sum")))
+    ranges_fn = jax.jit(
+        lambda am, lm, lab, il_, ll_: rnnt_prune_ranges(
+            am, lm, lab, il_, ll_, S))
     for seed in range(n_seeds):
         rng = np.random.RandomState(seed)
         am = jnp.asarray(rng.randn(B, T, V), jnp.float32)
@@ -228,7 +236,7 @@ def test_prune_ranges_fuzz_contract_and_no_nan():
         il = jnp.asarray(rng.randint(1, T + 1, (B,)), jnp.int32)
         ll = jnp.asarray(rng.randint(1, U, (B,)), jnp.int32)
 
-        r = np.asarray(rnnt_prune_ranges(am, lm, labels, il, ll, S))
+        r = np.asarray(ranges_fn(am, lm, labels, il, ll))
         d = np.diff(r, axis=1)
         assert np.all(r[:, 0] == 0), (seed, r)
         assert np.all(d >= 0), (seed, r)
@@ -238,10 +246,7 @@ def test_prune_ranges_fuzz_contract_and_no_nan():
             assert np.all(r[b] <= max(0, Ub - 1)), (seed, r)
 
         acts_band = jnp.asarray(rng.randn(B, T, S, V), jnp.float32)
-        loss, g = jax.value_and_grad(
-            lambda a: rnnt_loss_pruned(a, jnp.asarray(r), labels, il, ll,
-                                       reduction="sum")
-        )(acts_band)
+        loss, g = lg(acts_band, jnp.asarray(r), labels, il, ll)
         assert np.isfinite(np.asarray(g)).all(), (seed, "NaN/inf grads")
         for b in range(B):
             Tb, Ub = int(il[b]), int(ll[b]) + 1
