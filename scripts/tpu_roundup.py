@@ -40,9 +40,13 @@ ITEMS = [
     ("tunnel probe",
      [PY, "-c", "import jax; print(jax.devices())"], 180),
     ("pytest smoke on TPU",
+     # NOTE: no -q here — pyproject addopts already has -q, and a second
+     # one makes -qq which SUPPRESSES the "N passed" summary line (the
+     # round-3 artifact recorded a 23-min run with zero usable lines).
+     # -ra prints the skip reasons and the final pass/skip counts.
      [PY, "-m", "pytest", "tests/test_golden.py", "tests/test_prep_fused.py",
       "tests/test_stream_kernel.py", "tests/test_fused_joint.py",
-      "tests/test_pruned.py", "-x", "-q", "--no-header"], 3600),
+      "tests/test_pruned.py", "-x", "-ra", "--no-header"], 3600),
     ("band panels check",
      [PY, "scripts/tpu_band_panels_check.py"], 3600),
     ("band production-boundary timing",
