@@ -34,6 +34,15 @@ import jax  # noqa: E402
 if not _TPU_MODE:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)  # fp64 paths; code is dtype-explicit
+    # The gate is COMPILE-bound (cost spread over ~80 jit-heavy tests, no
+    # dominator — see CLAUDE.md), so a persistent compilation cache is the
+    # single biggest wall-time lever for repeat runs on the same box.
+    # Cache entries key on the full HLO + device topology, so the 8-virtual-
+    # device programs and plain single-device ones coexist safely.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("WTT_TEST_COMP_CACHE",
+                                     "/tmp/wtt_test_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
 
@@ -66,8 +75,38 @@ def pytest_configure(config):
 
 _FULL_SUITE = os.environ.get("WTT_FULL_SUITE") == "1"
 
+# Measured slowest tests (pytest --durations, r4, 8-vCPU box). Under xdist's
+# dynamic load scheduler a 3-5 min test that starts LAST extends the gate by
+# its full duration; fronting the heavy families cuts the straggler tail.
+_HEAVY_FIRST = (
+    "test_graft_entry_multichip",          # 291s
+    "test_gradients_match_single_device",  # 169s
+    "test_two_process_distributed",        # 157s
+    "test_tdt_beam_score_sandwich_and_order",  # 142s
+    "test_simple_pruned_fused_match_dense",    # 135s
+    "test_model_train_and_decode",         # 117s
+    "test_lattice_parity",                 # 107s (mb + tdt window kernels)
+    "test_loss_and_grad_parity",           # 101s
+    "test_graft_entry_single_chip",        # 97s
+    "test_merged_score_bounds",            # 97s
+    "test_costs_match_single_device",      # 92s
+    "test_vs_oracle",                      # 91s (tdt)
+    "test_fused_pallas_chunked_matches_xla",  # 89s
+    "test_matches_unfused_with_all_grads",    # 83s
+    "test_model_fused_train_step",         # 83s
+)
+
+
+def _heavy_rank(item):
+    name = item.name.split("[", 1)[0]
+    try:
+        return _HEAVY_FIRST.index(name)
+    except ValueError:
+        return len(_HEAVY_FIRST)
+
 
 def pytest_collection_modifyitems(config, items):
+    items.sort(key=_heavy_rank)  # stable: non-heavy keep collection order
     for item in items:
         if "full_suite" in item.keywords and not _FULL_SUITE:
             item.add_marker(pytest.mark.skip(
