@@ -70,6 +70,15 @@ _MXU_SUM = int(_os.environ.get("WTT_FUSED_MXU_SUM", 0))
 # (lcoef = NEG, exp underflows to 0); the label column's f32 -ce
 # cancellation is untouched. A/B knob.
 _LOGCOEF = int(_os.environ.get("WTT_FUSED_LOGCOEF", 0))
+# DIAGNOSTIC ONLY — outputs are garbage (finite, data-dependent so nothing
+# is DCEd). Keeps the exact grid, block specs, DMAs, tanh recompute and
+# every MXU matmul, but strips the per-tile VPU epilogue (softmax
+# reductions forward; exp/select/sub + db reduce backward). bench --fused
+# under this knob measures the kernel's matmul+DMA envelope in its real
+# program structure — the measured floor the epilogue gap is judged
+# against (the analytic "pure matmul" floor ignores tanh, accumulator
+# traffic and tile-boundary effects).
+_MM_ONLY = int(_os.environ.get("WTT_FUSED_MM_ONLY", 0))
 # Chunk-count budget for the V-chunked drivers. v5e has 128 MiB of
 # physical VMEM; Mosaic's default 16 MiB scope forced 63 backward chunks
 # at H=1024/V=32000 — each chunk re-reading e/p and recomputing tanh(h),
@@ -204,6 +213,9 @@ def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
             nxt = tile_logits(k + 1) if k + 1 < n_vt else None
         else:
             logits = tile_logits(k)
+        if _MM_ONLY:
+            s = s + logits[:, :1]  # cheap lane slice; keeps matmuls live
+            continue
         t_max = jnp.max(logits, axis=1, keepdims=True)
         m_new = jnp.maximum(m, t_max)
         ex = jnp.exp(logits - m_new)
@@ -230,6 +242,19 @@ def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
                 c = xcol - v_base - k * v_tile
                 colx = jax.lax.broadcasted_iota(jnp.int32, lpx.shape, 1)
                 lpx = jnp.where(colx == kk, logits[:, c:c + 1], lpx)
+
+    if _MM_ONLY:
+        d = -jnp.log1p(jnp.abs(s))  # finite, data-dependent garbage
+        if partial:
+            m_ref, s_ref, bl_ref, le_ref = out_refs
+            m_ref[...] = d; s_ref[...] = 1.0 + jnp.abs(d)
+            bl_ref[...] = d; le_ref[...] = d
+        else:
+            denom_ref, lpb_ref, lpe_ref = out_refs
+            denom_ref[...] = d; lpb_ref[...] = d; lpe_ref[...] = d
+            if extra_cols:
+                lpx_ref[...] = d + jnp.zeros(lpx_ref.shape, f32)
+        return
 
     if partial:
         m_ref, s_ref, bl_ref, le_ref = out_refs
@@ -336,19 +361,23 @@ def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
             preferred_element_type=f32,
         ) + bias_ref[:, k * v_tile:(k + 1) * v_tile]
         # softmax prob of tile columns; padded columns have bias NEG -> 0
-        if _LOGCOEF:
+        if _MM_ONLY:
+            g = logits  # diagnostic: identical MXU work, no VPU epilogue
+        elif _LOGCOEF:
             g = jnp.exp(logits + dl)
         else:
             g = coef * jnp.exp(logits + denom)
-        if k * v_tile <= blank - v_base < (k + 1) * v_tile:
-            g = g - jnp.where(col == (blank - v_base - k * v_tile), cb, 0.0)
-        for kk, xcol in enumerate(extra_cols):
-            if k * v_tile <= xcol - v_base < (k + 1) * v_tile:
-                c = xcol - v_base - k * v_tile
-                g = g - jnp.where(col == c, cx[:, kk:kk + 1], 0.0)
-        # label column (per-row dynamic): ce is zero wherever lab == -1,
-        # and lab - v_base - k*v_tile < 0 there, so no extra mask
-        g = g - jnp.where(col == (lab - v_base - k * v_tile), ce, 0.0)
+        if not _MM_ONLY:
+            if k * v_tile <= blank - v_base < (k + 1) * v_tile:
+                g = g - jnp.where(col == (blank - v_base - k * v_tile),
+                                  cb, 0.0)
+            for kk, xcol in enumerate(extra_cols):
+                if k * v_tile <= xcol - v_base < (k + 1) * v_tile:
+                    c = xcol - v_base - k * v_tile
+                    g = g - jnp.where(col == c, cx[:, kk:kk + 1], 0.0)
+            # label column (per-row dynamic): ce is zero wherever lab == -1,
+            # and lab - v_base - k*v_tile < 0 there, so no extra mask
+            g = g - jnp.where(col == (lab - v_base - k * v_tile), ce, 0.0)
 
         g_mm = g.astype(mm_dtype)  # one convert pass, both matmuls
         dh = dh + jax.lax.dot_general(
@@ -359,9 +388,12 @@ def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
             hm, g_mm, (((0,), (0,)), ((), ())),
             preferred_element_type=f32,
         )
-        db_ref[:, k * v_tile:(k + 1) * v_tile] += jnp.sum(
-            g, axis=0, keepdims=True
-        )
+        if _MM_ONLY:
+            db_ref[:, k * v_tile:(k + 1) * v_tile] += g[:1, :]
+        else:
+            db_ref[:, k * v_tile:(k + 1) * v_tile] += jnp.sum(
+                g, axis=0, keepdims=True
+            )
 
     dh_pre = (dh * (1.0 - hm32 * hm32)).reshape(t_t, u_pad, H)
     de_ref[0] = jnp.sum(dh_pre, axis=1)  # (T_t, H)
