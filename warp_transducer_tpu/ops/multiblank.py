@@ -167,9 +167,12 @@ def _multiblank_lattice(lpb, lpe, lpB, durations, input_lengths,
     xs_a = (ts, mv(lpb), mv(lpe), mv(lpB))
     xs_b = tuple(x[::-1] for x in xs_a)
     init = (jnp.full((B, W, U), neg, dtype), jnp.full((B, W, U), neg, dtype))
-    # WTT_VARIANT_UNROLL overrides for hardware A/B (0 = auto)
-    unroll = int(_os.environ.get("WTT_VARIANT_UNROLL", 0)) or (
-        8 if T >= 512 else 1)
+    # WTT_VARIANT_UNROLL overrides for hardware A/B (0 = auto).
+    # unroll=8 wins at EVERY T on hardware: at T=150,B=128,K=2 it cut the
+    # loss+grad headline 1.655 -> 1.302 ms (r4 A/B; unroll=4 gave 1.503) —
+    # the T-step scan is dispatch-bound, so fusing 8 steps per iteration
+    # amortises the per-step XLA overhead, and at long T it was already 8.
+    unroll = int(_os.environ.get("WTT_VARIANT_UNROLL", 0)) or 8
     _, (a_rows, b_rows) = lax.scan(step, init, (xs_a, xs_b), unroll=unroll)
     alphas = jnp.moveaxis(a_rows, 0, 1)
     betas = jnp.moveaxis(b_rows[::-1], 0, 1)

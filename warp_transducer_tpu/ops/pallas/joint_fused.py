@@ -77,8 +77,11 @@ _LOGCOEF = int(_os.environ.get("WTT_FUSED_LOGCOEF", 0))
 # under this knob measures the kernel's matmul+DMA envelope in its real
 # program structure — the measured floor the epilogue gap is judged
 # against (the analytic "pure matmul" floor ignores tanh, accumulator
-# traffic and tile-boundary effects).
+# traffic and tile-boundary effects). 1 = both kernels, 2 = forward
+# only, 3 = backward only (splits the epilogue cost between them).
 _MM_ONLY = int(_os.environ.get("WTT_FUSED_MM_ONLY", 0))
+_MM_ONLY_FWD = _MM_ONLY in (1, 2)
+_MM_ONLY_BWD = _MM_ONLY in (1, 3)
 # Chunk-count budget for the V-chunked drivers. v5e has 128 MiB of
 # physical VMEM; Mosaic's default 16 MiB scope forced 63 backward chunks
 # at H=1024/V=32000 — each chunk re-reading e/p and recomputing tanh(h),
@@ -213,7 +216,7 @@ def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
             nxt = tile_logits(k + 1) if k + 1 < n_vt else None
         else:
             logits = tile_logits(k)
-        if _MM_ONLY:
+        if _MM_ONLY_FWD:
             s = s + logits[:, :1]  # cheap lane slice; keeps matmuls live
             continue
         t_max = jnp.max(logits, axis=1, keepdims=True)
@@ -243,7 +246,7 @@ def _prep_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
                 colx = jax.lax.broadcasted_iota(jnp.int32, lpx.shape, 1)
                 lpx = jnp.where(colx == kk, logits[:, c:c + 1], lpx)
 
-    if _MM_ONLY:
+    if _MM_ONLY_FWD:
         d = -jnp.log1p(jnp.abs(s))  # finite, data-dependent garbage
         if partial:
             m_ref, s_ref, bl_ref, le_ref = out_refs
@@ -361,13 +364,13 @@ def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
             preferred_element_type=f32,
         ) + bias_ref[:, k * v_tile:(k + 1) * v_tile]
         # softmax prob of tile columns; padded columns have bias NEG -> 0
-        if _MM_ONLY:
+        if _MM_ONLY_BWD:
             g = logits  # diagnostic: identical MXU work, no VPU epilogue
         elif _LOGCOEF:
             g = jnp.exp(logits + dl)
         else:
             g = coef * jnp.exp(logits + denom)
-        if not _MM_ONLY:
+        if not _MM_ONLY_BWD:
             if k * v_tile <= blank - v_base < (k + 1) * v_tile:
                 g = g - jnp.where(col == (blank - v_base - k * v_tile),
                                   cb, 0.0)
@@ -388,7 +391,7 @@ def _grad_kernel(e_ref, p_ref, w_ref, bias_ref, *refs,
             hm, g_mm, (((0,), (0,)), ((), ())),
             preferred_element_type=f32,
         )
-        if _MM_ONLY:
+        if _MM_ONLY_BWD:
             db_ref[:, k * v_tile:(k + 1) * v_tile] += g[:1, :]
         else:
             db_ref[:, k * v_tile:(k + 1) * v_tile] += jnp.sum(

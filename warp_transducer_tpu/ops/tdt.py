@@ -184,9 +184,10 @@ def _tdt_lattice(lpb, lpe, lpd, durations, input_lengths,
     xs_a = (ts, mv(lpb), mv(lpe), mv(lpd))
     xs_b = tuple(x[::-1] for x in xs_a)
     init = (jnp.full((B, W, U), neg, dtype), jnp.full((B, W, U), neg, dtype))
-    # WTT_VARIANT_UNROLL overrides for hardware A/B (0 = auto)
-    unroll = int(_os.environ.get("WTT_VARIANT_UNROLL", 0)) or (
-        8 if T >= 512 else 1)
+    # WTT_VARIANT_UNROLL overrides for hardware A/B (0 = auto).
+    # unroll=8 wins at EVERY T on hardware (T=150,B=128,D=4 headline
+    # 1.650 -> 1.450 ms, r4 A/B): the T-step scan is dispatch-bound.
+    unroll = int(_os.environ.get("WTT_VARIANT_UNROLL", 0)) or 8
     _, (a_rows, b_rows) = lax.scan(step, init, (xs_a, xs_b), unroll=unroll)
     alphas = jnp.moveaxis(a_rows, 0, 1)
     betas = jnp.moveaxis(b_rows[::-1], 0, 1)
