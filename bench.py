@@ -51,16 +51,25 @@ def slope_time_ms(run, target_s=0.3, n_cap=4096, reps=5):
     device work, keeping RPC jitter in the noise.
     """
     import jax
+    import numpy as _np
+
+    def fetch(r):
+        # Device->host VALUE fetch, not just block_until_ready: the axon
+        # tunnel can defer/batch enqueued programs until a value is
+        # actually pulled, in which case block_until_ready returns ~0 ms
+        # with the work still queued (measured: a chained 8192^2 matmul
+        # fori "timed" 0.1 ms by block alone, 230 ms once fetched).
+        return jax.tree.map(_np.asarray, r)
 
     def best_of(n):
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(n))
+            fetch(run(n))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    jax.block_until_ready(run(4))  # compile (n is a traced operand: one compile)
+    fetch(run(4))  # compile (n is a traced operand: one compile)
     t16 = best_of(16)
     per_est = max(t16 / 16, 1e-6)
     n2 = int(min(max(32, target_s / per_est), n_cap))

@@ -17,6 +17,7 @@ ranges = jnp.asarray(np.minimum(np.cumsum(steps, 1), max(U - S, 0)), jnp.int32)
 # 1. flat-entry: acts passed as (B, T, S*V), reshaped (bitcast) inside
 acts_flat = jax.jit(lambda k: jax.random.uniform(k, (B, T, S * V), jnp.float32))(jax.random.PRNGKey(0))
 for impl in ("pallas", "xla"):
+    print(f"# compiling flat-entry impl={impl} ...", flush=True)
     lg = jax.value_and_grad(lambda a: rnnt_loss_pruned(
         a.reshape(B, T, S, V), ranges, labels, il, ll, reduction="sum",
         implementation=impl))
@@ -32,6 +33,7 @@ for impl in ("pallas", "xla"):
     print(f"flat-entry pruned loss+grad B={B} impl={impl}: {ms:.3f} ms", flush=True)
 
 # 2. production: banded joint (enc+pred_band -> tanh -> proj) inside the jit
+print("# compiling banded-joint end-to-end ...", flush=True)
 H = 256
 ks = jax.random.split(jax.random.PRNGKey(1), 4)
 enc = jax.jit(lambda k: (jax.random.uniform(k, (B, T, H)) - 0.5))(ks[0])

@@ -40,9 +40,8 @@ acts = jax.jit(lambda k: jax.random.uniform(k, (B, T, S, V), jnp.float32))(
 print(f"# panels pipeline stages B={B} T={T} L={L} V={V} S={S}", flush=True)
 
 lab_band, has_lab = PR._band_labels(labels, ranges, S)
-S_pad, B_pad, SV, Tc, T_pad = BP._geometry(B, T, S, V)
-print(f"# geometry: Tc={Tc} T_pad={T_pad} S_pad={S_pad} B_pad={B_pad}",
-      flush=True)
+S_pad, SV, Tc, T_pad = BP._geometry(B, T, S, V)
+print(f"# geometry: Tc={Tc} T_pad={T_pad} S_pad={S_pad}", flush=True)
 
 
 def timed(name, fn):
@@ -59,18 +58,15 @@ def timed(name, fn):
     print(f"{name:28s} {ms:8.3f} ms", flush=True)
 
 
-lab_panel = BP._lab_panel(lab_band, has_lab, T_pad, S_pad, B_pad)
-
-
 def prep_only(a):
-    return BP.prep_panels(a, lab_panel, blank=0)
+    llf, res = BP.pruned_forward(a, lab_band, has_lab, ranges, il, ll,
+                                 0, False)
+    return res["lpb"], res["lpe"], res["den"]
 
 
 def prep_lattice(a):
-    lpb_p, lpe_p, den_p = BP.prep_panels(a, lab_panel, blank=0)
-    ranges_p, da_p, db_p, tb, ub = band_row_metadata(ranges, il, ll, T_pad)
-    alpha_p, beta_p, llf, llb = stream_panels(
-        lpb_p, lpe_p, ranges_p, da_p, db_p, tb, ub, S, False)
+    llf, res = BP.pruned_forward(a, lab_band, has_lab, ranges, il, ll,
+                                 0, False)
     return llf
 
 
@@ -80,6 +76,6 @@ def full(a):
         implementation="pallas"))(a)
 
 
-timed("prep_panels", prep_only)
+timed("prep kernel (fwd minus lattice)", prep_only)
 timed("prep+stream", prep_lattice)
 timed("full loss+grad", full)

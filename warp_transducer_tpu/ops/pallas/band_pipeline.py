@@ -1,34 +1,37 @@
-"""All-panels Pallas pipeline for the pruned loss (prep → lattice → grad).
+"""Transpose-free Pallas pipeline for the pruned loss (prep → lattice → grad).
 
-At production scale (B=128, T=1500, S=5, V=50) the band pipeline's cost is
-NOT the recursion (the streamed kernel does it in <1 ms) but the cell-wise
-XLA passes around it: every (B, T, S) coefficient array tiles its (T, S)
-minor pair to (8, 128) — 25x physical padding at S=5 — and XLA's lowering
-of the prep/gradient math shatters into dozens of unfused big-shape
-passes (measured 18.7 ms total, ~17 of them outside the recursion).
+At production scale (B=128, T=1500, S=5, V=50) the pruned loss is NOT
+recursion-bound (the streamed band kernel sweeps the lattice in ~0.2 ms) —
+it is bound by the cell work around it. Two designs failed before this one:
 
-This pipeline keeps EVERYTHING in two good layouts:
+* pure-XLA cell passes on (B, T, S) fields: XLA shatters the prep/gradient
+  math into dozens of unfused big-shape passes (41 ms at B=128);
+* v1 all-panels kernels that produced/consumed every per-cell field in the
+  band-lattice kernel's native (T, S, B) panel orientation: each grid step
+  spent its time on ~15 small (B, Tc) <-> (Tc, B) in-register transposes,
+  measured 3.3 ms prep + 11.5 ms grad at B=128 — slower than not fusing.
 
-* the big activations as the flat (B, T, S·V) view (lane dim S·V, ~2%
-  padding, contiguous chunks);
-* every per-cell field (lpb/lpe/denom, α/β, labels) as (T_pad, S_pad,
-  B_pad) PANELS — the band-lattice kernel's native layout (batch on
-  lanes, band index on sublanes).
+The v2 design keeps the big activations in their natural (B, T, S·V) flat
+view everywhere and never transposes inside a kernel:
 
-Three Pallas invocations per training step:
+1. ``prep_fields``: one Pallas read of the activations produces lpb/lpe/
+   denom LANE-PACKED as one (B, T_pad, 3·S_pad) array — per-(t, s) scalars
+   live at lane g·S_pad + s with t on sublanes, exactly the orientation a
+   lane-slice + lane-broadcast consumes. No transposes: the per-segment
+   reductions produce (B, Tc, 1) keepdims values that select-accumulate
+   into the packed lanes.
+2. ``band_stream.stream_panels``: unchanged. The (T, S, B) panels it needs
+   are built by ONE cheap XLA transpose of the small (B, T, S) fields
+   (~6 MB each; XLA picks good layouts for its own intermediates).
+3. gradient: the coefficient fields coef/cb/ce are computed in XLA from
+   the lattice panels by the SAME tested math as the XLA engine
+   (``ops.pruned._band_coefs``), packed with denom and the per-cell label
+   lane ids into one (B, T_pad, 5·S_pad) carrier, and ``grad_fields``
+   makes one Pallas read of the activations + one write of the gradient,
+   lane-broadcasting the per-cell scalars along each segment's V columns.
 
-1. ``prep_panels``: one read of the activations → lpb/lpe/denom/label
-   panels (per-segment online reductions, in-register transposes to
-   panel orientation).
-2. ``band_stream.stream_panels``: the existing streamed α/β sweep,
-   consuming and producing panels directly.
-3. ``grad_panels``: one read of the activations + one write of the
-   gradient; the coefficient fields coef/cb/ce are computed IN-KERNEL
-   from the α/β panels (β shifts along sublanes, the per-batch band-delta
-   shift as an unrolled select) and broadcast per segment — they are
-   never materialised in HBM at all.
-
-The (B, T, S)-layout arrays the XLA path uses never exist here.
+Replaces the reference's banded analog of gpu_rnnt_kernel.h:143-179 +
+reduce.h:102-146 (which never prunes; the band is beyond-reference).
 """
 from __future__ import annotations
 
@@ -42,151 +45,140 @@ from jax.experimental.pallas import tpu as pltpu
 from .band_stream import NEG, band_row_metadata, stream_panels
 from .wavefront import _LANES, _SUBLANES, _round_up
 
-def _pick_tc(B_pad: int, SV: int) -> int:
-    # acts block (B, Tc, SV) f32; the grad kernel keeps ~6 same-size
-    # temporaries live on the scoped-VMEM stack (default limit 16 MB), so
-    # the block itself must stay ~1 MB (B=128, T=1504, SV=250 compiled at
-    # 24.3 MB scoped with a 2 MB block — hard compile failure on v5e).
-    budget = 1024 * 1024
-    tc = max(8, budget // (B_pad * SV * 4))
-    return min(64, _round_up(tc, 8))
+# Scoped-VMEM per-kernel ceiling (v5e has 128 MiB physical; Mosaic's
+# default scope is 16 MiB). The grad kernel keeps ~6 (B, Tc, SV) f32
+# temporaries live, so Tc is budgeted so the working set stays inside it.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
+
+def _pick_tc(B: int, SV: int, n_live: int) -> int:
+    budget = 40 * 1024 * 1024  # n_live temporaries + double-buffered blocks
+    tc = budget // (n_live * B * SV * 4)
+    return max(8, min(64, tc // 8 * 8))
 
 
 # ---------------------------------------------------------------------------
-# Kernel 1: prep — activations -> lpb/lpe/denom panels
+# Kernel 1: prep — activations -> lane-packed (lpb | lpe | denom)
 # ---------------------------------------------------------------------------
 
-def _prep_kernel(x_ref, lab_ref, lpb_ref, lpe_ref, den_ref,
-                 *, s_band: int, v: int, blank: int):
+def _prep_kernel(x_ref, lab_ref, out_ref, *, s_band: int, v: int,
+                 blank: int, s_pad: int):
     f32 = jnp.float32
     neg = jnp.asarray(NEG, f32)
     B, Tc, SV = x_ref.shape
-    B_pad = lpb_ref.shape[2]
     x = x_ref[...].astype(f32)  # (B, Tc, SV)
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, Tc, SV), 2)
+    lane_o = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 2)
 
-    # initialise ALL sublanes (s >= s_band stays at the NEG sentinel —
-    # uninitialised VMEM would poison the lattice's prefix chains)
-    lpb_ref[...] = jnp.full(lpb_ref.shape, neg, f32)
-    lpe_ref[...] = jnp.full(lpe_ref.shape, neg, f32)
-    den_ref[...] = jnp.full(den_ref.shape, neg, f32)
-
+    out = jnp.full(out_ref.shape, neg, f32)
     for s in range(s_band):
         in_seg = (lane >= s * v) & (lane < (s + 1) * v)
         xm = jnp.where(in_seg, x, neg)
-        m = jnp.max(xm, axis=2)  # (B, Tc)
-        e = jnp.sum(jnp.where(in_seg, jnp.exp(x - m[:, :, None]), 0.0),
-                    axis=2)
+        m = jnp.max(xm, axis=2, keepdims=True)  # (B, Tc, 1)
+        e = jnp.sum(jnp.where(in_seg, jnp.exp(x - m), 0.0), axis=2,
+                    keepdims=True)
         d = -(m + jnp.log(e))
-        lpb_bt = x[:, :, s * v + blank] + d
-        # label column: lab panel row (Tc, B_pad) -> (B, Tc) orientation
-        lab_s = lab_ref[:, s, :]  # (Tc, B_pad) int32, -1 = no label
-        lab_bt = jnp.transpose(lab_s, (1, 0))[:B]  # (B, Tc)
-        target = jnp.where(lab_bt < 0, -1, s * v + lab_bt)
-        sel = lane == target[:, :, None]
-        lab_logit = jnp.max(jnp.where(sel, x, neg), axis=2)  # (B, Tc)
-        lpe_bt = jnp.where(lab_logit <= neg / 2, neg, lab_logit + d)
-
-        pad = B_pad - B
-        to_panel = lambda a: jnp.pad(jnp.transpose(a, (1, 0)),
-                                     ((0, 0), (0, pad)),
-                                     constant_values=NEG)
-        lpb_ref[:, s, :] = to_panel(lpb_bt)
-        lpe_ref[:, s, :] = to_panel(lpe_bt)
-        den_ref[:, s, :] = to_panel(d)
+        c = s * v + blank
+        lpb = x[:, :, c:c + 1] + d
+        # label logit: lab_ref carries the GLOBAL lane id s*v + label
+        # (or -1 where the cell has no label)
+        lab_s = lab_ref[:, :, s:s + 1].astype(jnp.int32)
+        ll = jnp.max(jnp.where(lane == lab_s, x, neg), axis=2,
+                     keepdims=True)
+        lpe = jnp.where(ll <= neg / 2, neg, ll + d)
+        # pack: lanes [0, S_pad) = lpb, [S_pad, 2 S_pad) = lpe, rest denom
+        out = jnp.where(lane_o == s, lpb, out)
+        out = jnp.where(lane_o == s_pad + s, lpe, out)
+        out = jnp.where(lane_o == 2 * s_pad + s, d, out)
+    out_ref[...] = out
 
 
-# ---------------------------------------------------------------------------
-# Kernel 2: gradient — recompute coef/cb/ce from panels, one pass over acts
-# ---------------------------------------------------------------------------
-
-def _shift_down_by_delta(x, delta_row, s_iota, S, neg):
-    """out[s] = x[s - d] per-lane along sublanes (axis 1 of (Tc,S_pad,Bp))."""
-    out = jnp.full(x.shape, neg, x.dtype)
-    for d in range(S):
-        sh = pltpu.roll(x, d, axis=1) if d else x
-        sh = jnp.where(s_iota >= d, sh, neg)
-        out = jnp.where(delta_row == d, sh, out)
+def _prep_fields_call(acts_flat, lab_lane, s_band, v, blank, Tc, interpret):
+    """(B, T, S·V) activations -> (B, T, 3·S_pad) packed
+    (lpb | lpe | denom). ``lab_lane``: (B, T, S_pad) f32 global label
+    lane ids (s·V + label), -1 where the cell has no label. T need not be
+    a Tc multiple: the grid is cdiv and Mosaic masks the edge block — the
+    big tensors are never physically padded (a T-pad of the activations
+    is a full 192 MB copy at the production shape)."""
+    B, T, SV = acts_flat.shape
+    S_pad = lab_lane.shape[2]
+    kernel = functools.partial(_prep_kernel, s_band=s_band, v=v,
+                               blank=blank, s_pad=S_pad)
+    out = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(T, Tc),),
+        in_specs=[
+            pl.BlockSpec((B, Tc, SV), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, Tc, S_pad), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, Tc, 3 * S_pad), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, 3 * S_pad), jnp.float32),
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )(acts_flat, lab_lane)
     return out
 
 
-def _grad_kernel(x_ref, lab_ref, lpb_ref, lpe_ref, den_ref,
-                 alpha_ref, beta_ref, beta_next_ref,
-                 r_ref, dnext_ref, tb_ref, ub_ref, ll_ref, scale_ref,
-                 g_ref, *, s_band: int, v: int, blank: int, t_c: int,
-                 out_dtype, fastemit_lambda: float = 0.0):
+# ---------------------------------------------------------------------------
+# Kernel 2: gradient — one read of the activations, one write of the grad
+# ---------------------------------------------------------------------------
+
+def _grad_kernel(x_ref, f_ref, g_ref, *, s_band: int, v: int, blank: int,
+                 s_pad: int, out_dtype):
+    """``f_ref``: (B, Tc, 5·S_pad) lane-packed per-cell scalars
+    [denom | coef | cb | ce | label-lane-id]. All validity/terminal/
+    feasibility masking and the cotangent scale are already folded in by
+    the XLA side (ops.pruned._band_coefs): coef/cb/ce are zero and denom
+    is the NEG sentinel outside valid cells, so g is exactly zero there
+    (exp(x + NEG) underflows; no NaN even for huge raw activations)."""
     f32 = jnp.float32
-    neg = jnp.asarray(NEG, f32)
     B, Tc, SV = x_ref.shape
-    S_pad, B_pad = lpb_ref.shape[1], lpb_ref.shape[2]
-    S = s_band
-    i = pl.program_id(0)
-
-    # ---- coefficient fields on (Tc, S_pad, B_pad) panels ----------------
-    alpha = alpha_ref[...]
-    beta = beta_ref[...]
-    lpb = lpb_ref[...]
-    lpe = lpe_ref[...]  # NEG sentinel where no label: exp underflows to 0
-    ll = ll_ref[...]  # (1, B_pad)
-    scale = scale_ref[...]
-    Tb = tb_ref[...]
-    Ub = ub_ref[...]
-
-    t_row = (i * Tc + jax.lax.broadcasted_iota(
-        jnp.int32, (Tc, S_pad, B_pad), 0))
-    s_iota = jax.lax.broadcasted_iota(jnp.int32, (Tc, S_pad, B_pad), 1)
-    r3 = r_ref[...][:, None, :]  # (Tc, 1, B_pad)
-    u = r3 + s_iota
-    valid = (t_row < Tb[None]) & (u < Ub[None]) & (s_iota < S)
-
-    # bshift_u: beta(t, u+1) = panel (t, s+1): sublane roll up
-    b_up = pltpu.roll(beta, S_pad - 1, axis=1)
-    b_up = jnp.where(s_iota < S_pad - 1, b_up, neg)
-    b_up = jnp.where(u + 1 < Ub[None], b_up, neg)
-    # bshift_t: beta(t+1, u) = next-row panel at (s - delta_next)
-    dnext3 = dnext_ref[...][:, None, :]
-    b_dn = _shift_down_by_delta(beta_next_ref[...], dnext3, s_iota, S, neg)
-    b_dn = jnp.where(t_row + 1 < Tb[None], b_dn, neg)
-    terminal = (t_row == Tb[None] - 1) & (u == Ub[None] - 1)
-    b_dn = jnp.where(terminal, 0.0, b_dn)
-
-    a_ll = alpha - ll[None]
-    feas = (ll > neg / 2)[None]
-    sc = jnp.where(feas, scale[None], 0.0)
-    coef = jnp.where(valid, jnp.exp(a_ll + beta) * sc, 0.0)
-    cb = jnp.where(valid, jnp.exp(a_ll + lpb + b_dn) * sc, 0.0)
-    has_lab = lab_ref[...] >= 0
-    ce = jnp.where(valid & has_lab, jnp.exp(a_ll + lpe + b_up) * sc, 0.0)
-    if fastemit_lambda:
-        lam = jnp.asarray(fastemit_lambda, f32)
-        coef = coef + lam * ce  # coef == cb + ce, so this is FastEmit's
-        ce = ce * (1.0 + lam)   # (1+λ)-scaled emit arc (arXiv:2010.11148)
-    denom = den_ref[...]
-
-    # ---- one pass over the activations ----------------------------------
-    # Build the segment-broadcast fields first with cheap selects, then run
-    # ONE full-size exp/mul/sub chain: the previous per-segment form kept
-    # ~12 (B, Tc, SV) temporaries live in the unrolled s-loop and blew the
-    # 16 MB scoped-VMEM stack at B=128 (24.3 MB compile failure).
-    x = x_ref[...].astype(f32)  # (B, Tc, SV)
+    x = x_ref[...].astype(f32)
+    f = f_ref[...]
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, Tc, SV), 2)
-    den_b = jnp.zeros((B, Tc, SV), f32)
+
+    den_b = jnp.full((B, Tc, SV), jnp.asarray(NEG, f32), f32)
     coef_b = jnp.zeros((B, Tc, SV), f32)
     sub = jnp.zeros((B, Tc, SV), f32)
-    for s in range(S):
+    for s in range(s_band):
         in_seg = (lane >= s * v) & (lane < (s + 1) * v)
-        # NB: transpose-then-basic-index with a None (`[:B, :, None]`)
-        # emits lax.gather, which Mosaic can't lower; lax.slice +
-        # expand_dims stays on the slice path.
-        tr = lambda p: jnp.expand_dims(jax.lax.slice(
-            jnp.transpose(p[:, s, :], (1, 0)), (0, 0), (B, Tc)), 2)
-        den_b = jnp.where(in_seg, tr(denom), den_b)
-        coef_b = jnp.where(in_seg, tr(coef), coef_b)
-        sub = sub + jnp.where(lane == s * v + blank, tr(cb), 0.0)
-        lab_bt = jnp.transpose(lab_ref[:, s, :], (1, 0))[:B]  # (B, Tc)
-        target = jnp.where(lab_bt < 0, -1, s * v + lab_bt)
-        sub = sub + jnp.where(lane == target[:, :, None], tr(ce), 0.0)
+        den_s = f[:, :, s:s + 1]
+        coef_s = f[:, :, s_pad + s:s_pad + s + 1]
+        cb_s = f[:, :, 2 * s_pad + s:2 * s_pad + s + 1]
+        ce_s = f[:, :, 3 * s_pad + s:3 * s_pad + s + 1]
+        lab_s = f[:, :, 4 * s_pad + s:4 * s_pad + s + 1].astype(jnp.int32)
+        den_b = jnp.where(in_seg, den_s, den_b)
+        coef_b = jnp.where(in_seg, coef_s, coef_b)
+        sub = sub + jnp.where(lane == s * v + blank, cb_s, 0.0)
+        sub = sub + jnp.where(lane == lab_s, ce_s, 0.0)
     g_ref[...] = (coef_b * jnp.exp(x + den_b) - sub).astype(out_dtype)
+
+
+def _grad_fields_call(acts_flat, fields, s_band, v, blank, Tc, out_dtype,
+                      interpret):
+    B, T, SV = acts_flat.shape
+    S_pad = fields.shape[2] // 5
+    kernel = functools.partial(_grad_kernel, s_band=s_band, v=v,
+                               blank=blank, s_pad=S_pad, out_dtype=out_dtype)
+    g = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(T, Tc),),
+        in_specs=[
+            pl.BlockSpec((B, Tc, SV), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, Tc, 5 * S_pad), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, Tc, SV), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, SV), out_dtype),
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )(acts_flat, fields)
+    return g
 
 
 # ---------------------------------------------------------------------------
@@ -195,123 +187,50 @@ def _grad_kernel(x_ref, lab_ref, lpb_ref, lpe_ref, den_ref,
 
 def _geometry(B, T, S, V):
     S_pad = _round_up(S, _SUBLANES)
-    B_pad = _round_up(B, _LANES)
     SV = S * V
-    Tc = _pick_tc(B_pad, SV)
+    Tc = _pick_tc(B, SV, n_live=6)
     T_pad = _round_up(T, Tc)
-    return S_pad, B_pad, SV, Tc, T_pad
+    return S_pad, SV, Tc, T_pad
 
 
-def _lab_panel(lab_band, has_lab, T_pad, S_pad, B_pad):
-    """(B, T, S) labels -> (T_pad, S_pad, B_pad) int32 panel, -1 sentinel."""
-    B, T, S = lab_band.shape
-    lab = jnp.where(has_lab, lab_band.astype(jnp.int32), -1)
-    lab = jnp.transpose(lab, (1, 2, 0))  # (T, S, B)
-    return jnp.pad(lab, ((0, T_pad - T), (0, S_pad - S), (0, B_pad - B)),
-                   constant_values=-1)
-
-
-@functools.partial(jax.jit, static_argnames=("blank", "interpret"))
-def prep_panels(acts, lab_panel, blank=0, interpret=False):
-    """(lpb_p, lpe_p, denom_p) panels from one pass over the activations."""
-    B, T, S, V = acts.shape
-    S_pad, B_pad, SV, Tc, T_pad = _geometry(B, T, S, V)
-    xf = acts.reshape(B, T, SV)
-    if T_pad != T:
-        xf = jnp.pad(xf, ((0, 0), (0, T_pad - T), (0, 0)))
-    kernel = functools.partial(_prep_kernel, s_band=S, v=V, blank=blank)
-    panel_spec = pl.BlockSpec((Tc, S_pad, B_pad), lambda i: (i, 0, 0),
-                              memory_space=pltpu.VMEM)
-    lpb_p, lpe_p, den_p = pl.pallas_call(
-        kernel,
-        grid=(T_pad // Tc,),
-        in_specs=[
-            pl.BlockSpec((B, Tc, SV), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            panel_spec,
-        ],
-        out_specs=(panel_spec, panel_spec, panel_spec),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((T_pad, S_pad, B_pad), jnp.float32)
-            for _ in range(3)
-        ),
-        interpret=interpret,
-    )(xf, lab_panel)
-    return lpb_p, lpe_p, den_p
-
-
-@functools.partial(jax.jit, static_argnames=("blank", "interpret",
-                                              "fastemit_lambda"))
-def grad_panels(acts, lab_panel, lpb_p, lpe_p, den_p, alpha_p, beta_p,
-                ranges_p, db_p, tb, ub, llf, scale, blank=0,
-                interpret=False, fastemit_lambda=0.0):
-    """(B, T, S, V) gradient in one read+write pass over the activations;
-    the coefficient fields are computed in-kernel from the lattice panels."""
-    B, T, S, V = acts.shape
-    S_pad, B_pad, SV, Tc, T_pad = _geometry(B, T, S, V)
-    xf = acts.reshape(B, T, SV)
-    if T_pad != T:
-        xf = jnp.pad(xf, ((0, 0), (0, T_pad - T), (0, 0)))
-    # beta(t+1) rows aligned with row t (cheap panel-layout shift)
-    beta_next = jnp.concatenate(
-        [beta_p[1:], jnp.full((1, S_pad, B_pad), NEG, jnp.float32)], axis=0
-    )
-    scale_p = jnp.pad(scale.astype(jnp.float32), (0, B_pad - B))[None, :]
-
-    kernel = functools.partial(_grad_kernel, s_band=S, v=V, blank=blank,
-                               t_c=Tc, out_dtype=acts.dtype,
-                               fastemit_lambda=float(fastemit_lambda))
-    panel_spec = pl.BlockSpec((Tc, S_pad, B_pad), lambda i: (i, 0, 0),
-                              memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((Tc, B_pad), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    one_spec = pl.BlockSpec((1, B_pad), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
-    g = pl.pallas_call(
-        kernel,
-        grid=(T_pad // Tc,),
-        in_specs=[
-            pl.BlockSpec((B, Tc, SV), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            panel_spec,              # labels
-            panel_spec, panel_spec, panel_spec,  # lpb, lpe, denom
-            panel_spec, panel_spec, panel_spec,  # alpha, beta, beta_next
-            row_spec, row_spec,      # ranges, delta_next
-            one_spec, one_spec,      # tb, ub
-            one_spec, one_spec,      # ll, scale
-        ],
-        out_specs=pl.BlockSpec((B, Tc, SV), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, T_pad, SV), acts.dtype),
-        # Mosaic's stack allocator does not reuse buffers across the
-        # unrolled segment loop (~26 live (B,Tc,SV) temps at B=128), which
-        # blows the DEFAULT 16 MiB scoped-vmem limit; v5e has 128 MiB of
-        # physical VMEM, so raise the scope instead of shrinking Tc further
-        # (smaller blocks measured slower).
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=interpret,
-    )(xf, lab_panel, lpb_p, lpe_p, den_p, alpha_p, beta_p, beta_next,
-      ranges_p, db_p, tb, ub, llf, scale_p)
-    return g[:, :T].reshape(B, T, S, V)
+def _to_panels(x_bts, T_pad, S_pad, B_pad):
+    """(B, T, S) -> (T_pad, S_pad, B_pad) NEG-padded panel (XLA transpose —
+    a few MB; XLA lays its own intermediates out well)."""
+    B, T, S = x_bts.shape
+    p = jnp.pad(x_bts, ((0, B_pad - B), (0, T_pad - T), (0, S_pad - S)),
+                constant_values=NEG)
+    return jnp.transpose(p, (1, 2, 0))
 
 
 def pruned_forward(acts, lab_band, has_lab, ranges, input_lengths,
                    label_lengths, blank, interpret, delay_penalty=0.0):
-    """Panels forward: returns (costs_ll, residual panels dict)."""
+    """Flat-view forward: returns (costs_ll, residuals dict)."""
     B, T, S, V = acts.shape
-    S_pad, B_pad, SV, Tc, T_pad = _geometry(B, T, S, V)
-    lab_panel = _lab_panel(lab_band, has_lab, T_pad, S_pad, B_pad)
-    lpb_p, lpe_p, den_p = prep_panels(acts, lab_panel, blank=blank,
-                                      interpret=interpret)
+    S_pad, SV, Tc, T_pad = _geometry(B, T, S, V)
+    B_pad = _round_up(B, _LANES)
+
+    xf = acts.reshape(B, T, SV)
+
+    # global label lane ids (s*V + label), -1 where no label
+    s_iota = jnp.arange(S, dtype=jnp.int32)[None, None, :]
+    lab_lane = jnp.where(has_lab, s_iota * V + lab_band.astype(jnp.int32), -1)
+    lab_lane_p = jnp.pad(
+        lab_lane.astype(jnp.float32),
+        ((0, 0), (0, 0), (0, S_pad - S)), constant_values=-1.0)
+
+    packed = _prep_fields_call(xf, lab_lane_p, S, V, blank, Tc, interpret)
+    lpb = packed[:, :, 0:S]
+    lpe = packed[:, :, S_pad:S_pad + S]
+    den = packed[:, :, 2 * S_pad:2 * S_pad + S]
     if delay_penalty:
-        # delay-penalized transducer (arXiv:2211.00490): emit log-weights
-        # get + lam*((T_b-1)/2 - t); panel layout is (T_pad, S_pad, B_pad)
-        t = jnp.arange(T_pad, dtype=jnp.float32)
+        # delay-penalized transducer (arXiv:2211.00490)
+        t = jnp.arange(T, dtype=jnp.float32)
         mid = (input_lengths.astype(jnp.float32) - 1) / 2
-        mid = jnp.pad(mid, (0, B_pad - B))
-        lpe_p = lpe_p + jnp.float32(delay_penalty) * (
-            mid[None, None, :] - t[:, None, None])
+        lpe = lpe + jnp.float32(delay_penalty) * (
+            mid[:, None, None] - t[None, :, None])
+
+    lpb_p = _to_panels(lpb, T_pad, S_pad, B_pad)
+    lpe_p = _to_panels(lpe, T_pad, S_pad, B_pad)
     ranges_p, da_p, db_p, tb, ub = band_row_metadata(
         ranges, input_lengths, label_lengths, T_pad
     )
@@ -319,17 +238,54 @@ def pruned_forward(acts, lab_band, has_lab, ranges, input_lengths,
         lpb_p, lpe_p, ranges_p, da_p, db_p, tb, ub, S, interpret
     )
     res = dict(
-        lab_panel=lab_panel, lpb_p=lpb_p, lpe_p=lpe_p, den_p=den_p,
-        alpha_p=alpha_p, beta_p=beta_p, ranges_p=ranges_p, db_p=db_p,
-        tb=tb, ub=ub, llf=llf,
+        lpb=lpb, lpe=lpe, den=den, lab_lane=lab_lane,
+        alpha_p=alpha_p, beta_p=beta_p, llf=llf,
+        ranges=ranges, has_lab=has_lab,
+        input_lengths=input_lengths, label_lengths=label_lengths,
     )
     return llf[0, :B], res
 
 
 def pruned_backward(acts, res, scale, blank, interpret, fastemit_lambda=0.0):
-    return grad_panels(
-        acts, res["lab_panel"], res["lpb_p"], res["lpe_p"], res["den_p"],
-        res["alpha_p"], res["beta_p"], res["ranges_p"], res["db_p"],
-        res["tb"], res["ub"], res["llf"], scale, blank=blank,
-        interpret=interpret, fastemit_lambda=float(fastemit_lambda),
+    """One Pallas read of the activations + one write of the gradient; the
+    coefficient fields come from the SAME XLA math as the XLA engine
+    (ops.pruned._band_coefs — tested against the f64 oracle)."""
+    from .. import pruned as _pruned  # lazy: ops.pruned lazily imports us
+
+    B, T, S, V = acts.shape
+    S_pad, SV, Tc, T_pad = _geometry(B, T, S, V)
+
+    # lattice panels -> (B, T, S) fields (cheap XLA transposes)
+    alphas = jnp.transpose(res["alpha_p"], (2, 0, 1))[:B, :T, :S]
+    betas = jnp.transpose(res["beta_p"], (2, 0, 1))[:B, :T, :S]
+    ll = res["llf"][0, :B]
+
+    class _Lat:
+        pass
+
+    lat = _Lat()
+    lat.alphas, lat.betas, lat.ll_forward = alphas, betas, ll
+    coef, cb, ce, valid = _pruned._band_coefs(
+        res["lpb"], res["lpe"], lat, res["ranges"], res["has_lab"],
+        # input_lengths/label_lengths only shape the valid mask, which
+        # band_row_metadata already encoded in tb/ub; recompute from ranges
+        *_lengths_from(res), scale, fastemit_lambda,
     )
+    den = jnp.where(valid, res["den"], NEG)
+    lab = jnp.where(valid, res["lab_lane"].astype(jnp.float32), -1.0)
+
+    pad = lambda x, cval: jnp.pad(
+        x.astype(jnp.float32),
+        ((0, 0), (0, 0), (0, S_pad - S)), constant_values=cval)
+    fields = jnp.concatenate(
+        [pad(den, NEG), pad(coef, 0.0), pad(cb, 0.0), pad(ce, 0.0),
+         pad(lab, -1.0)], axis=2)
+
+    xf = acts.reshape(B, T, SV)
+    g = _grad_fields_call(xf, fields, S, V, blank, Tc, acts.dtype, interpret)
+    return g.reshape(B, T, S, V)
+
+
+def _lengths_from(res):
+    """The forward stashes lengths inside res for the backward's mask."""
+    return res["input_lengths"], res["label_lengths"]

@@ -381,17 +381,22 @@ def _band_coefs(lpb, lpe, lat, ranges, has_lab, input_lengths,
         [betas[:, :, 1:], jnp.full((B, T, 1), NEG)], axis=2
     )
     bshift_u = jnp.where(u + 1 < Ub[:, None, None], bshift_u, NEG)
-    # bshift_t: β(t+1, u) = band (t+1, s - δ(t+1))
+    # bshift_t: β(t+1, u) = band (t+1, s - δ(t+1)). δ ∈ [0, S), so the
+    # per-(b, t) minor-axis shift is an S-way select chain over STATIC
+    # rolls — a take_along_axis here is a minor-axis gather, which XLA:TPU
+    # lowers catastrophically (measured ~7 ms of the pruned backward at
+    # B=128, T=1500, S=5; the select chain is S cheap full passes).
     delta_next = jnp.diff(ranges, axis=1, append=ranges[:, -1:])  # (B, T)
     beta_next = jnp.concatenate(
         [betas[:, 1:, :], jnp.full((B, 1, S), NEG)], axis=1
     )  # β(t+1, ·) at row t
-    idx = s_iota - delta_next[:, :, None]
-    bshift_t = jnp.where(
-        (idx >= 0) & (idx < S),
-        jnp.take_along_axis(beta_next, jnp.clip(idx, 0, S - 1), axis=2),
-        NEG,
-    )
+    d3 = delta_next[:, :, None]
+    bshift_t = jnp.full_like(beta_next, NEG)
+    for d in range(S):
+        # out[s] = beta_next[s - d]: right-shift by d, NEG-fill on the left
+        sh = jnp.pad(beta_next[:, :, :S - d], ((0, 0), (0, 0), (d, 0)),
+                     constant_values=NEG) if d else beta_next
+        bshift_t = jnp.where(d3 == d, sh, bshift_t)
     bshift_t = jnp.where(t_iota + 1 < Tb[:, None, None], bshift_t, NEG)
     terminal = (t_iota == (Tb - 1)[:, None, None]) & (u == (Ub - 1)[:, None, None])
     bshift_t = jnp.where(terminal, 0.0, bshift_t)
@@ -448,15 +453,23 @@ def _pruned_costs(acts, ranges, labels, input_lengths, label_lengths, blank,
 
 
 def _band_labels(labels, ranges, S):
-    """(lab_band, has_lab): per-cell label ids and their validity."""
+    """(lab_band, has_lab): per-cell label ids and their validity.
+
+    Gather-free: labels[b, ranges[b,t]+s] as an iota-compare masked
+    reduction XLA fuses end-to-end. The obvious vmap ``lb[ix]`` emits an
+    XLA gather, which lowers so badly on TPU that it dominated the whole
+    pruned loss at B=128, T=1500 (label ids < V < 2^24 are f32-exact, so
+    the reduce runs in f32 on the VPU)."""
     B, T = ranges.shape
     U_minus_1 = labels.shape[1]
-    labels_i = labels.astype(jnp.int32)
     u_idx = ranges[:, :, None] + jnp.arange(S, dtype=jnp.int32)  # (B,T,S)
-    lab_band = jax.vmap(lambda lb, ix: lb[ix])(
-        labels_i, jnp.clip(u_idx, 0, max(U_minus_1 - 1, 0))
-    ) if U_minus_1 > 0 else jnp.zeros((B, T, S), jnp.int32)
-    return lab_band, u_idx < U_minus_1
+    if U_minus_1 == 0:
+        return jnp.zeros((B, T, S), jnp.int32), u_idx < 0
+    u_iota = jnp.arange(U_minus_1, dtype=jnp.int32)
+    onehot = u_idx[..., None] == u_iota  # (B,T,S,U-1), fused into the sum
+    lab_f = labels.astype(jnp.float32)[:, None, None, :]
+    lab_band = jnp.sum(jnp.where(onehot, lab_f, 0.0), axis=-1)
+    return lab_band.astype(jnp.int32), u_idx < U_minus_1
 
 
 def _pruned_fwd(acts, ranges, labels, input_lengths, label_lengths, blank,
