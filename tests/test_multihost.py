@@ -34,6 +34,12 @@ import jax
 # this environment pre-imports jax and pins the platform before user code
 # runs; the config update (not the env var) is what actually takes effect
 jax.config.update("jax_platforms", "cpu")
+# share the gate's persistent compile cache: these workers recompile the
+# same distributed programs every run otherwise (~2 min of the gate)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("WTT_TEST_COMP_CACHE",
+                                 "/tmp/wtt_test_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from warp_transducer_tpu.parallel.sharding import (
     data_parallel_rnnt_loss, initialize_distributed, make_mesh,

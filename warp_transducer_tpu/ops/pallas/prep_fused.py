@@ -98,13 +98,34 @@ def fused_prep(acts, labels_u, blank, interpret=None):
     return _fused_prep(acts, labels_u, int(blank), interpret)
 
 
-def use_fused_prep(V: int, dtype, log_probs_input: bool, U: int = 1) -> bool:
+def use_fused_prep(V: int, dtype, log_probs_input: bool, U: int = 1,
+                   T: int = 1, B: int = 1) -> bool:
     # The minimum (Tt=8) input block must fit VMEM WITH pallas's
     # double-buffering and the exp(x-m) intermediate (~3x the block), so
     # gate at 4 MB per block; larger U*V falls back to the XLA prep path.
+    #
+    # Two regimes win: large V (dense lane tiling, the original gate), and
+    # large T·U at ANY V — the XLA prep's 3+ passes over the activations
+    # dominate the whole loss there (measured 43 ms of the 68.5 ms
+    # B=64,T=1500,U=301,V=50 row), so one padded-lane read still beats
+    # three padded-lane passes. CAVEAT: the pallas operand pins the
+    # activations to the default layout while the XLA gradient pass keeps
+    # its own preferred layout, so XLA materialises ONE extra acts-sized
+    # copy; past ~2/3 of HBM that copy cannot allocate (measured: 19.8 GB
+    # requested at B=64,T=1500 — hard compile OOM), so the small-V branch
+    # also requires acts + grads + copy to fit.
+    # DISABLED by default: the V=50, U=301 block geometry wedges the
+    # remote Mosaic compiler (>25 min, killed) — measured r4 on the
+    # B=16,T=1500 row. Env-gated for future compiler versions.
+    import os as _os
+    itemsize = 2 if dtype == jnp.bfloat16 else 4
+    slab = B * T * U * V * itemsize
+    small_v_ok = (_os.environ.get("WTT_PREP_FUSED_SMALL_V") == "1"
+                  and V >= 16 and T * U * V >= 1 << 22
+                  and 2 * slab + B * T * U * V * 4 <= 13 * 1024**3)
     return (
         not log_probs_input
-        and V >= MIN_FUSED_V
+        and (V >= MIN_FUSED_V or small_v_ok)
         and dtype != jnp.float64
         and 8 * U * V * 4 <= 4 * 1024 * 1024
         and jax.default_backend() == "tpu"

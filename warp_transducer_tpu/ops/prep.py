@@ -59,7 +59,7 @@ def prepare(
 
     from .pallas import prep_fused as _pf
 
-    if _pf.use_fused_prep(V, compute_dtype, log_probs_input, U):
+    if _pf.use_fused_prep(V, compute_dtype, log_probs_input, U, T, B):
         # Large-V fast path: one read of the activations produces all three
         # caches (vs three XLA passes). Acts are passed in their NATIVE
         # dtype — the kernel converts per-tile in VMEM, so bf16 inputs are
