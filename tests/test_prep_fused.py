@@ -51,7 +51,8 @@ def test_loss_and_grad_with_fused_prep(monkeypatch):
     from warp_transducer_tpu import rnnt_loss
 
     monkeypatch.setattr(
-        PF, "use_fused_prep", lambda V, dtype, lp, U=1: not lp and V >= 512
+        PF, "use_fused_prep",
+        lambda V, dtype, lp, U=1, T=1, B=1: not lp and V >= 512,
     )
     rng = np.random.RandomState(3)
     B, T, U, V = 2, 6, 4, 512
@@ -63,7 +64,9 @@ def test_loss_and_grad_with_fused_prep(monkeypatch):
     f = lambda a: rnnt_loss(a, labels, il, ll, reduction="sum", implementation="xla")
     loss_fused, g_fused = jax.value_and_grad(f)(acts)
 
-    monkeypatch.setattr(PF, "use_fused_prep", lambda V, dtype, lp, U=1: False)
+    monkeypatch.setattr(
+        PF, "use_fused_prep", lambda V, dtype, lp, U=1, T=1, B=1: False
+    )
     loss_ref, g_ref = jax.value_and_grad(f)(acts)
     np.testing.assert_allclose(float(loss_fused), float(loss_ref), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), rtol=1e-5, atol=1e-6)
