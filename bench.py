@@ -59,7 +59,14 @@ def slope_time_ms(run, target_s=0.3, n_cap=4096, reps=5):
         # actually pulled, in which case block_until_ready returns ~0 ms
         # with the work still queued (measured: a chained 8192^2 matmul
         # fori "timed" 0.1 ms by block alone, 230 ms once fetched).
-        return jax.tree.map(_np.asarray, r)
+        # Fetch ONE element per leaf, not the whole array: producing the
+        # element forces the enqueued programs to execute, but pulling a
+        # GB-scale buffer through the tunnel takes minutes (the r5 long-T
+        # donation-chain bench hung >18 min fetching a 5.4 GB gradient
+        # per repetition). The element slice is a separate dispatch on an
+        # already-materialised output buffer, so it cannot narrow the
+        # producer program (unlike an in-jit ravel()[0]).
+        return jax.tree.map(lambda x: _np.asarray(x[(0,) * _np.ndim(x)]), r)
 
     def best_of(n):
         ts = []

@@ -52,7 +52,13 @@ def main():
                 out = fn(a * (1.0 + c * 1e-30))
                 acc = c
                 for leaf in jax.tree.leaves(out):
-                    acc = acc + leaf.ravel()[0].astype(jnp.float32) * 1e-12
+                    # FULL-reduce consumption: a ravel()[0] probe lets XLA
+                    # slice-pushdown narrow a producer reduce (the r5
+                    # one-pass variadic prep would collapse to one output
+                    # element and measure ~0). The sum costs one extra read
+                    # of each output, identical across stage prefixes, so
+                    # stage DIFFERENCES stay meaningful.
+                    acc = acc + jnp.sum(leaf).astype(jnp.float32) * 1e-12
                 return acc
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))

@@ -78,6 +78,24 @@ def _multiblank_prep(acts, labels, blank, bb_indices, sigma, compute_dtype):
     more big blanks — are penalized less)."""
     B, T, U, V = acts.shape
     x = acts.astype(compute_dtype)
+    labels_u = _prep._pad_labels(labels.astype(jnp.int32), U)  # (B, U-1)
+
+    if compute_dtype == jnp.float32:
+        # One read of the activations: streaming-logsumexp denominator plus
+        # the label / blank / big-blank column selects in a single variadic
+        # reduce (see prep.onepass_stats for the measured rationale).
+        labels_full = jnp.pad(labels_u, ((0, 0), (0, 1)))  # (B, U)
+        denom, e, bv, *bb_cols = _prep.onepass_stats(
+            x, labels_full, blank, extra_cols=tuple(bb_indices))
+        shift = denom - jnp.asarray(sigma, compute_dtype)
+        lpb = bv + shift
+        lpB = (jnp.stack(bb_cols, axis=-1) + shift[..., None]
+               if bb_indices else jnp.zeros((B, T, U, 0), compute_dtype))
+        u_iota = jnp.arange(U, dtype=jnp.int32)[None, None, :]
+        lpe = jnp.where(u_iota == U - 1, NEG, e + shift)
+        lpe = jnp.maximum(lpe, NEG)
+        return lpb, lpe, lpB, denom, labels_u
+
     m = jnp.max(x, axis=-1, keepdims=True)
     denom = -(m[..., 0] + jnp.log(jnp.sum(jnp.exp(x - m), axis=-1)))
     shift = denom - jnp.asarray(sigma, compute_dtype)
@@ -86,7 +104,6 @@ def _multiblank_prep(acts, labels, blank, bb_indices, sigma, compute_dtype):
         + shift[..., None] if bb_indices else jnp.zeros(
             (B, T, U, 0), compute_dtype)
 
-    labels_u = _prep._pad_labels(labels.astype(jnp.int32), U)  # (B, U-1)
     if U > 1:
         v_iota = jnp.arange(V, dtype=jnp.int32)
         sel = v_iota[None, None, :] == labels_u[:, :, None]  # (B, U-1, V)

@@ -104,28 +104,19 @@ def use_fused_prep(V: int, dtype, log_probs_input: bool, U: int = 1,
     # double-buffering and the exp(x-m) intermediate (~3x the block), so
     # gate at 4 MB per block; larger U*V falls back to the XLA prep path.
     #
-    # Two regimes win: large V (dense lane tiling, the original gate), and
-    # large T·U at ANY V — the XLA prep's 3+ passes over the activations
-    # dominate the whole loss there (measured 43 ms of the 68.5 ms
-    # B=64,T=1500,U=301,V=50 row), so one padded-lane read still beats
-    # three padded-lane passes. CAVEAT: the pallas operand pins the
-    # activations to the default layout while the XLA gradient pass keeps
-    # its own preferred layout, so XLA materialises ONE extra acts-sized
-    # copy; past ~2/3 of HBM that copy cannot allocate (measured: 19.8 GB
-    # requested at B=64,T=1500 — hard compile OOM), so the small-V branch
-    # also requires acts + grads + copy to fit.
-    # DISABLED by default: the V=50, U=301 block geometry wedges the
-    # remote Mosaic compiler (>25 min, killed) — measured r4 on the
-    # B=16,T=1500 row. Env-gated for future compiler versions.
-    import os as _os
-    itemsize = 2 if dtype == jnp.bfloat16 else 4
-    slab = B * T * U * V * itemsize
-    small_v_ok = (_os.environ.get("WTT_PREP_FUSED_SMALL_V") == "1"
-                  and V >= 16 and T * U * V >= 1 << 22
-                  and 2 * slab + B * T * U * V * 4 <= 13 * 1024**3)
+    # Large V only: the (8, 128) lane tiling of the V-minor layout is
+    # dense there, and the kernel reads bf16 acts natively (half the HBM
+    # traffic). At SMALL V this kernel is a dead end, r4-measured two
+    # ways: the default 4-D layout pads V to 128 lanes (2.6x physical at
+    # V=50 — an OOM, scripts/probe_dense_smallv.py), and the XLA gradient
+    # pass's preferred layout forces a full-size relayout copy of the
+    # activations. Small V is instead served by the one-pass variadic
+    # XLA reduce (prep.onepass_stats, r5): one read at ~620 GB/s with no
+    # layout constraint at all — which retired the r4 WTT_PREP_FUSED_SMALL_V
+    # experiment gate.
     return (
         not log_probs_input
-        and (V >= MIN_FUSED_V or small_v_ok)
+        and V >= MIN_FUSED_V
         and dtype != jnp.float64
         and 8 * U * V * 4 <= 4 * 1024 * 1024
         and jax.default_backend() == "tpu"

@@ -71,6 +71,9 @@ def prepare(
 
     x = acts.astype(compute_dtype)
 
+    if (not log_probs_input and U > 1 and compute_dtype == jnp.float32):
+        return _prepare_onepass(x, labels, blank)
+
     if log_probs_input:
         denom = None
         lp = x
@@ -105,6 +108,68 @@ def prepare(
         # -inf + finite denom stays -inf, so the plain adds are safe.
         lpb = lpb + denom
         lpe = lpe + denom
+    return PreparedInputs(lpb=lpb, lpe=lpe, denom=denom)
+
+
+def onepass_stats(x, labels_full, blank, extra_cols=()):
+    """One-read prep reductions: a single variadic ``lax.reduce`` over V
+    computes the streaming (online) log-softmax denominator AND any number
+    of column selects in the same pass over the activations.
+
+    The reference reads the activations twice for the denominator alone
+    (max pass + sum-exp pass, /root/reference/include/detail/reduce.h:102-146,
+    invoked gpu_rnnt.h:75-80); the streaming form carries (m, s) with
+    s in units of exp(x - m) — the same renormalisation online-softmax
+    uses — so one pass suffices, and the column selects (label, blank, any
+    big-blank columns) ride along as max-components of the same reduce.
+    Measured at B=64,T=1500,U=301,V=50 f32 on v5e: 9.3 ms (622 GB/s) vs
+    44 ms for the fused two-pass formulation — XLA runs this at memory
+    speed while the two-pass version's broadcast-against-packed-layout
+    pattern ran at 131 GB/s.
+
+    Args:
+      x: (B, T, U, V) f32 activations.
+      labels_full: (B, U) int32 per-row labels (column U-1 ignored), or
+        None to skip the label component.
+      blank: blank column index, or None to skip.
+      extra_cols: static ints — extra column selects (e.g. big blanks).
+
+    Returns:
+      (denom, label_val?, blank_val?, *extra_vals) — each (B, T, U) f32;
+      the optional components appear only when requested.
+    """
+    B, T, U, V = x.shape
+    neg = jnp.float32(-1e30)
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, (B, T, U, V), 3)
+    ins = [x, jnp.ones_like(x)]
+    if labels_full is not None:
+        ins.append(jnp.where(v_iota == labels_full[:, None, :, None], x, neg))
+    if blank is not None:
+        ins.append(jnp.where(v_iota == blank, x, neg))
+    for c in extra_cols:
+        ins.append(jnp.where(v_iota == int(c), x, neg))
+
+    def comb(acc, elt):
+        m = jnp.maximum(acc[0], elt[0])
+        s = acc[1] * jnp.exp(acc[0] - m) + elt[1] * jnp.exp(elt[0] - m)
+        return (m, s) + tuple(
+            jnp.maximum(a, b) for a, b in zip(acc[2:], elt[2:]))
+
+    init = (neg, jnp.float32(0.0)) + (neg,) * (len(ins) - 2)
+    out = jax.lax.reduce(tuple(ins), init, comb, (3,))
+    denom = -(out[0] + jnp.log(out[1]))
+    return (denom,) + tuple(out[2:])
+
+
+def _prepare_onepass(x, labels, blank):
+    """Dense-loss prep via ``onepass_stats`` (one read of the activations)."""
+    B, T, U, V = x.shape
+    labels_u = _pad_labels(labels.astype(jnp.int32), U)  # (B, U-1)
+    labels_full = jnp.pad(labels_u, ((0, 0), (0, 1)))  # (B, U); col U-1 unused
+    denom, e, bv = onepass_stats(x, labels_full, blank)
+    lpb = bv + denom
+    u_iota = jnp.arange(U, dtype=jnp.int32)[None, None, :]
+    lpe = jnp.where(u_iota == U - 1, NEG_INF, e + denom)
     return PreparedInputs(lpb=lpb, lpe=lpe, denom=denom)
 
 

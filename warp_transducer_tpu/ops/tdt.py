@@ -68,12 +68,30 @@ def _tdt_prep(token_logits, duration_logits, labels, blank, sigma,
     """Fused two-head prep: sigma-shifted lpb/lpe + duration log-probs."""
     B, T, U, V = token_logits.shape
     x = token_logits.astype(compute_dtype)
+    labels_u = _prep._pad_labels(labels.astype(jnp.int32), U)
+
+    if compute_dtype == jnp.float32:
+        # One read of the token head: streaming-logsumexp denominator plus
+        # the label/blank selects in a single variadic reduce (see
+        # prep.onepass_stats for the measured rationale).
+        labels_full = jnp.pad(labels_u, ((0, 0), (0, 1)))  # (B, U)
+        denom, e, bv = _prep.onepass_stats(x, labels_full, blank)
+        shift = denom - jnp.asarray(sigma, compute_dtype)
+        lpb = bv + shift
+        u_iota = jnp.arange(U, dtype=jnp.int32)[None, None, :]
+        lpe = jnp.where(u_iota == U - 1, NEG, e + shift)
+        lpe = jnp.maximum(lpe, NEG)
+        xd = duration_logits.astype(compute_dtype)
+        md = jnp.max(xd, axis=-1, keepdims=True)
+        denom_d = -(md[..., 0] + jnp.log(jnp.sum(jnp.exp(xd - md), axis=-1)))
+        lpd = xd + denom_d[..., None]  # (B, T, U, D)
+        return lpb, lpe, lpd, denom, denom_d
+
     m = jnp.max(x, axis=-1, keepdims=True)
     denom = -(m[..., 0] + jnp.log(jnp.sum(jnp.exp(x - m), axis=-1)))
     shift = denom - jnp.asarray(sigma, compute_dtype)
     lpb = x[..., blank] + shift
 
-    labels_u = _prep._pad_labels(labels.astype(jnp.int32), U)
     if U > 1:
         v_iota = jnp.arange(V, dtype=jnp.int32)
         sel = v_iota[None, None, :] == labels_u[:, :, None]

@@ -33,32 +33,38 @@ def log_softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
 
 
 def _alphas(lpb: np.ndarray, lpe: np.ndarray) -> tuple[np.ndarray, float]:
-    """Forward lattice. lpb/lpe are (T, U) blank/emit log-prob caches."""
+    """Forward lattice. lpb/lpe are (T, U) blank/emit log-prob caches.
+
+    Row-vectorized: within row t the recursion
+    ``a[t,u] = logaddexp(a[t-1,u] + lpb[t-1,u], a[t,u-1] + lpe[t,u-1])``
+    is a first-order linear recurrence whose closed form is
+    ``a[t,u] = cumd[u] + logcumsumexp_k(c[k] - cumd[k])`` with
+    ``c = a[t-1] + lpb[t-1]`` and ``cumd`` the running sum of emit
+    log-probs — one ``np.logaddexp.accumulate`` per row instead of a
+    Python u-loop (the oracle's cost dominated the cold test gate).
+    """
     T, U = lpb.shape
     a = np.full((T, U), NEG_INF, dtype=np.float64)
-    a[0, 0] = 0.0
-    for t in range(T):
-        for u in range(U):
-            if t == 0 and u == 0:
-                continue
-            no_emit = a[t - 1, u] + lpb[t - 1, u] if t > 0 else NEG_INF
-            emit = a[t, u - 1] + lpe[t, u - 1] if u > 0 else NEG_INF
-            a[t, u] = np.logaddexp(no_emit, emit)
+    a[0, :] = np.concatenate(([0.0], np.cumsum(lpe[0, : U - 1])))
+    for t in range(1, T):
+        c = a[t - 1] + lpb[t - 1]
+        cumd = np.concatenate(([0.0], np.cumsum(lpe[t, : U - 1])))
+        a[t] = np.logaddexp.accumulate(c - cumd) + cumd
     return a, a[T - 1, U - 1] + lpb[T - 1, U - 1]
 
 
 def _betas(lpb: np.ndarray, lpe: np.ndarray) -> tuple[np.ndarray, float]:
-    """Backward lattice."""
+    """Backward lattice (same row-vectorization as ``_alphas``, with
+    suffix sums: ``b[t,u] = S[u] + logcumsumexp_{v>=u}(c[v] - S[v])``,
+    ``c = b[t+1] + lpb[t]``, ``S[u] = sum_{j>=u} lpe[t,j]``)."""
     T, U = lpb.shape
     b = np.full((T, U), NEG_INF, dtype=np.float64)
-    b[T - 1, U - 1] = lpb[T - 1, U - 1]
-    for t in range(T - 1, -1, -1):
-        for u in range(U - 1, -1, -1):
-            if t == T - 1 and u == U - 1:
-                continue
-            no_emit = b[t + 1, u] + lpb[t, u] if t < T - 1 else NEG_INF
-            emit = b[t, u + 1] + lpe[t, u] if u < U - 1 else NEG_INF
-            b[t, u] = np.logaddexp(no_emit, emit)
+    b[T - 1] = (np.concatenate((np.cumsum(lpe[T - 1, : U - 1][::-1])[::-1], [0.0]))
+                + lpb[T - 1, U - 1])
+    for t in range(T - 2, -1, -1):
+        c = b[t + 1] + lpb[t]
+        S = np.concatenate((np.cumsum(lpe[t, : U - 1][::-1])[::-1], [0.0]))
+        b[t] = np.logaddexp.accumulate((c - S)[::-1])[::-1] + S
     return b, b[0, 0]
 
 
@@ -108,15 +114,15 @@ def grad_wrt_log_probs(log_probs, labels, blank=0, fastemit_lambda=0.0,
     lpb, lpe = st["lpb"], st["lpe"]
     lam1 = 1.0 + float(fastemit_lambda)
     g = np.zeros((T, U, V), dtype=np.float64)
-    for t in range(T):
-        for u in range(U):
-            if t < T - 1:
-                g[t, u, blank] = -np.exp(lpb[t, u] + a[t, u] + b[t + 1, u] - ll)
-            if u < U - 1:
-                g[t, u, labels[u]] = -lam1 * np.exp(
-                    lpe[t, u] + a[t, u] + b[t, u + 1] - ll
-                )
-    g[T - 1, U - 1, blank] = -np.exp(lpb[T - 1, U - 1] + a[T - 1, U - 1] - ll)
+    gb = np.zeros((T, U), dtype=np.float64)
+    gb[: T - 1] = -np.exp(lpb[: T - 1] + a[: T - 1] + b[1:] - ll)
+    gb[T - 1, U - 1] = -np.exp(lpb[T - 1, U - 1] + a[T - 1, U - 1] - ll)
+    g[:, :, blank] = gb
+    if U > 1:
+        # Label entries written AFTER the blank column, so a label equal to
+        # blank overwrites — the reference CPU write order (cpu_rnnt.h:253-267).
+        ge = -lam1 * np.exp(lpe[:, : U - 1] + a[:, : U - 1] + b[:, 1:] - ll)
+        g[:, np.arange(U - 1), np.asarray(labels)] = ge
     return -st["ll_fwd"], g
 
 
@@ -138,18 +144,16 @@ def grad_wrt_acts(acts, labels, blank=0, fastemit_lambda=0.0,
     lpe_s = st["lpe"]  # includes the delay shift
     probs = np.exp(lp)
     ce = np.zeros((T, U), dtype=np.float64)
-    for t in range(T):
-        for u in range(U - 1):
-            ce[t, u] = np.exp(a[t, u] + lpe_s[t, u] + b[t, u + 1] - ll)
+    if U > 1:
+        ce[:, : U - 1] = np.exp(a[:, : U - 1] + lpe_s[:, : U - 1] + b[:, 1:] - ll)
     w = np.exp(a + b - ll) + lam * ce
     g = w[:, :, None] * probs
-    for t in range(T):
-        for u in range(U):
-            if t < T - 1:
-                g[t, u, blank] -= np.exp(a[t, u] + lp[t, u, blank] + b[t + 1, u] - ll)
-            if u < U - 1:
-                g[t, u, labels[u]] -= (1.0 + lam) * ce[t, u]
-    g[T - 1, U - 1, blank] -= np.exp(a[T - 1, U - 1] + lp[T - 1, U - 1, blank] - ll)
+    cb = np.zeros((T, U), dtype=np.float64)
+    cb[: T - 1] = np.exp(a[: T - 1] + lp[: T - 1, :, blank] + b[1:] - ll)
+    cb[T - 1, U - 1] = np.exp(a[T - 1, U - 1] + lp[T - 1, U - 1, blank] - ll)
+    g[:, :, blank] -= cb
+    if U > 1:
+        g[:, np.arange(U - 1), np.asarray(labels)] -= (1.0 + lam) * ce[:, : U - 1]
     return -st["ll_fwd"], g
 
 

@@ -65,21 +65,22 @@ def multiblank_single(log_probs, labels, durations, big_blank_indices,
         shift = delay_penalty * ((T - 1) / 2.0 - np.arange(T, dtype=np.float64))
         lpe = lpe + shift[:, None]
 
+    # Row-vectorized lattice sweeps (see numpy_oracle._alphas): within row t
+    # only the standard emit arc is in-row, so each row is one vertical-arc
+    # logaddexp (vectorized over u) followed by a logaddexp.accumulate scan.
     a = np.full((T, U), NEG_INF, dtype=np.float64)
-    a[0, 0] = 0.0
-    for t in range(T):
-        for u in range(U):
-            if t == 0 and u == 0:
-                continue
-            terms = []
-            if t > 0:
-                terms.append(a[t - 1, u] + lpb[t - 1, u])
-            if u > 0:
-                terms.append(a[t, u - 1] + lpe[t, u - 1])
-            for k, m in enumerate(durations):
-                if t - m >= 0:
-                    terms.append(a[t - m, u] + lpB[k, t - m, u])
-            a[t, u] = _lse(*terms) if terms else NEG_INF
+    with np.errstate(invalid="ignore"):
+        for t in range(T):
+            if t == 0:
+                vert = np.full(U, NEG_INF)
+                vert[0] = 0.0
+            else:
+                vert = a[t - 1] + lpb[t - 1]
+                for k, m in enumerate(durations):
+                    if t - m >= 0:
+                        vert = np.logaddexp(vert, a[t - m] + lpB[k, t - m])
+            cumd = np.concatenate(([0.0], np.cumsum(np.maximum(lpe[t, : U - 1], -1e15))))
+            a[t] = np.logaddexp.accumulate(vert - cumd) + cumd
 
     ll_fwd = a[T - 1, U - 1] + lpb[T - 1, U - 1]
     for k, m in enumerate(durations):
@@ -87,23 +88,20 @@ def multiblank_single(log_probs, labels, durations, big_blank_indices,
             ll_fwd = np.logaddexp(ll_fwd, a[T - m, U - 1] + lpB[k, T - m, U - 1])
 
     b = np.full((T, U), NEG_INF, dtype=np.float64)
-    for t in range(T - 1, -1, -1):
-        for u in range(U - 1, -1, -1):
-            terms = []
-            if u == U - 1:
-                if t == T - 1:
-                    terms.append(lpb[t, u])
-                for k, m in enumerate(durations):
-                    if t + m == T:
-                        terms.append(lpB[k, t, u])
-            if t < T - 1:
-                terms.append(lpb[t, u] + b[t + 1, u])
-            if u < U - 1:
-                terms.append(lpe[t, u] + b[t, u + 1])
+    with np.errstate(invalid="ignore"):
+        for t in range(T - 1, -1, -1):
+            vert = np.full(U, NEG_INF)
+            if t == T - 1:
+                vert[U - 1] = lpb[t, U - 1]
+            else:
+                vert = lpb[t] + b[t + 1]
             for k, m in enumerate(durations):
-                if t + m <= T - 1:
-                    terms.append(lpB[k, t, u] + b[t + m, u])
-            b[t, u] = _lse(*terms) if terms else NEG_INF
+                if t + m == T:
+                    vert[U - 1] = np.logaddexp(vert[U - 1], lpB[k, t, U - 1])
+                elif t + m <= T - 1:
+                    vert = np.logaddexp(vert, lpB[k, t] + b[t + m])
+            S = np.concatenate((np.cumsum(np.maximum(lpe[t, : U - 1], -1e15)[::-1])[::-1], [0.0]))
+            b[t] = np.logaddexp.accumulate((vert - S)[::-1])[::-1] + S
     return dict(alphas=a, betas=b, ll_fwd=ll_fwd, ll_bwd=b[0, 0],
                 lpb=lpb, lpe=lpe, lpB=lpB)
 
@@ -130,28 +128,24 @@ def multiblank_grad_wrt_acts(acts, labels, durations, big_blank_indices,
     probs = np.exp(log_softmax(acts))
 
     ce = np.zeros((T, U), dtype=np.float64)
-    for t in range(T):
-        for u in range(U - 1):
-            ce[t, u] = np.exp(a[t, u] + lpe[t, u] + b[t, u + 1] - ll)
+    if U > 1:
+        ce[:, : U - 1] = np.exp(a[:, : U - 1] + lpe[:, : U - 1] + b[:, 1:] - ll)
     w = np.exp(a + b - ll) + lam * ce
     g = w[:, :, None] * probs
-    for t in range(T):
-        for u in range(U):
-            if t < T - 1:
-                g[t, u, blank] -= np.exp(a[t, u] + lpb[t, u] + b[t + 1, u] - ll)
-            if u < U - 1:
-                g[t, u, labels[u]] -= (1.0 + lam) * ce[t, u]
-            for k, m in enumerate(durations):
-                if t + m <= T - 1:
-                    g[t, u, big_blank_indices[k]] -= np.exp(
-                        a[t, u] + lpB[k, t, u] + b[t + m, u] - ll
-                    )
-    g[T - 1, U - 1, blank] -= np.exp(a[T - 1, U - 1] + lpb[T - 1, U - 1] - ll)
+    cb = np.zeros((T, U), dtype=np.float64)
+    cb[: T - 1] = np.exp(a[: T - 1] + lpb[: T - 1] + b[1:] - ll)
+    cb[T - 1, U - 1] += np.exp(a[T - 1, U - 1] + lpb[T - 1, U - 1] - ll)
+    g[:, :, blank] -= cb
+    if U > 1:
+        g[:, np.arange(U - 1), np.asarray(labels)] -= (1.0 + lam) * ce[:, : U - 1]
     for k, m in enumerate(durations):
+        cB = np.zeros((T, U), dtype=np.float64)
+        if m <= T - 1:
+            cB[: T - m] = np.exp(a[: T - m] + lpB[k, : T - m] + b[m:] - ll)
         if m <= T:
-            g[T - m, U - 1, big_blank_indices[k]] -= np.exp(
-                a[T - m, U - 1] + lpB[k, T - m, U - 1] - ll
-            )
+            cB[T - m, U - 1] += np.exp(
+                a[T - m, U - 1] + lpB[k, T - m, U - 1] - ll)
+        g[:, :, big_blank_indices[k]] -= cB
     return -ll, g
 
 

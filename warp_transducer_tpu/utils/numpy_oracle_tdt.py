@@ -57,23 +57,31 @@ def tdt_single(lp_tok, lp_dur, labels, durations, blank=0,
         lpe = lpe + shift[:, None]
     lpd = lp_dur.astype(np.float64)
 
+    # Row-vectorized sweeps (see numpy_oracle._alphas): the only IN-ROW
+    # arc is the d = 0 token arc, so each row is a vectorized vertical-arc
+    # logaddexp over all d >= 1 arcs followed by a logaddexp.accumulate
+    # scan along u with the d = 0 emit weight.
+    j0 = durs.index(0) if 0 in durs else None
     a = np.full((T, U), NEG_INF, dtype=np.float64)
-    a[0, 0] = 0.0
-    for t in range(T):
-        for u in range(U):
-            if t == 0 and u == 0:
-                continue
-            terms = []
+    with np.errstate(invalid="ignore"):
+        for t in range(T):
+            vert = np.full(U, NEG_INF)
+            if t == 0:
+                vert[0] = 0.0
             for j, d in enumerate(durs):
-                # token arc from (t-d, u-1)
-                if u > 0 and t - d >= 0:
-                    terms.append(a[t - d, u - 1] + lpe[t - d, u - 1]
-                                 + lpd[t - d, u - 1, j])
-                # blank arc from (t-d, u), d >= 1
                 if d >= 1 and t - d >= 0:
-                    terms.append(a[t - d, u] + lpb[t - d, u]
-                                 + lpd[t - d, u, j])
-            a[t, u] = _lse(*terms) if terms else NEG_INF
+                    vert = np.logaddexp(
+                        vert, a[t - d] + lpb[t - d] + lpd[t - d, :, j])
+                    if U > 1:
+                        vert[1:] = np.logaddexp(
+                            vert[1:], a[t - d, : U - 1] + lpe[t - d, : U - 1]
+                            + lpd[t - d, : U - 1, j])
+            if j0 is not None and U > 1:
+                e0 = np.maximum(lpe[t, : U - 1] + lpd[t, : U - 1, j0], -1e15)
+                cumd = np.concatenate(([0.0], np.cumsum(e0)))
+                a[t] = np.logaddexp.accumulate(vert - cumd) + cumd
+            else:
+                a[t] = vert
 
     ll_fwd = NEG_INF
     for j, d in enumerate(durs):
@@ -83,17 +91,26 @@ def tdt_single(lp_tok, lp_dur, labels, durations, blank=0,
                 + lpd[T - d, U - 1, j])
 
     b = np.full((T, U), NEG_INF, dtype=np.float64)
-    for t in range(T - 1, -1, -1):
-        for u in range(U - 1, -1, -1):
-            terms = []
+    with np.errstate(invalid="ignore"):
+        for t in range(T - 1, -1, -1):
+            vert = np.full(U, NEG_INF)
             for j, d in enumerate(durs):
-                if u == U - 1 and d >= 1 and t + d == T:
-                    terms.append(lpb[t, u] + lpd[t, u, j])  # terminal
+                if d >= 1 and t + d == T:
+                    vert[U - 1] = np.logaddexp(
+                        vert[U - 1], lpb[t, U - 1] + lpd[t, U - 1, j])
                 if d >= 1 and t + d <= T - 1:
-                    terms.append(lpb[t, u] + lpd[t, u, j] + b[t + d, u])
-                if u < U - 1 and t + d <= T - 1:
-                    terms.append(lpe[t, u] + lpd[t, u, j] + b[t + d, u + 1])
-            b[t, u] = _lse(*terms) if terms else NEG_INF
+                    vert = np.logaddexp(
+                        vert, lpb[t] + lpd[t, :, j] + b[t + d])
+                    if U > 1:
+                        vert[: U - 1] = np.logaddexp(
+                            vert[: U - 1], lpe[t, : U - 1]
+                            + lpd[t, : U - 1, j] + b[t + d, 1:])
+            if j0 is not None and U > 1:
+                e0 = np.maximum(lpe[t, : U - 1] + lpd[t, : U - 1, j0], -1e15)
+                S = np.concatenate((np.cumsum(e0[::-1])[::-1], [0.0]))
+                b[t] = np.logaddexp.accumulate((vert - S)[::-1])[::-1] + S
+            else:
+                b[t] = vert
     return dict(alphas=a, betas=b, ll_fwd=ll_fwd, ll_bwd=b[0, 0],
                 lpb=lpb, lpe=lpe, lpd=lpd)
 
@@ -127,25 +144,26 @@ def tdt_grads(token_logits, duration_logits, labels, durations, blank=0,
     post_tok = np.zeros((T, U, V), dtype=np.float64)  # token-class posterior
     post_dur = np.zeros((T, U, D), dtype=np.float64)  # duration-class posterior
     ce = np.zeros((T, U), dtype=np.float64)           # total token-emit posterior
-    for t in range(T):
-        for u in range(U):
-            for j, d in enumerate(durs):
-                if u < U - 1 and t + d <= T - 1:
-                    p = np.exp(a[t, u] + lpe[t, u] + lpd[t, u, j]
-                               + b[t + d, u + 1] - ll)
-                    post_tok[t, u, labels[u]] += (1.0 + lam) * p
-                    post_dur[t, u, j] += (1.0 + lam) * p
-                    ce[t, u] += p
-                if d >= 1:
-                    if t + d <= T - 1:
-                        p = np.exp(a[t, u] + lpb[t, u] + lpd[t, u, j]
-                                   + b[t + d, u] - ll)
-                    elif t + d == T and u == U - 1:
-                        p = np.exp(a[t, u] + lpb[t, u] + lpd[t, u, j] - ll)
-                    else:
-                        continue
-                    post_tok[t, u, blank] += p
-                    post_dur[t, u, j] += p
+    for j, d in enumerate(durs):
+        if U > 1 and d <= T - 1:
+            p = np.zeros((T, U - 1), dtype=np.float64)
+            p[: T - d] = np.exp(a[: T - d, : U - 1] + lpe[: T - d, : U - 1]
+                                + lpd[: T - d, : U - 1, j]
+                                + b[d:, 1:] - ll)
+            post_tok[:, np.arange(U - 1), np.asarray(labels)] += (1.0 + lam) * p
+            post_dur[:, : U - 1, j] += (1.0 + lam) * p
+            ce[:, : U - 1] += p
+        if d >= 1:
+            pb = np.zeros((T, U), dtype=np.float64)
+            if d <= T - 1:
+                pb[: T - d] = np.exp(a[: T - d] + lpb[: T - d]
+                                     + lpd[: T - d, :, j] + b[d:] - ll)
+            if d <= T:
+                pb[T - d, U - 1] += np.exp(
+                    a[T - d, U - 1] + lpb[T - d, U - 1] + lpd[T - d, U - 1, j]
+                    - ll)
+            post_tok[:, :, blank] += pb
+            post_dur[:, :, j] += pb
 
     w = np.exp(a + b - ll) + lam * ce  # (T, U)
     g_tok = w[:, :, None] * np.exp(log_softmax(token_logits)) - post_tok
