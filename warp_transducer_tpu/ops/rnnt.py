@@ -38,6 +38,11 @@ _IMPLEMENTATIONS = ("auto", "xla", "pallas")
 # conversion costs more than the halved HBM traffic saves (measured 0.61 ms
 # bf16 vs 0.45 ms f32 at the headline B=128,T=150,L=40,V=28 shape).
 _MIN_LOWP_V = 512
+# ...unless the lattice is LONG: past this many T*U cells the prep/grad
+# passes over the big tensor dominate the recursion, and halving their HBM
+# traffic wins regardless of V (r5 measurement at B=64,T=1500,L=300,V=50
+# in the docstring of ``rnnt_loss``).
+_LOWP_KEEP_CELLS = 1 << 16
 
 
 def _pick_implementation(implementation: str) -> str:
@@ -91,10 +96,12 @@ def _compute_dtype(acts_dtype):
 
 def _steer_dtype(acts, implementation):
     """On the auto path, upcast low-precision inputs at small V where bf16
-    measured slower than f32 (no HBM relief, extra convert); at large V the
-    native-dtype path halves big-tensor traffic and wins."""
-    V = acts.shape[-1]
+    measured slower than f32 (no HBM relief, extra convert); at large V —
+    or at long T·U, where the big-tensor passes dominate the recursion —
+    the native-dtype path halves big-tensor traffic and wins."""
+    B, T, U, V = acts.shape
     if (implementation == "auto" and V < _MIN_LOWP_V
+            and T * U <= _LOWP_KEEP_CELLS
             and acts.dtype in (jnp.bfloat16, jnp.float16)):
         return acts.astype(jnp.float32)
     return acts
