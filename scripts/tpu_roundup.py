@@ -74,6 +74,14 @@ ITEMS = [
      [PY, "bench.py", "128", "150", "40", "28", "--variants"], 3600),
     ("bench --tdt-fused big-vocab",
      [PY, "bench.py", "64", "150", "20", "5000", "--tdt-fused"], 3600),
+    # r5 rows: long-T dense bf16 (auto keeps bf16 past T*U=64k) and the
+    # long-T duration-arc variants after the one-pass prep.
+    ("bench long-T dense bf16",
+     [PY, "bench.py", "64", "1500", "300", "50", "--dtype", "bf16"], 1800),
+    ("bench --variants long-T",
+     [PY, "bench.py", "16", "1500", "300", "50", "--variants"], 3600),
+    ("big-V structural probe (mm-only envelope + unfused-bf16 status)",
+     [PY, "scripts/tpu_bigv_probe.py"], 3600),
 ]
 
 
