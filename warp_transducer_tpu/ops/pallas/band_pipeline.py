@@ -53,7 +53,13 @@ _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 
 def _pick_tc(B: int, SV: int, n_live: int) -> int:
     budget = 40 * 1024 * 1024  # n_live temporaries + double-buffered blocks
-    tc = budget // (n_live * B * SV * 4)
+    # Budget with the LANE-PADDED minor dim: VMEM tiles pad SV to a
+    # multiple of 128, so e.g. SV=140 (S=5, V=28) occupies 256 lanes —
+    # 1.83x the logical bytes. Budgeting logical bytes let the r4 rewrite
+    # compile at SV=250 (pad 256, ~exact) but blow the 96 MB scoped limit
+    # at SV=140 (125.5 MB measured, caught by the r5 roundup).
+    sv_pad = _round_up(SV, _LANES)
+    tc = budget // (n_live * B * sv_pad * 4)
     return max(8, min(64, tc // 8 * 8))
 
 
