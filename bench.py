@@ -190,6 +190,15 @@ def bench_config(B, T, L, V, impl, iters=10, warmup=3, seed=0, dtype="f32"):
                 # double the HBM traffic being measured).
                 eps = (1.0 + carry * 1e-30).astype(a.dtype)
                 loss, g = loss_grad(a * eps)
+                # The barrier forces the full gradient tensor to exist
+                # before the element is taken: without it XLA slice-pushes
+                # the [0,0,0,0] through the (pure-XLA) gradient pass and
+                # the whole backward narrows to one element (r5: the
+                # B=16,T=150 row "measured" 0.009 ms). Pallas-backed
+                # gradients were immune (custom calls don't narrow), which
+                # is why the bug appeared only when the one-pass XLA prep
+                # replaced the small-V Pallas path.
+                g = jax.lax.optimization_barrier(g)
                 return (loss.astype(jnp.float32) * 1e-12
                         + g[0, 0, 0, 0].astype(jnp.float32) * 1e-12)
 
@@ -344,6 +353,9 @@ def bench_extras(B, T, L, V, s_range=5, seed=0):
     def run_simple(a, m, n):
         def body(i, c):
             loss, (ga, gm) = simple_lg(a * (1.0 + c * 1e-30), m)
+            # barrier: see bench_config — XLA-produced gradients narrow
+            # under element consumption otherwise.
+            ga, gm = jax.lax.optimization_barrier((ga, gm))
             return loss * 1e-12 + ga[0, 0, 0] * 1e-12 + gm[0, 0, 0] * 1e-12
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
