@@ -82,6 +82,8 @@ ITEMS = [
      [PY, "bench.py", "16", "1500", "300", "50", "--variants"], 3600),
     ("big-V structural probe (mm-only envelope + unfused-bf16 status)",
      [PY, "scripts/tpu_bigv_probe.py"], 3600),
+    ("band-labels one-hot fusion guard (ADVICE r4 low #2)",
+     [PY, "scripts/tpu_band_labels_fusioncheck.py"], 1800),
 ]
 
 
